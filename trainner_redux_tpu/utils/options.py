@@ -1,0 +1,182 @@
+"""CLI + YAML option parsing and experiment path derivation.
+
+Same CLI surface as the reference (`/root/reference/traiNNer/utils/options.py:123-225`):
+``-opt``, ``--launcher``, ``--auto_resume``, ``--resume``, ``--watch``,
+``--start-iter``, ``--debug``, ``--manual_seed``, ``--name``. Distributed init
+is JAX-native: `jax.distributed.initialize` for multi-host, and `num_gpu`
+("auto") resolves to the local JAX device count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import time
+from os import path as osp
+from typing import Any
+
+import yaml
+
+from trainner_redux_tpu.utils.dist_util import get_dist_info, init_dist, master_only
+from trainner_redux_tpu.utils.redux_options import ReduxOptions
+from trainner_redux_tpu.utils.schema import StrictDecodeError, decode, encode_dict
+
+
+def yaml_load(path: str) -> tuple[ReduxOptions, str]:
+    """Strictly decode a YAML config file into a ReduxOptions tree."""
+    with open(path, encoding="utf-8") as f:
+        contents = f.read()
+    raw = yaml.safe_load(contents)
+    if not isinstance(raw, dict):
+        raise StrictDecodeError(f"config file {path} did not parse to a mapping")
+    opt = decode(raw, ReduxOptions)
+    return opt, contents
+
+
+def yaml_loads(contents: str) -> ReduxOptions:
+    raw = yaml.safe_load(contents)
+    return decode(raw, ReduxOptions)
+
+
+def dict2str(opt: Any, indent_level: int = 1) -> str:
+    """Pretty-print an options tree for logging."""
+    if not isinstance(opt, dict):
+        opt = encode_dict(opt)
+    msg = "\n"
+    for k, v in opt.items():
+        if isinstance(v, dict):
+            msg += " " * (indent_level * 2) + k + ":["
+            msg += dict2str(v, indent_level + 1)
+            msg += " " * (indent_level * 2) + "]\n"
+        else:
+            msg += " " * (indent_level * 2) + k + ": " + str(v) + "\n"
+    return msg
+
+
+def assert_not_using_template(opt_path: str) -> None:
+    """Refuse to train directly on a template config (reference options.py:27-54)."""
+    parts = osp.normpath(osp.abspath(opt_path)).split(osp.sep)
+    if "_templates" in parts:
+        raise ValueError(
+            "Template configs must not be used directly. Copy the template into "
+            "your own options directory, modify it, and train with the copy."
+        )
+
+
+def parse_options(
+    root_path: str, is_train: bool = True, argv: list[str] | None = None
+) -> tuple[ReduxOptions, argparse.Namespace]:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True, help="Path to option YAML file.")
+    parser.add_argument(
+        "--launcher",
+        choices=["none", "pytorch", "slurm", "jax"],
+        default="none",
+        help="job launcher ('jax' = jax.distributed.initialize for multi-host)",
+    )
+    parser.add_argument("--auto_resume", action="store_true")
+    parser.add_argument("--resume", type=int, default=0)
+    parser.add_argument("--watch", action="store_true")
+    parser.add_argument("--start-iter", type=int, default=0)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--local_rank", type=int, default=0)
+    parser.add_argument("--manual_seed", type=int, default=None)
+    parser.add_argument("--name", type=str, default=None)
+
+    args = parser.parse_args(argv)
+
+    assert_not_using_template(args.opt)
+    opt, contents = yaml_load(args.opt)
+    opt.contents = contents
+
+    # distributed settings (multi-host JAX; single-host multi-chip needs no init)
+    if args.launcher == "none":
+        opt.dist = False
+    else:
+        opt.dist = True
+        init_dist(args.launcher, **(opt.dist_params or {}))
+    opt.launcher = args.launcher
+    opt.rank, opt.world_size = get_dist_info()
+
+    if args.name:
+        opt.name = args.name
+    if args.debug and not opt.name.startswith("debug"):
+        opt.name = "debug_" + opt.name
+
+    if args.manual_seed:
+        opt.manual_seed = args.manual_seed
+    if not opt.manual_seed:
+        opt.manual_seed = random.randint(1024, 10000)
+
+    opt.auto_resume = args.auto_resume
+    opt.watch = args.watch
+    opt.start_iter = args.start_iter
+    opt.is_train = is_train
+    opt.root_path = root_path
+
+    if opt.num_gpu == "auto":
+        import jax
+
+        opt.num_gpu = jax.local_device_count()
+
+    # datasets: propagate phase/scale, expand paths
+    for full_phase, dataset in opt.datasets.items():
+        phase = full_phase.split("_")[0]
+        dataset.phase = phase
+        dataset.scale = opt.scale
+        if dataset.dataroot_gt is not None:
+            if isinstance(dataset.dataroot_gt, str):
+                dataset.dataroot_gt = [osp.expanduser(dataset.dataroot_gt)]
+            else:
+                dataset.dataroot_gt = [osp.expanduser(p) for p in dataset.dataroot_gt]
+        if dataset.dataroot_lq is not None:
+            if isinstance(dataset.dataroot_lq, str):
+                dataset.dataroot_lq = [osp.expanduser(dataset.dataroot_lq)]
+            else:
+                dataset.dataroot_lq = [osp.expanduser(p) for p in dataset.dataroot_lq]
+
+    if opt.path.resume_state is not None:
+        opt.path.resume_state = osp.expanduser(opt.path.resume_state)
+    if opt.path.pretrain_network_g is not None:
+        opt.path.pretrain_network_g = osp.expanduser(opt.path.pretrain_network_g)
+    if opt.path.pretrain_network_d is not None:
+        opt.path.pretrain_network_d = osp.expanduser(opt.path.pretrain_network_d)
+
+    if is_train:
+        experiments_root = osp.join(root_path, "experiments", opt.name)
+        opt.path.experiments_root = experiments_root
+        opt.path.models = osp.join(experiments_root, "models")
+        opt.path.resume_models = osp.join(opt.path.models, "resume_models")
+        opt.path.training_states = osp.join(experiments_root, "training_states")
+        opt.path.log = experiments_root
+        opt.path.visualization = osp.join(experiments_root, "visualization")
+    else:
+        results_root = osp.join(root_path, "results", opt.name)
+        opt.path.results_root = results_root
+        opt.path.log = results_root
+        opt.path.visualization = osp.join(results_root, "visualization")
+
+    return opt, args
+
+
+@master_only
+def copy_opt_file(opt_file: str, experiments_root: str) -> None:
+    """Copy the config into the experiment dir with a generation banner."""
+    from shutil import copyfile
+
+    cmd = " ".join(sys.argv)
+    filename = osp.join(experiments_root, osp.basename(opt_file))
+    if osp.abspath(opt_file) == osp.abspath(filename):
+        return
+    copyfile(opt_file, filename)
+    with open(filename, "r+") as f:
+        lines = f.readlines()
+        lines.insert(0, f"# GENERATE TIME: {time.asctime()}\n# CMD:\n# {cmd}\n\n")
+        f.seek(0)
+        f.writelines(lines)
+
+
+def struct2dict(opt: Any) -> dict[str, Any]:
+    return encode_dict(opt)
