@@ -7,11 +7,19 @@ this is the distributed-testing gap of the reference (SURVEY.md §4) closed.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax backends initialize. Force-override: the host env
+# pins JAX_PLATFORMS to the real TPU backend (axon sitecustomize), but tests
+# run on a virtual 8-device CPU platform for speed and determinism.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize may have force-selected the TPU platform at
+# interpreter start; config.update wins as long as no backend is live yet.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -43,9 +43,9 @@ def bgr2ycbcr_np(img: np.ndarray, y_only: bool = False) -> np.ndarray:
 def ycbcr2rgb_np(img: np.ndarray) -> np.ndarray:
     """HWC YCbCr [0,1] (studio swing) -> RGB [0,1]."""
     img = img.astype(np.float64) * 255.0
-    # forward is ycbcr = rgb @ M + off, so rgb = (ycbcr - off) @ M^-1
+    # forward maps rgb in [0,1] to ycbcr in [0,255]; inverting lands back in [0,1]
     out = (img - _YCBCR_OFFSET) @ np.linalg.inv(_RGB2YCBCR_MAT)
-    return (out / 255.0).astype(np.float32)
+    return out.astype(np.float32)
 
 
 def rgb2ycbcr(img: jnp.ndarray, y_only: bool = False) -> jnp.ndarray:
@@ -62,7 +62,7 @@ def rgb2ycbcr(img: jnp.ndarray, y_only: bool = False) -> jnp.ndarray:
 def ycbcr2rgb(img: jnp.ndarray) -> jnp.ndarray:
     inv = jnp.asarray(np.linalg.inv(_RGB2YCBCR_MAT), dtype=img.dtype)
     off = jnp.asarray(_YCBCR_OFFSET, dtype=img.dtype)
-    return ((img * 255.0 - off) @ inv) / 255.0
+    return (img * 255.0 - off) @ inv
 
 
 def rgb2ycbcr_nchw(img: jnp.ndarray, y_only: bool = False) -> jnp.ndarray:
