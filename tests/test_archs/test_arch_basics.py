@@ -1,0 +1,93 @@
+"""Arch zoo basics: registry sweep, output shapes, torch layout parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trainner_redux_tpu.archs import build_network
+from trainner_redux_tpu.archs.arch_util import pixel_shuffle, pixel_unshuffle
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    import torch
+
+    x = rng.random((2, 4, 5, 3 * 9)).astype(np.float32)  # NHWC, r=3
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), 3))
+    # torch works in NCHW
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    ref = torch.nn.functional.pixel_shuffle(t, 3).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=0)
+
+
+def test_pixel_unshuffle_matches_torch(rng):
+    import torch
+
+    x = rng.random((2, 6, 8, 3)).astype(np.float32)
+    ours = np.asarray(pixel_unshuffle(jnp.asarray(x), 2))
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    ref = torch.nn.functional.pixel_unshuffle(t, 2).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=0)
+
+
+SHAPE_CASES = [
+    ({"type": "compact", "scale": 2, "num_feat": 16, "num_conv": 2}, 2),
+    ({"type": "superultracompact", "scale": 4}, 4),
+    ({"type": "span_s", "scale": 2}, 2),
+    ({"type": "esrgan_lite", "scale": 4, "num_blocks": 1}, 4),
+    ({"type": "esrgan", "scale": 2, "num_blocks": 1}, 2),
+    ({"type": "esrgan", "scale": 1, "num_blocks": 1}, 1),
+]
+
+
+@pytest.mark.parametrize("opt,scale", SHAPE_CASES)
+def test_arch_output_shape(opt, scale):
+    net = build_network(opt)
+    x = jnp.ones((1, 16, 16, 3), jnp.float32)
+    params = net.init(jax.random.key(0), x)
+    y = net.apply(params, x)
+    assert y.shape == (1, 16 * scale, 16 * scale, 3)
+    assert not np.any(np.isnan(np.asarray(y)))
+
+
+def test_span_eval_matches_train_interior():
+    """Fused eval conv must equal the decomposed train path in the interior
+    (the 1px border differs by design, as in the reference)."""
+    net = build_network({"type": "span_s", "scale": 2})
+    x = jax.random.uniform(jax.random.key(1), (1, 16, 16, 3))
+    params = net.init(jax.random.key(0), x)
+    y_train = net.apply(params, x, train=True)
+    y_eval = net.apply(params, x, train=False)
+    # compare away from borders (each Conv3XC corrupts a 1px halo; the net has
+    # ~20 stacked convs so compare the central region)
+    c = 24  # central margin in output pixels
+    a = np.asarray(y_train)[:, c:-c, c:-c]
+    b = np.asarray(y_eval)[:, c:-c, c:-c]
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_train_step_no_nans():
+    """One forward+backward+adamw step on every minimal arch: finite grads."""
+    import optax
+
+    for opt_dict in ({"type": "compact", "scale": 2, "num_feat": 8, "num_conv": 1},
+                     {"type": "span_f32", "scale": 2}):
+        net = build_network(opt_dict)
+        x = jax.random.uniform(jax.random.key(1), (2, 8, 8, 3))
+        gt = jax.random.uniform(jax.random.key(2), (2, 16, 16, 3))
+        params = net.init(jax.random.key(0), x)
+        tx = optax.adamw(1e-4)
+        opt_state = tx.init(params)
+
+        def loss_fn(p):
+            return jnp.abs(net.apply(p, x) - gt).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        assert np.isfinite(float(loss))
+        flat = jax.tree.leaves(jax.tree.map(lambda g: float(jnp.abs(g).max()), grads))
+        assert all(np.isfinite(v) for v in flat)
+        assert all(
+            np.all(np.isfinite(np.asarray(leaf))) for leaf in jax.tree.leaves(new_params)
+        )
