@@ -1,0 +1,210 @@
+"""Training entry point.
+
+Parity with /root/reference/train.py:250-1023 (train_pipeline): config ->
+dataloaders -> model -> iteration loop with logging, checkpointing,
+validation, SIGINT-save and auto-resume — re-orchestrated for TPU: a single
+process drives all local chips through one jitted, mesh-sharded train step;
+gradient accumulation happens inside the step (lax.scan), so the host loop
+runs once per optimizer step.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+from os import path as osp
+
+
+def _setup_jax_env() -> None:
+    # Allow CPU-only smoke runs: TRAINNER_PLATFORM=cpu overrides.
+    plat = os.environ.get("TRAINNER_PLATFORM")
+    if plat:
+        os.environ["JAX_PLATFORMS"] = plat
+
+
+_setup_jax_env()
+
+
+def load_resume_state(opt):
+    """Auto-resume: scan training_states for the highest iteration."""
+    resume_state_path = None
+    if opt.auto_resume:
+        state_dir = opt.path.training_states
+        if state_dir and osp.isdir(state_dir):
+            states = [
+                f for f in os.listdir(state_dir) if f.endswith(".state.meta.json")
+            ]
+            if states:
+                iters = [int(f.split(".state")[0]) for f in states]
+                resume_state_path = osp.join(state_dir, f"{max(iters)}.state")
+                opt.path.resume_state = resume_state_path
+    elif opt.path.resume_state:
+        resume_state_path = opt.path.resume_state
+    return resume_state_path
+
+
+def create_train_val_dataloaders(opt, logger):
+    from trainner_redux_tpu.data import (
+        EnlargedSampler,
+        build_dataloader,
+        build_dataset,
+    )
+    from trainner_redux_tpu.data.data_sampler import resolve_enlarge_ratio
+
+    train_loader, train_sampler, val_loaders = None, None, []
+    total_iters, iters_per_epoch = 0, 1
+    for phase, dataset_opt in opt.datasets.items():
+        if phase.split("_")[0] == "train":
+            dataset = build_dataset(dataset_opt)
+            ratio = resolve_enlarge_ratio(dataset_opt.dataset_enlarge_ratio, len(dataset))
+            train_sampler = EnlargedSampler(
+                len(dataset), opt.world_size or 1, opt.rank or 0, ratio
+            )
+            train_loader = build_dataloader(
+                dataset,
+                dataset_opt,
+                num_gpu=opt.num_gpu,
+                sampler=train_sampler,
+                seed=opt.manual_seed,
+            )
+            accum = dataset_opt.accum_iter or 1
+            # loader batch = micro_batch * accum (step consumes full stack)
+            train_loader.batch_size *= accum
+            total_iters = int(opt.train.total_iter)
+            iters_per_epoch = max(1, len(train_loader))
+            logger.info(
+                f"Training stats: {len(dataset)} images, enlarge ratio {ratio}, "
+                f"batch {train_loader.batch_size} (accum {accum}), "
+                f"{iters_per_epoch} iters/epoch, total {total_iters} iters."
+            )
+        elif phase.split("_")[0] in ("val", "test"):
+            dataset = build_dataset(dataset_opt)
+            val_loaders.append(build_dataloader(dataset, dataset_opt, num_gpu=1))
+            logger.info(f"Validation set {dataset_opt.name}: {len(dataset)} images.")
+    return train_loader, train_sampler, val_loaders, total_iters, iters_per_epoch
+
+
+def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
+    from trainner_redux_tpu.models import build_model
+    from trainner_redux_tpu.utils import (
+        AvgTimer,
+        MessageLogger,
+        get_env_info,
+        get_root_logger,
+        make_exp_dirs,
+        set_random_seed,
+    )
+    from trainner_redux_tpu.utils.config import Config
+    from trainner_redux_tpu.utils.logger import init_tb_logger
+    from trainner_redux_tpu.utils.options import copy_opt_file, dict2str
+
+    opt, args = Config.load_config_from_file(root_path, is_train=True, argv=argv)
+    set_random_seed((opt.manual_seed or 0) + (opt.rank or 0))
+
+    resume_state_path = load_resume_state(opt)
+    make_exp_dirs(opt)
+    assert opt.path.experiments_root is not None
+    copy_opt_file(args.opt, opt.path.experiments_root)
+
+    log_file = osp.join(opt.path.log or ".", f"train_{opt.name}.log")
+    logger = get_root_logger(log_file=log_file)
+    logger.info(get_env_info())
+    logger.info(dict2str(opt))
+
+    tb_logger = None
+    if opt.logger and opt.logger.use_tb_logger and "debug" not in opt.name:
+        tb_logger = init_tb_logger(osp.join(root_path, "tb_logger", opt.name))
+
+    train_loader, train_sampler, val_loaders, total_iters, iters_per_epoch = (
+        create_train_val_dataloaders(opt, logger)
+    )
+    assert train_loader is not None, "training requires a train dataset"
+
+    model = build_model(opt)
+
+    start_epoch, current_iter = 0, 0
+    if resume_state_path:
+        meta = model.resume_training(resume_state_path)
+        start_epoch, current_iter = meta["epoch"], meta["iter"]
+        logger.info(f"Resuming training from epoch {start_epoch}, iter {current_iter}.")
+
+    msg_logger = MessageLogger(opt, current_iter, tb_logger)
+
+    # graceful SIGINT: finish the current iter, save, exit
+    interrupted = {"flag": False}
+
+    def _sigint(_sig, _frame):
+        interrupted["flag"] = True
+        logger.warning("SIGINT received; saving and exiting after this iteration.")
+
+    try:
+        signal.signal(signal.SIGINT, _sigint)
+    except ValueError:
+        pass  # non-main thread (tests)
+
+    iter_timer, data_timer = AvgTimer(), AvgTimer()
+    logger.info(f"Start training from epoch: {start_epoch}, iter: {current_iter}")
+
+    epoch = start_epoch
+    try:
+        while current_iter < total_iters and not interrupted["flag"]:
+            train_loader.set_epoch(epoch)
+            for train_data in train_loader:
+                data_timer.record()
+                if current_iter >= total_iters or interrupted["flag"]:
+                    break
+                current_iter += 1
+
+                model.feed_data(train_data)
+                model.optimize_parameters(current_iter)
+                iter_timer.record()
+
+                if current_iter == 1:
+                    msg_logger.reset_start_time()
+
+                if opt.logger and current_iter % opt.logger.print_freq == 0:
+                    log_vars = {
+                        "epoch": epoch,
+                        "iter": current_iter,
+                        "lrs": model.get_current_learning_rate(),
+                        "time_sec_avg": iter_timer.get_avg_time(),
+                    }
+                    log_vars.update(model.get_current_log())
+                    msg_logger(log_vars)
+
+                if (
+                    opt.logger
+                    and current_iter % opt.logger.save_checkpoint_freq == 0
+                ):
+                    logger.info("Saving models and training states.")
+                    model.save(epoch, current_iter)
+
+                if (
+                    opt.val
+                    and opt.val.val_enabled
+                    and opt.val.val_freq
+                    and current_iter % opt.val.val_freq == 0
+                ):
+                    for val_loader in val_loaders:
+                        model.validation(
+                            val_loader, current_iter, tb_logger, opt.val.save_img
+                        )
+                data_timer.tic()
+            epoch += 1
+    except KeyboardInterrupt:
+        logger.warning("KeyboardInterrupt — saving before exit.")
+    except Exception:
+        logger.exception("Training crashed — saving emergency checkpoint.")
+        model.save(epoch, current_iter)
+        raise
+
+    logger.info("End of training. Saving final models and states.")
+    model.save(epoch, current_iter)
+    if opt.val and opt.val.val_enabled:
+        for val_loader in val_loaders:
+            model.validation(val_loader, current_iter, tb_logger, opt.val.save_img)
+
+
+if __name__ == "__main__":
+    train_pipeline(osp.abspath(osp.dirname(__file__)), sys.argv[1:])

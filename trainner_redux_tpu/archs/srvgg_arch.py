@@ -38,7 +38,8 @@ class SRVGGNetCompact(nn.Module):
         raise ValueError(f"unsupported act_type {self.act_type}")
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        del train  # no train/eval behavioral difference
         inp = x
         x = x.astype(self.dtype)
         x = Conv2d(self.num_feat, 3, dtype=self.dtype, name="body_0")(x)

@@ -1,0 +1,76 @@
+"""Data layer: dataset auto-registration, build_dataset / build_dataloader.
+
+Parity: /root/reference/traiNNer/data/__init__.py:25-165. Every
+`*_dataset.py` module is scanned and imported at package load; dataloaders
+are the threaded prefetching loaders from `loader.py` with per-host sampling
+via EnlargedSampler.
+"""
+
+from __future__ import annotations
+
+import importlib
+from os import path as osp
+
+from trainner_redux_tpu.data.data_sampler import EnlargedSampler, resolve_enlarge_ratio
+from trainner_redux_tpu.data.loader import DataLoader, DevicePrefetcher
+from trainner_redux_tpu.utils.misc import scandir
+from trainner_redux_tpu.utils.redux_options import DatasetOptions
+from trainner_redux_tpu.utils.registry import DATASET_REGISTRY
+
+__all__ = [
+    "build_dataset",
+    "build_dataloader",
+    "DataLoader",
+    "DevicePrefetcher",
+    "EnlargedSampler",
+]
+
+data_folder = osp.dirname(osp.abspath(__file__))
+dataset_filenames = [
+    osp.splitext(osp.basename(v))[0] for v in scandir(data_folder, suffix="_dataset.py")
+]
+_dataset_modules = [
+    importlib.import_module(f"trainner_redux_tpu.data.{f}") for f in dataset_filenames
+]
+
+
+def build_dataset(dataset_opt: DatasetOptions):
+    dataset = DATASET_REGISTRY.get(dataset_opt.type)(dataset_opt)
+    return dataset
+
+
+def build_dataloader(
+    dataset,
+    dataset_opt: DatasetOptions,
+    num_gpu: int = 1,
+    dist: bool = False,
+    sampler: EnlargedSampler | None = None,
+    seed: int | None = None,
+) -> DataLoader:
+    """Phase-aware loader assembly (train: batched/shuffled/drop_last;
+    val/test: batch 1, sequential) mirroring reference data/__init__.py:60-165.
+
+    On TPU, `num_gpu` multiplies the per-device batch into the host-local
+    batch (a single process feeds all local chips through the sharded step).
+    """
+    phase = dataset_opt.phase
+    if phase == "train":
+        batch_size = (dataset_opt.batch_size_per_gpu or 4) * max(1, num_gpu)
+        num_workers = dataset_opt.num_worker_per_gpu or 4
+        return DataLoader(
+            dataset,
+            batch_size=batch_size,
+            sampler=sampler,
+            shuffle=sampler is None,
+            num_workers=num_workers,
+            drop_last=True,
+            prefetch_batches=dataset_opt.num_prefetch_queue or 2,
+            seed=seed or 0,
+        )
+    return DataLoader(
+        dataset,
+        batch_size=1,
+        shuffle=False,
+        num_workers=dataset_opt.num_worker_per_gpu or 1,
+        drop_last=False,
+    )

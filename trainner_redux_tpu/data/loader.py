@@ -1,0 +1,165 @@
+"""Threaded, prefetching host data loader + device prefetcher.
+
+Replaces the reference's torch DataLoader + prefetcher stack
+(/root/reference/traiNNer/data/prefetch_dataloader.py): a worker thread pool
+decodes/crops samples (cv2/numpy release the GIL), a background thread keeps
+a queue of ready host batches, and `DevicePrefetcher` overlaps host->HBM
+transfer with compute via JAX's async dispatch (`jax.device_put` on the next
+batch while the current step runs).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections.abc import Iterable, Iterator
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
+import numpy as np
+
+
+def default_collate(samples: list[dict[str, Any]]) -> dict[str, Any]:
+    """Stack ndarray fields into batches; non-arrays become lists."""
+    out: dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals, axis=0)
+        else:
+            out[key] = vals if len(vals) > 1 else vals[0]
+    return out
+
+
+class DataLoader:
+    """Map-style dataset -> iterator of collated batches with prefetching."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        sampler: Iterable[int] | None = None,
+        shuffle: bool = False,
+        num_workers: int = 4,
+        drop_last: bool = False,
+        prefetch_batches: int = 2,
+        collate_fn=default_collate,
+        seed: int = 0,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch_batches = max(1, prefetch_batches)
+        self.collate_fn = collate_fn
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+
+    def _indices(self) -> list[int]:
+        if self.sampler is not None:
+            return list(iter(self.sampler))
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            np.random.default_rng([self.seed, self._epoch]).shuffle(idx)
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        indices = self._indices()
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        if not batches:
+            return iter([])
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer() -> None:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                try:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            break
+                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        out_q.put(self.collate_fn(samples))
+                except Exception as e:  # surface worker errors to the consumer
+                    out_q.put(e)
+                finally:
+                    out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+
+        def gen():
+            try:
+                while True:
+                    item = out_q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, Exception):
+                        raise item
+                    yield item
+            finally:
+                stop.set()
+                # drain so the producer can exit
+                while thread.is_alive():
+                    try:
+                        out_q.get_nowait()
+                    except queue.Empty:
+                        break
+
+        return gen()
+
+
+class DevicePrefetcher:
+    """Wraps a DataLoader iterator: device_put the next batch while the
+    current step computes (JAX async dispatch covers the overlap)."""
+
+    def __init__(self, loader: DataLoader, put_fn=None) -> None:
+        self.loader = loader
+        self.put_fn = put_fn  # e.g. lambda b: shard_batch(mesh, b)
+        self._iter: Iterator | None = None
+        self._next: Any = None
+
+    def reset(self) -> None:
+        self._iter = iter(self.loader)
+        self._preload()
+
+    def _preload(self) -> None:
+        assert self._iter is not None
+        try:
+            batch = next(self._iter)
+        except StopIteration:
+            self._next = None
+            return
+        if self.put_fn is not None:
+            arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
+            batch = {**self.put_fn(arrays), **rest}
+        self._next = batch
+
+    def next(self) -> Any:
+        if self._iter is None:
+            self.reset()
+        batch = self._next
+        if batch is not None:
+            self._preload()
+        return batch

@@ -1,0 +1,126 @@
+"""Paired LR/HR image dataset (parity: reference paired_image_dataset.py:18-159).
+
+Host-side loader producing fixed-size float32 HWC crops for training
+(static shapes keep the jitted step compile-once) and mod-cropped full
+images for validation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from trainner_redux_tpu.data.data_util import (
+    paired_paths_from_folders,
+    paired_paths_from_meta_info_file,
+    paired_paths_from_pack,
+)
+from trainner_redux_tpu.data.transforms import augment, mod_crop, paired_random_crop
+from trainner_redux_tpu.utils.file_client import FileClient
+from trainner_redux_tpu.utils.img_util import imfrombytes
+from trainner_redux_tpu.utils.redux_options import DatasetOptions
+from trainner_redux_tpu.utils.registry import DATASET_REGISTRY
+from trainner_redux_tpu.utils.rng import worker_rng
+
+
+@DATASET_REGISTRY.register()
+class PairedImageDataset:
+    def __init__(self, opt: DatasetOptions) -> None:
+        self.opt = opt
+        io = dict(opt.io_backend or {"type": "disk"})
+        self.io_backend_type = io.pop("type", "disk")
+
+        gt_folders = opt.dataroot_gt or []
+        lq_folders = opt.dataroot_lq or []
+        self.filename_tmpl = opt.filename_tmpl or "{}"
+
+        if self.io_backend_type in ("pack", "lmdb"):
+            if self.io_backend_type == "lmdb":
+                # accept reference-style lmdb configs transparently via FileClient
+                self.file_client = FileClient(
+                    "lmdb", db_paths=lq_folders + gt_folders,
+                    client_keys=["lq"] * len(lq_folders) + ["gt"] * len(gt_folders),
+                )
+                from trainner_redux_tpu.data.data_util import paths_from_pack  # noqa: F401
+
+                # lmdb key listing: use meta_info file convention
+                if opt.meta_info:
+                    self.paths = paired_paths_from_meta_info_file(
+                        (lq_folders, gt_folders), ("lq", "gt"), opt.meta_info, "{}"
+                    )
+                else:
+                    raise ValueError("lmdb io_backend requires meta_info")
+            else:
+                self.file_client = FileClient(
+                    "pack",
+                    db_paths=lq_folders + gt_folders,
+                    client_keys=["lq"] * len(lq_folders) + ["gt"] * len(gt_folders),
+                )
+                self.paths = paired_paths_from_pack((lq_folders, gt_folders), ("lq", "gt"))
+        else:
+            self.file_client = FileClient("disk")
+            if opt.meta_info:
+                self.paths = paired_paths_from_meta_info_file(
+                    (lq_folders, gt_folders), ("lq", "gt"), opt.meta_info, self.filename_tmpl
+                )
+            else:
+                self.paths = paired_paths_from_folders(
+                    (lq_folders, gt_folders), ("lq", "gt"), self.filename_tmpl
+                )
+
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _load(self, path: str, client_key: str) -> np.ndarray:
+        return imfrombytes(self.file_client.get(path, client_key), float32=True)
+
+    def __getitem__(self, index: int) -> dict:
+        opt = self.opt
+        scale = opt.scale or 1
+        entry = self.paths[index]
+        img_gt = self._load(entry["gt_path"], "gt")
+        img_lq = self._load(entry["lq_path"], "lq")
+
+        if opt.phase == "train":
+            lq_size = opt.lq_size or ((opt.gt_size // scale) if opt.gt_size else None)
+            assert lq_size is not None, "train phase requires lq_size (or gt_size)"
+            # deterministic per (seed, sample, epoch); thread-safe (fresh generator)
+            try:
+                from trainner_redux_tpu.utils.config import Config
+
+                seed = Config.get_manual_seed() or 0
+            except RuntimeError:
+                seed = 0
+            rng = worker_rng(seed, 0, index, self._epoch)
+            img_gt, img_lq = paired_random_crop(img_gt, img_lq, lq_size, scale, rng)
+            img_gt, img_lq = augment(
+                [img_gt, img_lq], opt.use_hflip, opt.use_rot, rng=rng
+            )
+        else:
+            # mod-crop GT so shapes divide the scale exactly
+            img_gt = mod_crop(img_gt, scale)
+            h, w = img_lq.shape[0], img_lq.shape[1]
+            img_gt = img_gt[: h * scale, : w * scale, ...]
+
+        if opt.color == "y":
+            from trainner_redux_tpu.utils.color_util import rgb2ycbcr_np
+
+            img_gt = rgb2ycbcr_np(img_gt, y_only=True)[..., None]
+            img_lq = rgb2ycbcr_np(img_lq, y_only=True)[..., None]
+
+        if opt.mean is not None or opt.std is not None:
+            mean = np.asarray(opt.mean or [0.0] * img_gt.shape[-1], np.float32)
+            std = np.asarray(opt.std or [1.0] * img_gt.shape[-1], np.float32)
+            img_gt = (img_gt - mean) / std
+            img_lq = (img_lq - mean) / std
+
+        return {
+            "lq": np.ascontiguousarray(img_lq, dtype=np.float32),
+            "gt": np.ascontiguousarray(img_gt, dtype=np.float32),
+            "lq_path": entry["lq_path"],
+            "gt_path": entry["gt_path"],
+        }

@@ -1,0 +1,239 @@
+"""PyTorch checkpoint interop: load reference-ecosystem state dicts into
+flax param trees.
+
+Replaces the reference's dependency on `spandrel` for checkpoint-compatible
+model loading and mirrors its key canonicalization
+(/root/reference/traiNNer/models/base_model.py:570-699): `module.` prefix
+stripping, `params`/`params_ema`/`state_dict` unwrapping, then a per-arch
+key-mapping (torch OIHW conv kernels -> flax HWIO, linear weights
+transposed). Converters register per flax arch class name.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+
+# arch class name -> fn(torch_flat, module) -> flax_flat ('.'-joined keys)
+_CONVERTERS: dict[str, Callable] = {}
+
+
+def register_converter(arch_name: str):
+    def deco(fn):
+        _CONVERTERS[arch_name.lower()] = fn
+        return fn
+
+    return deco
+
+
+def canonicalize_state_dict(sd: dict[str, Any]) -> dict[str, np.ndarray]:
+    """Unwrap nested param keys and strip DDP prefixes (reference
+    base_model.py:651-699)."""
+    for key in ("params_ema", "params", "state_dict", "model_state_dict", "model"):
+        if key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+            break
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("module.")
+        if k.startswith(("initted", "step", "ema_model.", "online_model.")):
+            # ema_pytorch bookkeeping keys
+            k = k.removeprefix("ema_model.").removeprefix("online_model.")
+            if k in ("initted", "step"):
+                continue
+        out[k] = np.asarray(v)
+    return out
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a .pth or torch-layout .safetensors file into numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {
+            k: v.numpy() if hasattr(v, "numpy") else v
+            for k, v in (raw.items() if isinstance(raw, dict) else [])
+        }
+        # tensors may be nested one level (params/params_ema)
+        for key in ("params_ema", "params", "state_dict"):
+            if key in sd and isinstance(sd[key], dict):
+                sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd[key].items()}
+                break
+    return canonicalize_state_dict(sd)
+
+
+def conv_w(w: np.ndarray) -> np.ndarray:
+    """Torch conv OIHW -> flax HWIO."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def linear_w(w: np.ndarray) -> np.ndarray:
+    """Torch (out, in) -> flax (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def load_torch_checkpoint(path: str, module, params_template: Any) -> Any:
+    """Convert a torch checkpoint into a flax param tree for `module`."""
+    from trainner_redux_tpu.models.base_model import BaseModel
+
+    sd = load_torch_state_dict(path)
+    arch_name = type(module).__name__.lower()
+    conv = _CONVERTERS.get(arch_name)
+    if conv is None:
+        raise NotImplementedError(
+            f"No torch checkpoint converter registered for arch '{arch_name}'. "
+            f"Available: {sorted(_CONVERTERS)}"
+        )
+    flat = conv(sd, module)
+    return BaseModel.unflatten_params(flat)
+
+
+def export_torch_state_dict(params_flat: dict[str, np.ndarray], arch_name: str) -> dict:
+    """Inverse mapping for safetensors export in torch layout (used so saved
+    models keep working in chaiNNer/the reference ecosystem)."""
+    exp = _EXPORTERS.get(arch_name.lower())
+    if exp is None:
+        raise NotImplementedError(f"No torch exporter for arch '{arch_name}'")
+    return exp(params_flat)
+
+
+_EXPORTERS: dict[str, Callable] = {}
+
+
+def register_exporter(arch_name: str):
+    def deco(fn):
+        _EXPORTERS[arch_name.lower()] = fn
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# SRVGGNetCompact
+# ---------------------------------------------------------------------------
+
+
+@register_converter("SRVGGNetCompact")
+def _convert_srvgg(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    num_conv = module.num_conv
+    for k, v in sd.items():
+        m = re.fullmatch(r"body\.(\d+)\.(weight|bias)", k)
+        if not m:
+            continue
+        idx, kind = int(m.group(1)), m.group(2)
+        if idx % 2 == 0:  # conv layers at even indices
+            ci = idx // 2
+            name = "body_last" if ci == num_conv + 1 else f"body_{ci}"
+            if kind == "weight":
+                out[f"{name}.conv.kernel"] = conv_w(v)
+            else:
+                out[f"{name}.conv.bias"] = v
+        else:  # PReLU activations at odd indices
+            ai = idx // 2
+            out[f"act_{ai}.weight"] = v
+    return out
+
+
+@register_exporter("SRVGGNetCompact")
+def _export_srvgg(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in flat.items():
+        m = re.fullmatch(r"body_(\d+|last)\.conv\.(kernel|bias)", k)
+        if m:
+            tag, kind = m.group(1), m.group(2)
+            if tag == "last":
+                # index inferred by caller; resolved below via act count
+                out[f"__last.{kind}"] = v
+            else:
+                idx = 2 * int(tag)
+                out[f"body.{idx}.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                    conv_w_inv(v) if kind == "kernel" else v
+                )
+            continue
+        m = re.fullmatch(r"act_(\d+)\.weight", k)
+        if m:
+            out[f"body.{2 * int(m.group(1)) + 1}.weight"] = v
+    n_act = sum(1 for k in flat if k.startswith("act_"))
+    if "__last.kernel" in out:
+        idx = 2 * n_act
+        out[f"body.{idx}.weight"] = conv_w_inv(out.pop("__last.kernel"))
+        out[f"body.{idx}.bias"] = out.pop("__last.bias")
+    return out
+
+
+def conv_w_inv(w: np.ndarray) -> np.ndarray:
+    """Flax HWIO -> torch OIHW."""
+    return np.ascontiguousarray(w.transpose(3, 2, 0, 1))
+
+
+# ---------------------------------------------------------------------------
+# SPAN
+# ---------------------------------------------------------------------------
+
+
+def _convert_conv3xc(sd, prefix_t: str, prefix_f: str, out: dict) -> None:
+    table = {
+        f"{prefix_t}.conv.0.weight": (f"{prefix_f}.conv0_kernel", conv_w),
+        f"{prefix_t}.conv.0.bias": (f"{prefix_f}.conv0_bias", None),
+        f"{prefix_t}.conv.1.weight": (f"{prefix_f}.conv1_kernel", conv_w),
+        f"{prefix_t}.conv.1.bias": (f"{prefix_f}.conv1_bias", None),
+        f"{prefix_t}.conv.2.weight": (f"{prefix_f}.conv2_kernel", conv_w),
+        f"{prefix_t}.conv.2.bias": (f"{prefix_f}.conv2_bias", None),
+        f"{prefix_t}.sk.weight": (f"{prefix_f}.sk_kernel", conv_w),
+        f"{prefix_t}.sk.bias": (f"{prefix_f}.sk_bias", None),
+    }
+    for tk, (fk, tr) in table.items():
+        if tk in sd:
+            out[fk] = tr(sd[tk]) if tr else sd[tk]
+
+
+@register_converter("SPAN")
+def _convert_span(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _convert_conv3xc(sd, "conv_1", "conv_1", out)
+    _convert_conv3xc(sd, "conv_2", "conv_2", out)
+    for b in range(1, 7):
+        for c in ("c1_r", "c2_r", "c3_r"):
+            _convert_conv3xc(sd, f"block_{b}.{c}", f"block_{b}.{c}", out)
+    if "conv_cat.weight" in sd:
+        out["conv_cat.conv.kernel"] = conv_w(sd["conv_cat.weight"])
+        out["conv_cat.conv.bias"] = sd["conv_cat.bias"]
+    if "upsampler.0.weight" in sd:
+        out["upsampler_conv.conv.kernel"] = conv_w(sd["upsampler.0.weight"])
+        out["upsampler_conv.conv.bias"] = sd["upsampler.0.bias"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RRDBNet (new-style BasicSR naming)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("RRDBNet")
+def _convert_rrdbnet(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        fk = k
+        m = re.fullmatch(r"body\.(\d+)\.(rdb\d)\.(conv\d)\.(weight|bias)", k)
+        if m:
+            fk = f"body_{m.group(1)}.{m.group(2)}.{m.group(3)}.conv.{m.group(4)}"
+        else:
+            m2 = re.fullmatch(r"(conv_first|conv_body|conv_up1|conv_up2|conv_up3|conv_hr|conv_last)\.(weight|bias)", k)
+            if m2:
+                fk = f"{m2.group(1)}.conv.{m2.group(2)}"
+            else:
+                continue
+        if fk.endswith("weight"):
+            out[fk.replace(".weight", ".kernel")] = conv_w(v)
+        else:
+            out[fk] = v
+    return out
