@@ -160,3 +160,147 @@ class MeanShift(nn.Module):
         if self.sign == -1:
             return (x - mean) * self.img_range
         return x / self.img_range + mean
+
+
+# ---------------------------------------------------------------------------
+# Spectral normalization (pure-functional; u vector lives in the 'spectral'
+# variable collection, power-iterated once per training forward like torch's
+# nn.utils.spectral_norm)
+# ---------------------------------------------------------------------------
+
+
+class SNConv2d(nn.Module):
+    """Conv2d with spectral weight normalization.
+
+    The power-iteration vector `u` is stored in the 'spectral' collection;
+    pass mutable=['spectral'] during training applies so it persists across
+    steps (torch keeps it as a buffer updated per forward).
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    stride: int = 1
+    padding: int | None = None
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        ks = (
+            self.kernel_size
+            if isinstance(self.kernel_size, tuple)
+            else (self.kernel_size, self.kernel_size)
+        )
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (*ks, in_ch, self.features), jnp.float32
+        )
+        # torch reshapes OIHW weight to (out, in*kh*kw)
+        w_mat = kernel.transpose(3, 0, 1, 2).reshape(self.features, -1)
+
+        u_var = self.variable(
+            "spectral",
+            "u",
+            lambda key, shape: jax.random.normal(key, shape)
+            / jnp.linalg.norm(jax.random.normal(key, shape)),
+            self.make_rng("params") if self.is_initializing() else None,
+            (self.features,),
+        )
+
+        def l2n(v):
+            return v / (jnp.linalg.norm(v) + 1e-12)
+
+        u = jax.lax.stop_gradient(u_var.value)
+        v = l2n(jax.lax.stop_gradient(w_mat).T @ u)
+        u_new = l2n(jax.lax.stop_gradient(w_mat) @ v)
+        sigma = u_new @ w_mat @ v  # grad flows through w_mat only (torch parity)
+
+        if train and not self.is_initializing() and self.is_mutable_collection("spectral"):
+            u_var.value = u_new
+
+        w_sn = (kernel / sigma).astype(self.dtype)
+        pad = (ks[0] - 1) // 2 if self.padding is None else self.padding
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w_sn,
+            (self.stride, self.stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out
+
+
+def bilinear_sample(img: jnp.ndarray, coords_y: jnp.ndarray, coords_x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling of NHWC `img` at float pixel coords (N,Ho,Wo),
+    border-clamped — the JAX equivalent of grid_sample(align_corners=False,
+    padding_mode='border') given pre-computed absolute coordinates."""
+    n, h, w, c = img.shape
+    y0 = jnp.floor(coords_y)
+    x0 = jnp.floor(coords_x)
+    wy = (coords_y - y0)[..., None]
+    wx = (coords_x - x0)[..., None]
+
+    def gather(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xx = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        batch_idx = jnp.arange(n)[:, None, None]
+        return img[batch_idx, yy, xx]  # (N,Ho,Wo,C)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+class DySample(nn.Module):
+    """Dynamic upsampler (DySample, reference arch_util.py:322): predicts
+    per-pixel sampling offsets and bilinearly resamples the input at
+    scale x resolution. 'lp' (local pixel-shuffle groups) variant."""
+
+    in_channels: int
+    out_channels: int
+    scale: int = 2
+    groups: int = 4
+    end_convolution: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        del train
+        n, h, w, c = x.shape
+        s, g = self.scale, self.groups
+        offset_ch = 2 * g * s * s
+        offset = Conv2d(offset_ch, 1, dtype=self.dtype, name="offset")(x) * 0.25
+        # init_pos equivalent: offsets relative to each subpixel center
+        offset = offset.reshape(n, h, w, g, s * s, 2)
+
+        # base sampling grid for the upscaled output
+        ys = (jnp.arange(h * s) + 0.5) / s - 0.5  # input-space y per output row
+        xs = (jnp.arange(w * s) + 0.5) / s - 0.5
+        base_y = jnp.broadcast_to(ys[:, None], (h * s, w * s))
+        base_x = jnp.broadcast_to(xs[None, :], (h * s, w * s))
+
+        # rearrange per-group offsets to output resolution
+        off = offset.reshape(n, h, w, g, s, s, 2)
+        off = off.transpose(0, 1, 4, 2, 5, 3, 6).reshape(n, h * s, w * s, g, 2)
+
+        cg = c // g
+        outs = []
+        for gi in range(g):
+            cy = base_y[None] + off[:, :, :, gi, 0] * 1.0
+            cx = base_x[None] + off[:, :, :, gi, 1] * 1.0
+            outs.append(bilinear_sample(x[..., gi * cg : (gi + 1) * cg], cy, cx))
+        out = jnp.concatenate(outs, axis=-1)
+        if self.end_convolution:
+            out = Conv2d(self.out_channels, 1, dtype=self.dtype, name="end_conv")(out)
+        return out
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jnp.tanh(jax.nn.softplus(x))

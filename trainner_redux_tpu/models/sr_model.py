@@ -40,7 +40,8 @@ class TrainState(struct.PyTreeNode):
     ema_params_g: Any = None
     params_d: Any = None
     opt_state_d: Any = None
-    adaptive_d_ema: jnp.ndarray | None = None
+    extra_d: Any = None  # non-param collections: spectral-norm u, batch stats
+    gan_ema: jnp.ndarray | None = None  # adaptive-D smoothed l_g_gan
 
 
 @MODEL_REGISTRY.register()
@@ -142,13 +143,16 @@ class SRModel(BaseModel):
 
         # ---- discriminator ----
         params_d = None
+        extra_d = None
         if self.has_gan:
             assert opt.network_d is not None, "GAN losses require network_d"
             self.net_d = build_network(opt.network_d)
             d_key = jax.random.key((opt.manual_seed or 0) + 1)
-            d_sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
-            d_vars = jax.jit(self.net_d.init)(d_key, d_sample)
-            params_d = d_vars["params"] if "params" in d_vars else d_vars
+            gt_size = (train_ds.lq_size or 32) * self.scale if train_ds else 64
+            d_sample = jnp.zeros((1, gt_size, gt_size, 3), jnp.float32)
+            d_vars = dict(jax.jit(self.net_d.init)(d_key, d_sample))
+            params_d = d_vars.pop("params")
+            extra_d = d_vars  # e.g. {'spectral': ..., 'batch_stats': ...}
             if opt.path.pretrain_network_d:
                 params_d = self.load_network(
                     params_d, opt.path.pretrain_network_d, strict=opt.path.strict_load_d
@@ -180,6 +184,7 @@ class SRModel(BaseModel):
 
         ema_params = jax.tree.map(jnp.copy, params_g) if self.ema_decay > 0 else None
 
+        self.adaptive_d = bool(train_opt.adaptive_d)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params_g=params_g,
@@ -187,7 +192,8 @@ class SRModel(BaseModel):
             ema_params_g=ema_params,
             params_d=params_d,
             opt_state_d=opt_state_d,
-            adaptive_d_ema=jnp.zeros(()) if train_opt.adaptive_d else None,
+            extra_d=extra_d,
+            gan_ema=jnp.zeros(()) if self.adaptive_d else None,
         )
         self.state = self.replicate(self.state)
         self._train_step = self._build_train_step()
@@ -196,34 +202,113 @@ class SRModel(BaseModel):
     # the jitted train step
     # ------------------------------------------------------------------
 
-    def _generator_losses(self, params_g, params_d, lq, gt, cur_iter, key):
-        """Compute (total_loss, logs) for one micro-batch. Traced."""
+    def _d_apply_fn(self, params_d, extra_d, train: bool = True):
+        """Pure D apply closure; mutable-collection updates are discarded here
+        (they are captured once per step in the D update pass)."""
+        extra = extra_d or {}
+
+        def apply(x, return_features: bool = False):
+            out = self.net_d.apply(
+                {"params": params_d, **extra},
+                x,
+                train=train,
+                return_features=return_features,
+                mutable=list(extra.keys()) if extra else False,
+            )
+            if extra:
+                out = out[0]
+            return out
+
+        return apply
+
+    def _generator_losses(self, params_g, params_d, extra_d, ema_params, lq, gt, cur_iter, key):
+        """Compute (total_loss, (logs, output, raw_gan)) for one micro-batch. Traced."""
         output = self.net_g.apply({"params": params_g}, lq, train=True)
         logs: dict[str, jnp.ndarray] = {}
         total = jnp.zeros((), jnp.float32)
+        raw_gan = jnp.zeros((), jnp.float32)
+        d_apply = self._d_apply_fn(params_d, extra_d) if self.has_gan else None
+        bicubic_target = None
+
         for log_key, loss, kind in self.losses:
+            weight = getattr(loss, "loss_weight", 1.0)
             if kind == "pair":
+                target = gt
+                flip = 1.0
+                if weight < 0:
+                    # negative weight => fidelity to the bicubic upscale of lq
+                    # (reference sr_model.py:503-516); loss self-multiplies by
+                    # the (negative) weight, so negate to net abs(weight).
+                    if bicubic_target is None:
+                        from trainner_redux_tpu.ops.resize import resize
+
+                        h, w = lq.shape[1], lq.shape[2]
+                        bicubic_target = jnp.clip(
+                            resize(lq, (h * self.scale, w * self.scale), "bicubic", True),
+                            0.0,
+                            1.0,
+                        )
+                    target = jax.lax.stop_gradient(bicubic_target)
+                    flip = -1.0
                 if isinstance(loss, IterativeLossWrapper):
-                    val = loss(output, gt, current_iter=cur_iter)
+                    val = loss(output, target, current_iter=cur_iter)
                 else:
-                    val = loss(output, gt)
+                    val = loss(output, target)
+                val = flip * val
             elif kind == "gan":
-                fake_pred = self.net_d.apply({"params": params_d}, output, train=True)
-                val = loss(fake_pred, True, is_disc=False)
+                inner = loss.loss_module if isinstance(loss, IterativeLossWrapper) else loss
+                from trainner_redux_tpu.losses.gan_loss import R3GANLoss
+
+                if isinstance(inner, R3GANLoss):
+                    real_pred = d_apply(gt)
+                    fake_pred = d_apply(output)
+                    raw = inner.generator_loss(real_pred, fake_pred)
+                else:
+                    fake_pred = d_apply(output)
+                    raw = inner(fake_pred, True, is_disc=False)
+                raw_gan = jnp.asarray(raw, jnp.float32)
+                val = abs(weight) * raw
                 if isinstance(loss, IterativeLossWrapper):
                     val = val * loss.effective_weight(cur_iter)
+                log_key = "l_g_gan"
             elif kind == "ldl":
-                # needs EMA output; wired in the full GAN milestone
-                continue
+                if ema_params is None:
+                    continue
+                output_ema = jax.lax.stop_gradient(
+                    self.net_g.apply({"params": ema_params}, lq, train=False)
+                )
+                if isinstance(loss, IterativeLossWrapper):
+                    val = loss(output, output_ema, gt, current_iter=cur_iter)
+                else:
+                    val = loss(output, output_ema, gt)
+            elif kind == "contrastive":
+                if isinstance(loss, IterativeLossWrapper):
+                    val = loss(output, gt, lq, current_iter=cur_iter)
+                else:
+                    val = loss(output, gt, lq)
+            elif kind == "featmatch":
+                real_out = d_apply(gt, return_features=True)
+                fake_out = d_apply(output, return_features=True)
+                _rp, real_feats = real_out
+                _fp, fake_feats = fake_out
+                real_feats = [jax.lax.stop_gradient(f) for f in real_feats]
+                if isinstance(loss, IterativeLossWrapper):
+                    val = loss(real_feats, fake_feats, current_iter=cur_iter)
+                else:
+                    val = loss(real_feats, fake_feats)
             else:
                 continue
             val = jnp.asarray(val, jnp.float32)
             logs[log_key] = val
             total = total + val
         logs["l_g_total"] = total
-        return total, (logs, output)
+        return total, (logs, output, raw_gan)
 
     def _build_train_step(self):
+        import optax
+
+        from trainner_redux_tpu.losses.gan_loss import R3GANLoss
+
         tx_g = self.tx_g
         tx_d = self.tx_d
         accum = self.accum_iter
@@ -232,6 +317,9 @@ class SRModel(BaseModel):
         ema_power = self.ema_power
         has_gan = self.has_gan
         train_opt = self.opt.train
+        adaptive_d = self.adaptive_d
+        ad_decay = float(train_opt.adaptive_d_ema_decay)
+        ad_threshold = float(train_opt.adaptive_d_threshold)
 
         def ema_update(ema, params, step):
             # warmup: decay_t = min(decay, 1 - (1 + t)^(-power)) after `after`
@@ -240,30 +328,62 @@ class SRModel(BaseModel):
             d = jnp.where(step <= ema_after, 0.0, d)
             return jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
 
-        def d_losses(params_d, params_g_output, gt, cur_iter):
-            logs = {}
+        def d_losses(params_d, extra_d, fake_images, gt, cur_iter):
+            """Discriminator objective; also returns updated mutable collections
+            (spectral-norm u vectors, batch stats) from one real-image pass."""
+            logs: dict[str, jnp.ndarray] = {}
             total = jnp.zeros((), jnp.float32)
-            for log_key, loss, kind in self.losses:
+            fake_images = jax.lax.stop_gradient(fake_images)
+            extra = extra_d or {}
+            new_extra = extra
+            for _log_key, loss, kind in self.losses:
                 if kind != "gan":
                     continue
-                real_pred = self.net_d.apply({"params": params_d}, gt, train=True)
-                fake_pred = self.net_d.apply(
-                    {"params": params_d}, jax.lax.stop_gradient(params_g_output), train=True
+                inner = loss.loss_module if isinstance(loss, IterativeLossWrapper) else loss
+                d_apply = self._d_apply_fn(params_d, extra_d)
+                if isinstance(inner, R3GANLoss):
+                    d_total, d_logs = inner.discriminator_loss(d_apply, gt, fake_images)
+                    total = total + d_total
+                    logs.update(d_logs)
+                else:
+                    real_pred = d_apply(gt)
+                    fake_pred = d_apply(fake_images)
+                    l_d_real = inner(real_pred, True, is_disc=True)
+                    l_d_fake = inner(fake_pred, False, is_disc=True)
+                    logs["l_d_real"] = jnp.asarray(l_d_real, jnp.float32)
+                    logs["l_d_fake"] = jnp.asarray(l_d_fake, jnp.float32)
+                    rp = real_pred[-1] if isinstance(real_pred, (list, tuple)) else real_pred
+                    fp = fake_pred[-1] if isinstance(fake_pred, (list, tuple)) else fake_pred
+                    logs["out_d_real"] = jnp.mean(rp).astype(jnp.float32)
+                    logs["out_d_fake"] = jnp.mean(fp).astype(jnp.float32)
+                    total = total + l_d_real + l_d_fake
+            if extra:
+                # one mutable pass to refresh spectral-u / batch stats
+                _out, new_extra = self.net_d.apply(
+                    {"params": params_d, **extra},
+                    gt,
+                    train=True,
+                    mutable=list(extra.keys()),
                 )
-                l_d_real = loss(real_pred, True, is_disc=True)
-                l_d_fake = loss(fake_pred, False, is_disc=True)
-                logs["l_d_real"] = jnp.asarray(l_d_real, jnp.float32)
-                logs["l_d_fake"] = jnp.asarray(l_d_fake, jnp.float32)
-                logs["out_d_real"] = jnp.mean(real_pred).astype(jnp.float32)
-                logs["out_d_fake"] = jnp.mean(fake_pred).astype(jnp.float32)
-                total = total + l_d_real + l_d_fake
-            return total, logs
+            return total, (logs, new_extra)
 
         def step_fn(state: TrainState, batch: dict, key) -> tuple[TrainState, dict]:
             lq, gt = batch["lq"], batch["gt"]
             cur_iter = state.step
 
             grad_fn = jax.value_and_grad(self._generator_losses, has_aux=True)
+
+            def run_grad(lq_b, gt_b):
+                return grad_fn(
+                    state.params_g,
+                    state.params_d,
+                    state.extra_d,
+                    state.ema_params_g,
+                    lq_b,
+                    gt_b,
+                    cur_iter,
+                    key,
+                )
 
             if accum > 1:
                 # micro-batch scan: (accum, B/accum, ...)
@@ -274,30 +394,25 @@ class SRModel(BaseModel):
                 lq_m, gt_m = split(lq), split(gt)
 
                 def micro(carry, mb):
-                    g_acc, l_acc = carry
-                    (loss, (logs, _out)), grads = grad_fn(
-                        state.params_g, state.params_d, mb[0], mb[1], cur_iter, key
-                    )
+                    g_acc, l_acc, r_acc = carry
+                    (_loss, (logs, _out, raw_gan)), grads = run_grad(mb[0], mb[1])
                     g_acc = jax.tree.map(jnp.add, g_acc, grads)
                     l_acc = jax.tree.map(jnp.add, l_acc, logs)
-                    return (g_acc, l_acc), None
+                    return (g_acc, l_acc, r_acc + raw_gan), None
 
-                (loss0, (logs0, output)), grads0 = grad_fn(
-                    state.params_g, state.params_d, lq_m[0], gt_m[0], cur_iter, key
-                )
-                (grads, logs), _ = jax.lax.scan(
-                    micro, (grads0, logs0), (lq_m[1:], gt_m[1:])
+                (_l0, (logs0, output, raw_gan0)), grads0 = run_grad(lq_m[0], gt_m[0])
+                (grads, logs, raw_gan), _ = jax.lax.scan(
+                    micro, (grads0, logs0, raw_gan0), (lq_m[1:], gt_m[1:])
                 )
                 grads = jax.tree.map(lambda g: g / accum, grads)
                 logs = jax.tree.map(lambda v: v / accum, logs)
+                raw_gan = raw_gan / accum
+                d_gt = gt_m[0]
             else:
-                (loss, (logs, output)), grads = grad_fn(
-                    state.params_g, state.params_d, lq, gt, cur_iter, key
-                )
+                (_loss, (logs, output, raw_gan)), grads = run_grad(lq, gt)
+                d_gt = gt
 
             updates, new_opt_g = tx_g.update(grads, state.opt_state_g, state.params_g)
-            import optax
-
             new_params_g = optax.apply_updates(state.params_g, updates)
 
             new_ema = state.ema_params_g
@@ -306,15 +421,39 @@ class SRModel(BaseModel):
 
             new_params_d = state.params_d
             new_opt_d = state.opt_state_d
+            new_extra_d = state.extra_d
+            new_gan_ema = state.gan_ema
             if has_gan:
+                # adaptive-D: pause D updates when the smoothed generator GAN
+                # loss is rising (reference sr_model.py:558-569)
+                skip_d = jnp.zeros((), jnp.bool_)
+                if adaptive_d:
+                    prev = state.gan_ema
+                    cand = ad_decay * prev + (1.0 - ad_decay) * raw_gan
+                    # bootstrap: first step initializes the ema to the raw value
+                    cand = jnp.where(state.step == 0, raw_gan, cand)
+                    skip_d = cand > prev * ad_threshold
+                    skip_d = jnp.logical_and(skip_d, state.step > 0)
+                    new_gan_ema = cand
+                    logs["adaptive_d_skip"] = skip_d.astype(jnp.float32)
+
                 d_grad_fn = jax.value_and_grad(d_losses, has_aux=True)
-                (d_total, d_logs), d_grads = d_grad_fn(
-                    state.params_d, output, gt[: output.shape[0]], cur_iter
+                (_d_total, (d_logs, upd_extra)), d_grads = d_grad_fn(
+                    state.params_d, state.extra_d, output, d_gt, cur_iter
                 )
-                d_updates, new_opt_d = tx_d.update(
+                d_updates, cand_opt_d = tx_d.update(
                     d_grads, state.opt_state_d, state.params_d
                 )
-                new_params_d = optax.apply_updates(state.params_d, d_updates)
+                cand_params_d = optax.apply_updates(state.params_d, d_updates)
+
+                def select(new, old):
+                    return jax.tree.map(
+                        lambda a, b: jnp.where(skip_d, b, a), new, old
+                    )
+
+                new_params_d = select(cand_params_d, state.params_d)
+                new_opt_d = select(cand_opt_d, state.opt_state_d)
+                new_extra_d = select(upd_extra, state.extra_d) if state.extra_d else state.extra_d
                 logs.update(d_logs)
 
             new_state = state.replace(
@@ -324,6 +463,8 @@ class SRModel(BaseModel):
                 ema_params_g=new_ema,
                 params_d=new_params_d,
                 opt_state_d=new_opt_d,
+                extra_d=new_extra_d,
+                gan_ema=new_gan_ema,
             )
             return new_state, logs
 
