@@ -1,0 +1,404 @@
+"""RealESRGANModel: on-the-fly degradation synthesis, fully on-device.
+
+TPU-native re-design of /root/reference/traiNNer/models/realesrgan_model.py
+(feed_data :455-650, training-pair pool :403-453). The torch version runs the
+degradation chain eagerly op-by-op on GPU with CPU codec round-trips for
+WebP/AVIF/HEIF (a throughput hazard — SURVEY.md §3.4); here the ENTIRE
+six-stage pipeline (optics -> sensor -> ISP -> compression -> editing ->
+crop + pool) is ONE jitted program: per-batch random gates are traced
+lax.cond/jnp.where on jax.random draws, modern-codec compression is
+approximated by DiffJPEG at shifted quality (documented divergence), and the
+training-pair pool is a device-resident ring buffer shuffled under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trainner_redux_tpu.models.sr_model import SRModel
+from trainner_redux_tpu.ops import degradations as D
+from trainner_redux_tpu.utils.redux_options import ReduxOptions
+from trainner_redux_tpu.utils.registry import MODEL_REGISTRY
+
+
+@MODEL_REGISTRY.register()
+class RealESRGANModel(SRModel):
+    def __init__(self, opt: ReduxOptions) -> None:
+        super().__init__(opt)
+        self.queue_size = int(opt.queue_size)
+        self._pool: dict[str, Any] | None = None
+        self._feed_count = 0
+        self._degrade_jit = jax.jit(self._degrade)
+        self._pool_jit = jax.jit(self._pool_step)
+
+    # ------------------------------------------------------------------
+    # the jitted degradation program
+    # ------------------------------------------------------------------
+
+    def _degrade(self, gt, kernel1, kernel2, sinc_kernel, key):
+        """(B, gt_size+32, gt_size+32, 3) GT -> cropped (gt, lq) pair."""
+        opt = self.opt
+        scale = self.scale
+        keys = jax.random.split(key, 48)
+        # iterator keys (gates) use indices 0..~17; parameter draws use fixed
+        # indices 20+; crop uses 47 — disjoint ranges, no reuse
+        kit = iter(keys)
+        b, ori_h, ori_w, _ = gt.shape
+
+        def gate(prob: float, k, fn, x):
+            """Whole-batch Bernoulli gate (reference batch-level semantics)."""
+            if prob <= 0:
+                return x
+            if prob >= 1:
+                return fn(x)
+            return jax.lax.cond(
+                jax.random.uniform(k) < prob, fn, lambda v: v, x
+            )
+
+        out = gt
+
+        # -------- stage 1: optics --------
+        out = gate(
+            opt.lens_distort_prob,
+            next(kit),
+            lambda x: D.apply_lens_distortion(
+                x,
+                jax.random.uniform(
+                    keys[20], (b,),
+                    minval=opt.lens_distort_strength_range[0],
+                    maxval=opt.lens_distort_strength_range[1],
+                ),
+            ),
+            out,
+        )
+        out = gate(
+            opt.chromatic_aberration_prob,
+            next(kit),
+            lambda x: D.apply_chromatic_aberration(
+                x, jax.random.uniform(keys[21], (b,), minval=0.5, maxval=2.0)
+            ),
+            out,
+        )
+        if opt.motion_blur_prob > 0:
+            kmb = next(kit)
+            ksize = int(opt.motion_blur_kernel_size[1]) | 1
+            angle = jax.random.uniform(
+                keys[22], (b,),
+                minval=opt.motion_blur_angle_range[0],
+                maxval=opt.motion_blur_angle_range[1],
+            )
+            mb_kernels = jax.vmap(lambda a: D.motion_blur_kernel(None, ksize, a))(angle)
+            out = gate(
+                opt.motion_blur_prob, kmb, lambda x: D.filter2d(x, mb_kernels), out
+            )
+        out = gate(
+            opt.blur_prob, next(kit), lambda x: D.filter2d(x, kernel1), out
+        )
+
+        # -------- stage 2: sensor --------
+        out = gate(opt.demosaic_prob, next(kit), D.apply_demosaic_artifacts, out)
+        out = gate(
+            opt.sensor_noise_prob,
+            next(kit),
+            lambda x: D.apply_sensor_noise(
+                x,
+                keys[23],
+                jax.random.uniform(
+                    keys[24], (b, 1, 1, 1),
+                    minval=opt.sensor_noise_std_range[0],
+                    maxval=opt.sensor_noise_std_range[1],
+                ),
+            ),
+            out,
+        )
+        out = gate(
+            opt.rolling_shutter_prob,
+            next(kit),
+            lambda x: D.apply_rolling_shutter(
+                x,
+                jax.random.uniform(
+                    keys[25], (b, 1),
+                    minval=opt.rolling_shutter_strength_range[0],
+                    maxval=opt.rolling_shutter_strength_range[1],
+                ),
+            ),
+            out,
+        )
+
+        # classic noise knobs (gaussian/poisson), kept for config parity
+        if opt.gaussian_noise_prob > 0:
+            kg = next(kit)
+            sigma = jax.random.uniform(
+                keys[26], (b,), minval=opt.noise_range[0] / 255.0,
+                maxval=max(opt.noise_range[1], opt.noise_range[0] + 1e-6) / 255.0,
+            )
+            gray = jax.random.uniform(keys[27], (b,)) < opt.gray_noise_prob
+            out = gate(
+                opt.gaussian_noise_prob,
+                kg,
+                lambda x: D.add_gaussian_noise(x, keys[28], sigma, gray),
+                out,
+            )
+
+        # -------- stage 3: ISP --------
+        out = gate(
+            opt.exposure_prob,
+            next(kit),
+            lambda x: D.apply_exposure(
+                x,
+                jax.random.uniform(
+                    keys[29], (b, 1, 1, 1),
+                    minval=opt.exposure_factor_range[0],
+                    maxval=opt.exposure_factor_range[1],
+                ),
+            ),
+            out,
+        )
+        out = gate(
+            opt.color_temp_prob,
+            next(kit),
+            lambda x: D.apply_color_temperature(
+                x,
+                jax.random.uniform(
+                    keys[30], (b, 1, 1),
+                    minval=opt.color_temp_shift_range[0],
+                    maxval=opt.color_temp_shift_range[1],
+                ),
+            ),
+            out,
+        )
+        out = gate(
+            opt.oversharpen_prob,
+            next(kit),
+            lambda x: D.apply_oversharpen(
+                x,
+                jax.random.uniform(
+                    keys[31], (b, 1, 1, 1),
+                    minval=opt.oversharpen_strength[0],
+                    maxval=opt.oversharpen_strength[1],
+                ),
+            ),
+            out,
+        )
+        out = gate(
+            opt.aliasing_prob,
+            next(kit),
+            lambda x: D.apply_aliasing(x, keys[32], tuple(opt.aliasing_scale_range)),
+            out,
+        )
+
+        # final resize to LQ resolution (random mode among the configured list)
+        from trainner_redux_tpu.ops.resize import resize
+
+        lq_h, lq_w = ori_h // scale, ori_w // scale
+        modes = list(opt.resize_mode_list3)
+        probs = np.asarray(opt.resize_mode_prob3, np.float64)
+        probs = probs / probs.sum()
+        branches = [
+            partial(lambda m, x: resize(x, (lq_h, lq_w), mode=m), m) for m in modes
+        ]
+        mode_idx = jax.random.choice(
+            next(kit), len(modes), p=jnp.asarray(probs, jnp.float32)
+        )
+        out = jax.lax.switch(mode_idx, branches, out)
+        out = jnp.clip(out, 0.0, 1.0)
+
+        # anti-aliasing sinc filter
+        out = D.filter2d(out, sinc_kernel)
+
+        # -------- stage 4: compression (jpeg + modern-codec surrogates) --------
+        fmt_probs = np.asarray(opt.compression_weights, np.float64)
+        fmt_probs = fmt_probs / fmt_probs.sum()
+        ranges = {
+            "jpeg": (tuple(opt.compression_jpeg_range), 0.0),
+            "webp": (tuple(opt.compression_webp_range), 5.0),
+            "avif": (tuple(opt.compression_avif_range), 10.0),
+            "heif": (tuple(opt.compression_heif_range), 8.0),
+        }
+        comp_branches = []
+        for fmt in opt.compression_formats:
+            qr, off = ranges[fmt]
+            comp_branches.append(
+                partial(
+                    lambda qr, off, x, k: D.compress_jpeg_like(x, k, qr, off), qr, off
+                )
+            )
+        kf = next(kit)
+        kq = next(kit)
+        fmt_idx = jax.random.choice(
+            kf, len(comp_branches), p=jnp.asarray(fmt_probs, jnp.float32)
+        )
+        out = jax.lax.switch(fmt_idx, comp_branches, out, kq)
+
+        # stage 6: platform recompression
+        if opt.recompression_prob > 0:
+            re_probs = np.asarray(opt.recompression_weights, np.float64)
+            re_probs = re_probs / re_probs.sum()
+            re_branches = []
+            for fmt in opt.recompression_formats:
+                qr, off = ranges[fmt]
+                re_branches.append(
+                    partial(
+                        lambda qr, off, x, k: D.compress_jpeg_like(x, k, qr, off),
+                        qr,
+                        off,
+                    )
+                )
+            kr1, kr2, kr3 = jax.random.split(next(kit), 3)
+            re_idx = jax.random.choice(
+                kr1, len(re_branches), p=jnp.asarray(re_probs, jnp.float32)
+            )
+            out = jax.lax.cond(
+                jax.random.uniform(kr2) < opt.recompression_prob,
+                lambda x: jax.lax.switch(re_idx, re_branches, x, kr3),
+                lambda x: x,
+                out,
+            )
+
+        # -------- stage 5: editing --------
+        if opt.editing_prob > 0:
+            ke = next(kit)
+            ke1, ke2, ke3 = jax.random.split(ke, 3)
+
+            def editing(x):
+                factor = jax.random.uniform(
+                    ke2, (),
+                    minval=opt.editing_exposure_range[0],
+                    maxval=opt.editing_exposure_range[1],
+                )
+                y = jax.lax.cond(
+                    jax.random.uniform(ke3) < opt.editing_exposure_prob,
+                    lambda v: jnp.clip(v * factor, 0.0, 1.0),
+                    lambda v: v,
+                    x,
+                )
+                return y
+
+            out = jax.lax.cond(
+                jax.random.uniform(ke1) < opt.editing_prob, editing, lambda x: x, out
+            )
+
+        lq = D.round_to_uint8(out)
+
+        # clean pass-through: replace the whole degraded batch with the
+        # 8-bit-rounded downscale-free GT path
+        if opt.p_clean > 0:
+            kc = next(kit)
+
+            def clean(_):
+                return D.round_to_uint8(
+                    resize(gt, (lq_h, lq_w), mode="bicubic", antialias=True)
+                )
+
+            # NOTE: reference clean path keeps full-res GT as LQ (scale
+            # mismatch is then handled by crop); for static shapes we emit the
+            # antialiased downscale, the closest shape-consistent equivalent.
+            lq = jax.lax.cond(
+                jax.random.uniform(kc) < opt.p_clean, clean, lambda _: lq, None
+            )
+
+        # random paired crop (same offsets whole batch, as in the reference)
+        gt_size = self.opt.datasets["train"].gt_size
+        assert gt_size is not None
+        gt_c, lq_c = D.paired_random_crop_device(gt, lq, keys[47], gt_size, scale)
+        return gt_c, lq_c
+
+    # ------------------------------------------------------------------
+    # training-pair pool (device ring buffer, reference :403-453)
+    # ------------------------------------------------------------------
+
+    def _pool_step(self, pool_lq, pool_gt, count, lq, gt, key):
+        b = lq.shape[0]
+        qs = self.queue_size
+
+        def full_case(args):
+            pool_lq, pool_gt, count = args
+            perm = jax.random.permutation(key, qs)
+            sl, sg = pool_lq[perm], pool_gt[perm]
+            out_lq, out_gt = sl[:b], sg[:b]
+            new_lq = jax.lax.dynamic_update_slice(sl, lq, (0, 0, 0, 0))
+            new_gt = jax.lax.dynamic_update_slice(sg, gt, (0, 0, 0, 0))
+            return new_lq, new_gt, count, out_lq, out_gt
+
+        def fill_case(args):
+            pool_lq, pool_gt, count = args
+            new_lq = jax.lax.dynamic_update_slice(pool_lq, lq, (count, 0, 0, 0))
+            new_gt = jax.lax.dynamic_update_slice(pool_gt, gt, (count, 0, 0, 0))
+            return new_lq, new_gt, count + b, lq, gt
+
+        return jax.lax.cond(count >= qs, full_case, fill_case, (pool_lq, pool_gt, count))
+
+    # ------------------------------------------------------------------
+
+    def feed_data(self, data: dict[str, Any]) -> None:
+        if not (self.is_train and "kernel1" in data):
+            super().feed_data(data)
+            return
+
+        batch = self.shard_batch(
+            {
+                k: v
+                for k, v in data.items()
+                if k in ("gt", "kernel1", "kernel2", "sinc_kernel")
+            }
+        )
+        self._feed_count += 1
+        key = jax.random.fold_in(
+            jax.random.key((self.opt.manual_seed or 0) + 7919), self._feed_count
+        )
+        gt, lq = self._degrade_jit(
+            batch["gt"], batch["kernel1"], batch["kernel2"], batch["sinc_kernel"], key
+        )
+
+        if self.queue_size > 0:
+            b = int(lq.shape[0])
+            if self.queue_size % b != 0:
+                raise ValueError(
+                    f"queue_size {self.queue_size} must be a multiple of batch {b}"
+                )
+            if self._pool is None:
+                self._pool = {
+                    "lq": jnp.zeros((self.queue_size, *lq.shape[1:]), lq.dtype),
+                    "gt": jnp.zeros((self.queue_size, *gt.shape[1:]), gt.dtype),
+                    "count": jnp.zeros((), jnp.int32),
+                }
+                self._pool = self.replicate(self._pool)
+            pkey = jax.random.fold_in(key, 1)
+            new_plq, new_pgt, new_count, lq, gt = self._pool_jit(
+                self._pool["lq"], self._pool["gt"], self._pool["count"], lq, gt, pkey
+            )
+            self._pool = {"lq": new_plq, "gt": new_pgt, "count": new_count}
+
+        # MoA at the end of the OTF feed (reference realesrgan_model.py:648-650)
+        if getattr(self, "batch_augment", None) is not None:
+            gt, lq = self.batch_augment(gt, lq)
+
+        self.lq = lq
+        self.gt = gt
+
+
+@MODEL_REGISTRY.register()
+class RealESRGANPairedModel(RealESRGANModel):
+    """Probabilistic per-iteration switch between OTF and paired LR feeds
+    (parity: reference realesrgan_paired_model.py:20-67)."""
+
+    def feed_data(self, data: dict[str, Any]) -> None:
+        rng = np.random.default_rng(
+            [self.opt.manual_seed or 0, 104729, self._feed_count]
+        )
+        if (
+            self.is_train
+            and "paired_lq" in data
+            and rng.uniform() < self.opt.dataroot_lq_prob
+        ):
+            super(RealESRGANModel, self).feed_data(
+                {"lq": data["paired_lq"], "gt": data["paired_gt"]}
+            )
+            return
+        super().feed_data(data)
+

@@ -184,6 +184,15 @@ class SRModel(BaseModel):
 
         ema_params = jax.tree.map(jnp.copy, params_g) if self.ema_decay > 0 else None
 
+        # MoA batch augmentation (reference base_model.py:872, sr_model feed_data)
+        self.batch_augment = None
+        if train_opt.use_moa:
+            from trainner_redux_tpu.ops.batchaug import BatchAugment
+
+            self.batch_augment = BatchAugment(
+                opt.scale, train_opt.moa_augs, train_opt.moa_probs, opt.manual_seed or 0
+            )
+
         self.adaptive_d = bool(train_opt.adaptive_d)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -479,6 +488,8 @@ class SRModel(BaseModel):
         batch = self.shard_batch({k: v for k, v in data.items() if k in ("lq", "gt")})
         self.lq = batch["lq"]
         self.gt = batch.get("gt")
+        if self.is_train and getattr(self, "batch_augment", None) and self.gt is not None:
+            self.gt, self.lq = self.batch_augment(self.gt, self.lq)
 
     def optimize_parameters(self, current_iter: int) -> None:
         assert self._train_step is not None

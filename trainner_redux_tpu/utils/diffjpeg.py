@@ -1,0 +1,168 @@
+"""Differentiable JPEG (JAX), quality-parameterized per sample.
+
+Parity: /root/reference/traiNNer/utils/diffjpeg.py:40-520 (itself the
+DiffJPEG port): RGB->YCbCr, 2x2 chroma subsampling, 8x8 DCT, quality-scaled
+quantization with differentiable rounding, dequant, IDCT, upsample, back to
+RGB. TPU-native formulation: blocks are extracted with reshapes/transposes
+and the DCT/IDCT are (64,64) tensordots — pure MXU work batched over all
+blocks; per-sample quality is a traced scalar so one compile serves the
+whole quality range.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+# standard JPEG quantization tables
+Y_TABLE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float32,
+)
+C_TABLE = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float32,
+)
+
+
+@lru_cache(maxsize=1)
+def _dct_matrix() -> np.ndarray:
+    """(64, 64) matrix: flattened 8x8 spatial block -> flattened DCT coeffs."""
+    m = np.zeros((64, 64), dtype=np.float64)
+    for u, v in itertools.product(range(8), range(8)):
+        for x, y in itertools.product(range(8), range(8)):
+            m[u * 8 + v, x * 8 + y] = np.cos((2 * x + 1) * u * np.pi / 16) * np.cos(
+                (2 * y + 1) * v * np.pi / 16
+            )
+    alpha = np.array([1.0 / np.sqrt(2)] + [1.0] * 7)
+    scale = np.outer(alpha, alpha).reshape(-1) * 0.25
+    return (m * scale[:, None]).astype(np.float32)
+
+
+def quality_to_factor(quality) -> jnp.ndarray:
+    """JPEG quality (1-100) -> quantization scale factor (traced-friendly)."""
+    q = jnp.asarray(quality, jnp.float32)
+    return jnp.where(q < 50, 5000.0 / q, 200.0 - q * 2.0) / 100.0
+
+
+def _to_blocks(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W) -> (B, H/8 * W/8, 64)."""
+    b, h, w = x.shape
+    x = x.reshape(b, h // 8, 8, w // 8, 8)
+    x = x.transpose(0, 1, 3, 2, 4).reshape(b, (h // 8) * (w // 8), 64)
+    return x
+
+
+def _from_blocks(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    b = x.shape[0]
+    x = x.reshape(b, h // 8, w // 8, 8, 8).transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, h, w)
+
+
+def _diff_round(x: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable rounding: round + cubic correction (reference diffjpeg)."""
+    return jnp.round(x) + (x - jnp.round(x)) ** 3
+
+
+def _rgb_to_ycbcr(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC RGB [0,255] -> YCbCr [0,255] full-swing (JPEG convention)."""
+    mat = jnp.asarray(
+        [
+            [0.299, -0.168736, 0.5],
+            [0.587, -0.331264, -0.418688],
+            [0.114, 0.5, -0.081312],
+        ],
+        x.dtype,
+    )
+    off = jnp.asarray([0.0, 128.0, 128.0], x.dtype)
+    return x @ mat + off
+
+
+def _ycbcr_to_rgb(x: jnp.ndarray) -> jnp.ndarray:
+    mat = jnp.asarray(
+        [[1.0, 1.0, 1.0], [0.0, -0.344136, 1.772], [1.402, -0.714136, 0.0]], x.dtype
+    )
+    off = jnp.asarray([0.0, 128.0, 128.0], x.dtype)
+    return (x - off) @ mat
+
+
+def diff_jpeg(img: jnp.ndarray, quality) -> jnp.ndarray:
+    """Differentiable JPEG round-trip.
+
+    img: NHWC RGB in [0,1]; quality: scalar or (N,) per-sample in [1,100].
+    H and W are padded to multiples of 16 internally (chroma subsampling).
+    """
+    n, h, w, c = img.shape
+    assert c == 3
+    factor = quality_to_factor(quality)
+    if factor.ndim == 0:
+        factor = jnp.broadcast_to(factor, (n,))
+    factor = factor.reshape(n, 1, 1)
+
+    ph = (16 - h % 16) % 16
+    pw = (16 - w % 16) % 16
+    x = jnp.pad(img.astype(jnp.float32), ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    hp, wp = h + ph, w + pw
+
+    ycc = _rgb_to_ycbcr(x * 255.0)
+    y = ycc[..., 0]
+    # 2x2 chroma subsampling (average pooling, JPEG 4:2:0)
+    cb = ycc[..., 1].reshape(n, hp // 2, 2, wp // 2, 2).mean(axis=(2, 4))
+    cr = ycc[..., 2].reshape(n, hp // 2, 2, wp // 2, 2).mean(axis=(2, 4))
+
+    dct_m = jnp.asarray(_dct_matrix())
+    y_tab = jnp.asarray(Y_TABLE).reshape(-1)
+    c_tab = jnp.asarray(C_TABLE).reshape(-1)
+
+    def encode_decode(channel: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+        ch, cw = channel.shape[1], channel.shape[2]
+        blocks = _to_blocks(channel - 128.0)  # (B, nblocks, 64)
+        coeffs = jnp.einsum("uk,bnk->bnu", dct_m, blocks)
+        qtab = jnp.clip(table[None, None, :] * factor, 1.0, 255.0)
+        quant = _diff_round(coeffs / qtab)
+        deq = quant * qtab
+        # IDCT: dct matrix is orthogonal up to the alpha scaling -> use
+        # transpose with inverse scaling baked into the matrix product
+        spatial = jnp.einsum("uk,bnu->bnk", _idct_matrix(), deq)
+        return _from_blocks(spatial, ch, cw) + 128.0
+
+    y2 = encode_decode(y, y_tab)
+    cb2 = encode_decode(cb, c_tab)
+    cr2 = encode_decode(cr, c_tab)
+
+    # chroma upsample (nearest 2x, matching the reference's repeat)
+    cb_up = jnp.repeat(jnp.repeat(cb2, 2, axis=1), 2, axis=2)
+    cr_up = jnp.repeat(jnp.repeat(cr2, 2, axis=1), 2, axis=2)
+    out = _ycbcr_to_rgb(jnp.stack([y2, cb_up, cr_up], axis=-1)) / 255.0
+    return jnp.clip(out[:, :h, :w, :], 0.0, 1.0)
+
+
+@lru_cache(maxsize=1)
+def _idct_matrix_np() -> np.ndarray:
+    m = _dct_matrix()
+    return np.linalg.inv(m).T.astype(np.float32)  # maps coeff vec -> spatial vec
+
+
+def _idct_matrix() -> jnp.ndarray:
+    return jnp.asarray(_idct_matrix_np())
