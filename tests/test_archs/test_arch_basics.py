@@ -37,6 +37,28 @@ SHAPE_CASES = [
     ({"type": "esrgan_lite", "scale": 4, "num_blocks": 1}, 4),
     ({"type": "esrgan", "scale": 2, "num_blocks": 1}, 2),
     ({"type": "esrgan", "scale": 1, "num_blocks": 1}, 1),
+    (
+        {
+            "type": "swinir_s",
+            "scale": 2,
+            "embed_dim": 16,
+            "depths": [2, 2],
+            "num_heads": [2, 2],
+            "drop_path_rate": 0.0,
+        },
+        2,
+    ),
+    (
+        {
+            "type": "swinir_m",
+            "scale": 3,
+            "embed_dim": 16,
+            "depths": [2],
+            "num_heads": [2],
+            "drop_path_rate": 0.0,
+        },
+        3,
+    ),
 ]
 
 

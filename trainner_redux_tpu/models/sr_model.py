@@ -61,7 +61,9 @@ class SRModel(BaseModel):
         init_key = jax.random.key(opt.manual_seed or 0)
         sample_hw = 32
         sample = jnp.zeros((1, sample_hw, sample_hw, 3), jnp.float32)
-        variables = jax.jit(self.net_g.init)(init_key, sample)
+        variables = jax.jit(lambda k, s: self.net_g.init(k, s, train=False))(
+            init_key, sample
+        )
         params_g = variables["params"] if "params" in variables else variables
         self.logger.info(
             f"Network [bold]{type(self.net_g).__name__}[/bold] created, "
@@ -232,7 +234,9 @@ class SRModel(BaseModel):
 
     def _generator_losses(self, params_g, params_d, extra_d, ema_params, lq, gt, cur_iter, key):
         """Compute (total_loss, (logs, output, raw_gan)) for one micro-batch. Traced."""
-        output = self.net_g.apply({"params": params_g}, lq, train=True)
+        output = self.net_g.apply(
+            {"params": params_g}, lq, train=True, rngs={"dropout": key}
+        )
         logs: dict[str, jnp.ndarray] = {}
         total = jnp.zeros((), jnp.float32)
         raw_gan = jnp.zeros((), jnp.float32)
