@@ -1,0 +1,177 @@
+"""Golden parity: torch state dicts -> flax params -> identical outputs.
+
+These tests build minimal torch twins of the arch families (same structure
+as the reference/spandrel modules), push random weights through the
+converter, and assert the flax forward matches the torch forward to fp32
+tolerance — the checkpoint-interop guarantee the ecosystem depends on.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+from trainner_redux_tpu.archs import build_network
+from trainner_redux_tpu.models.base_model import BaseModel
+from trainner_redux_tpu.utils.torch_compat import load_torch_checkpoint
+
+
+def _save_torch_sd(sd, path):
+    from safetensors.torch import save_file
+
+    save_file({k: v.contiguous() for k, v in sd.items()}, str(path))
+
+
+class TorchSRVGG(tnn.Module):
+    """Structural twin of the reference SRVGGNetCompact (srvgg_arch.py:9-88)."""
+
+    def __init__(self, num_feat=8, num_conv=2, upscale=2):
+        super().__init__()
+        self.upscale = upscale
+        body = [tnn.Conv2d(3, num_feat, 3, 1, 1), tnn.PReLU(num_parameters=num_feat)]
+        for _ in range(num_conv):
+            body += [tnn.Conv2d(num_feat, num_feat, 3, 1, 1), tnn.PReLU(num_parameters=num_feat)]
+        body += [tnn.Conv2d(num_feat, 3 * upscale * upscale, 3, 1, 1)]
+        self.body = tnn.ModuleList(body)
+        self.upsampler = tnn.PixelShuffle(upscale)
+
+    def forward(self, x):
+        out = x
+        for m in self.body:
+            out = m(out)
+        out = self.upsampler(out)
+        return out + tF.interpolate(x, scale_factor=self.upscale, mode="nearest")
+
+
+def test_srvgg_checkpoint_parity(tmp_path):
+    torch.manual_seed(0)
+    tmodel = TorchSRVGG().eval()
+    path = tmp_path / "srvgg.safetensors"
+    _save_torch_sd(tmodel.state_dict(), path)
+
+    net = build_network(
+        {"type": "compact", "scale": 2, "num_feat": 8, "num_conv": 2}
+    )
+    x = np.random.default_rng(0).random((1, 3, 12, 12)).astype(np.float32)
+    template = net.init(jax.random.key(0), jnp.asarray(x.transpose(0, 2, 3, 1)))
+    params = load_torch_checkpoint(str(path), net, template["params"])
+
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    ours = np.asarray(
+        net.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+class TorchRDB(tnn.Module):
+    def __init__(self, nf=8, gc=4):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(nf, gc, 3, 1, 1)
+        self.conv2 = tnn.Conv2d(nf + gc, gc, 3, 1, 1)
+        self.conv3 = tnn.Conv2d(nf + 2 * gc, gc, 3, 1, 1)
+        self.conv4 = tnn.Conv2d(nf + 3 * gc, gc, 3, 1, 1)
+        self.conv5 = tnn.Conv2d(nf + 4 * gc, nf, 3, 1, 1)
+
+    def forward(self, x):
+        l = lambda v: tF.leaky_relu(v, 0.2)  # noqa: E741
+        x1 = l(self.conv1(x))
+        x2 = l(self.conv2(torch.cat([x, x1], 1)))
+        x3 = l(self.conv3(torch.cat([x, x1, x2], 1)))
+        x4 = l(self.conv4(torch.cat([x, x1, x2, x3], 1)))
+        x5 = self.conv5(torch.cat([x, x1, x2, x3, x4], 1))
+        return x5 * 0.2 + x
+
+
+class TorchRRDB(tnn.Module):
+    def __init__(self, nf=8, gc=4):
+        super().__init__()
+        self.rdb1, self.rdb2, self.rdb3 = TorchRDB(nf, gc), TorchRDB(nf, gc), TorchRDB(nf, gc)
+
+    def forward(self, x):
+        out = self.rdb3(self.rdb2(self.rdb1(x)))
+        return out * 0.2 + x
+
+
+class TorchRRDBNet(tnn.Module):
+    """Structural twin of spandrel/BasicSR RRDBNet at scale 4."""
+
+    def __init__(self, nf=8, nb=1, gc=4):
+        super().__init__()
+        self.conv_first = tnn.Conv2d(3, nf, 3, 1, 1)
+        self.body = tnn.ModuleList([TorchRRDB(nf, gc) for _ in range(nb)])
+        self.conv_body = tnn.Conv2d(nf, nf, 3, 1, 1)
+        self.conv_up1 = tnn.Conv2d(nf, nf, 3, 1, 1)
+        self.conv_up2 = tnn.Conv2d(nf, nf, 3, 1, 1)
+        self.conv_hr = tnn.Conv2d(nf, nf, 3, 1, 1)
+        self.conv_last = tnn.Conv2d(nf, 3, 3, 1, 1)
+
+    def forward(self, x):
+        l = lambda v: tF.leaky_relu(v, 0.2)  # noqa: E741
+        feat = self.conv_first(x)
+        body = feat
+        for blk in self.body:
+            body = blk(body)
+        feat = feat + self.conv_body(body)
+        feat = l(self.conv_up1(tF.interpolate(feat, scale_factor=2, mode="nearest")))
+        feat = l(self.conv_up2(tF.interpolate(feat, scale_factor=2, mode="nearest")))
+        return self.conv_last(l(self.conv_hr(feat)))
+
+    def state_dict_flat(self):
+        sd = {}
+        for k, v in self.state_dict().items():
+            # body.0.rdb1.conv1.weight naming matches the converter regex
+            sd[k] = v
+        return sd
+
+
+def test_rrdbnet_checkpoint_parity(tmp_path):
+    torch.manual_seed(0)
+    tmodel = TorchRRDBNet().eval()
+    path = tmp_path / "rrdb.safetensors"
+    _save_torch_sd(tmodel.state_dict_flat(), path)
+
+    net = build_network(
+        {
+            "type": "esrgan",
+            "scale": 4,
+            "num_filters": 8,
+            "num_blocks": 1,
+            "use_pixel_unshuffle": False,
+        }
+    )
+    # esrgan factory hard-codes gc=32; build directly for the small test net
+    from trainner_redux_tpu.archs.rrdbnet_arch import RRDBNet
+
+    net = RRDBNet(num_feat=8, num_block=1, num_grow_ch=4, scale=4)
+    x = np.random.default_rng(0).random((1, 3, 8, 8)).astype(np.float32)
+    template = net.init(jax.random.key(0), jnp.asarray(x.transpose(0, 2, 3, 1)))
+    params = load_torch_checkpoint(str(path), net, template["params"])
+
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+    ours = np.asarray(
+        net.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_srvgg_exporter_roundtrip(tmp_path):
+    """flax -> torch-layout export -> converter -> identical params."""
+    from trainner_redux_tpu.utils.torch_compat import (
+        _convert_srvgg,
+        export_torch_state_dict,
+    )
+
+    net = build_network({"type": "compact", "scale": 2, "num_feat": 8, "num_conv": 2})
+    x = jnp.ones((1, 8, 8, 3))
+    params = net.init(jax.random.key(0), x)["params"]
+    flat = BaseModel.flatten_params(params)
+    torch_sd = export_torch_state_dict(flat, "SRVGGNetCompact")
+    back = _convert_srvgg({k: np.asarray(v) for k, v in torch_sd.items()}, net)
+    for k, v in flat.items():
+        np.testing.assert_allclose(back[k], v, atol=0, err_msg=k)

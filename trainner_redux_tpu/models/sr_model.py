@@ -60,7 +60,14 @@ class SRModel(BaseModel):
 
         init_key = jax.random.key(opt.manual_seed or 0)
         sample_hw = 32
-        sample = jnp.zeros((1, sample_hw, sample_hw, 3), jnp.float32)
+        # video archs take (B, T, H, W, C) clips; clip_size comes from the data
+        clip_size = next(
+            (d.clip_size for d in opt.datasets.values() if d.clip_size), None
+        )
+        if clip_size:
+            sample = jnp.zeros((1, clip_size, sample_hw, sample_hw, 3), jnp.float32)
+        else:
+            sample = jnp.zeros((1, sample_hw, sample_hw, 3), jnp.float32)
         variables = jax.jit(lambda k, s: self.net_g.init(k, s, train=False))(
             init_key, sample
         )
@@ -527,10 +534,9 @@ class SRModel(BaseModel):
             return self.state.ema_params_g
         return self.state.params_g
 
-    def _apply_fn(self, h: int, w: int):
-        """Shape-cached jitted eval apply (pad to multiple of 16 to bound
+    def _apply_fn(self, key):
+        """Shape-keyed jitted eval apply (pad to multiple of 16 to bound
         recompiles across validation image sizes)."""
-        key = (h, w)
         if key not in self._apply_cache:
             def apply(params, lq):
                 return self.net_g.apply({"params": params}, lq, train=False)
@@ -546,17 +552,18 @@ class SRModel(BaseModel):
         if lq.ndim == 3:
             lq = lq[None]
         tile = self.opt.val.tile_size if self.opt.val else 0
-        if tile and tile > 0:
+        if tile and tile > 0 and lq.ndim == 4:
             out = self.infer_tiled(
                 lq, tile_size=tile, tile_overlap=self.opt.val.tile_overlap or 0
             )
         else:
-            n, h, w, c = lq.shape
+            h, w = lq.shape[-3], lq.shape[-2]
             mult = 16
             ph = (mult - h % mult) % mult
             pw = (mult - w % mult) % mult
-            lq_pad = np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect") if (ph or pw) else lq
-            fn = self._apply_fn(h + ph, w + pw)
+            pad_spec = [(0, 0)] * (lq.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+            lq_pad = np.pad(lq, pad_spec, mode="reflect") if (ph or pw) else lq
+            fn = self._apply_fn((h + ph, w + pw, lq.ndim))
             out = np.asarray(jax.device_get(fn(self._infer_params(), lq_pad)))
             out = out[:, : h * self.scale, : w * self.scale, :]
         self.output = out
@@ -571,7 +578,7 @@ class SRModel(BaseModel):
         scale = self.scale
         tile = min(tile_size, max(h, w))
         stride = max(tile - tile_overlap, 1)
-        fn = self._apply_fn(tile, tile)
+        fn = self._apply_fn((tile, tile, 4))
         params = self._infer_params()
 
         out = np.zeros((n, h * scale, w * scale, c), np.float32)
