@@ -25,6 +25,7 @@ loss_filenames = [
 _loss_modules = [
     importlib.import_module(f"trainner_redux_tpu.losses.{f}") for f in loss_filenames
 ]
+import trainner_redux_tpu.losses.loss_wrapper  # noqa: E402,F401 (ModelAsLoss + gated towers)
 
 SCHEDULE_PARAMS = (
     "start_iter",

@@ -79,7 +79,10 @@ class IterativeLossWrapper:
         raw = self.loss_module(*args, **kwargs)
         if current_iter is None:
             return raw
-        return raw * self.effective_weight(current_iter)
+        w = self.effective_weight(current_iter)
+        if isinstance(raw, dict):
+            return {k: v * w for k, v in raw.items()}
+        return raw * w
 
     def __getattr__(self, name):
         # delegate unknown attributes (e.g. gan_type) to the wrapped loss

@@ -274,7 +274,10 @@ class SRModel(BaseModel):
                     val = loss(output, target, current_iter=cur_iter)
                 else:
                     val = loss(output, target)
-                val = flip * val
+                if isinstance(val, dict):
+                    val = {k: flip * v for k, v in val.items()}
+                else:
+                    val = flip * val
             elif kind == "gan":
                 inner = loss.loss_module if isinstance(loss, IterativeLossWrapper) else loss
                 from trainner_redux_tpu.losses.gan_loss import R3GANLoss
@@ -318,9 +321,16 @@ class SRModel(BaseModel):
                     val = loss(real_feats, fake_feats)
             else:
                 continue
-            val = jnp.asarray(val, jnp.float32)
-            logs[log_key] = val
-            total = total + val
+            if isinstance(val, dict):
+                # dict losses (e.g. hsluv) log each component separately
+                for sub, v in val.items():
+                    v = jnp.asarray(v, jnp.float32)
+                    logs[f"{log_key}_{sub}"] = v
+                    total = total + v
+            else:
+                val = jnp.asarray(val, jnp.float32)
+                logs[log_key] = val
+                total = total + val
         logs["l_g_total"] = total
         return total, (logs, output, raw_gan)
 
