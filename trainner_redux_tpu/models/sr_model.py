@@ -202,6 +202,22 @@ class SRModel(BaseModel):
                 opt.scale, train_opt.moa_augs, train_opt.moa_probs, opt.manual_seed or 0
             )
 
+        # dynamic loss-weight rebalancing (host-side controller, traced weights)
+        self.dynamic_loss_scheduler = None
+        dls = train_opt.dynamic_loss_scheduling
+        if dls and dls.get("enabled", False):
+            from trainner_redux_tpu.losses.dynamic_loss_scheduling import (
+                DynamicLossScheduler,
+            )
+
+            base_weights = {
+                key: abs(getattr(loss, "loss_weight", 1.0))
+                for key, loss, _k in self.losses
+            }
+            self.dynamic_loss_scheduler = DynamicLossScheduler(
+                base_weights, **{k: v for k, v in dls.items() if k != "enabled"}
+            )
+
         self.adaptive_d = bool(train_opt.adaptive_d)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -239,8 +255,11 @@ class SRModel(BaseModel):
 
         return apply
 
-    def _generator_losses(self, params_g, params_d, extra_d, ema_params, lq, gt, cur_iter, key):
-        """Compute (total_loss, (logs, output, raw_gan)) for one micro-batch. Traced."""
+    def _generator_losses(
+        self, params_g, params_d, extra_d, ema_params, lq, gt, cur_iter, key, dyn_w=None
+    ):
+        """Compute (total_loss, (logs, output, raw_gan)) for one micro-batch. Traced.
+        dyn_w: optional per-loss multiplier vector (dynamic loss scheduling)."""
         output = self.net_g.apply(
             {"params": params_g}, lq, train=True, rngs={"dropout": key}
         )
@@ -250,7 +269,7 @@ class SRModel(BaseModel):
         d_apply = self._d_apply_fn(params_d, extra_d) if self.has_gan else None
         bicubic_target = None
 
-        for log_key, loss, kind in self.losses:
+        for loss_idx, (log_key, loss, kind) in enumerate(self.losses):
             weight = getattr(loss, "loss_weight", 1.0)
             if kind == "pair":
                 target = gt
@@ -321,14 +340,15 @@ class SRModel(BaseModel):
                     val = loss(real_feats, fake_feats)
             else:
                 continue
+            mult = 1.0 if dyn_w is None else dyn_w[loss_idx]
             if isinstance(val, dict):
                 # dict losses (e.g. hsluv) log each component separately
                 for sub, v in val.items():
-                    v = jnp.asarray(v, jnp.float32)
+                    v = jnp.asarray(v, jnp.float32) * mult
                     logs[f"{log_key}_{sub}"] = v
                     total = total + v
             else:
-                val = jnp.asarray(val, jnp.float32)
+                val = jnp.asarray(val, jnp.float32) * mult
                 logs[log_key] = val
                 total = total + val
         logs["l_g_total"] = total
@@ -399,6 +419,7 @@ class SRModel(BaseModel):
 
         def step_fn(state: TrainState, batch: dict, key) -> tuple[TrainState, dict]:
             lq, gt = batch["lq"], batch["gt"]
+            dyn_w = batch.get("dyn_w")
             cur_iter = state.step
 
             grad_fn = jax.value_and_grad(self._generator_losses, has_aux=True)
@@ -413,6 +434,7 @@ class SRModel(BaseModel):
                     gt_b,
                     cur_iter,
                     key,
+                    dyn_w,
                 )
 
             if accum > 1:
@@ -515,9 +537,18 @@ class SRModel(BaseModel):
     def optimize_parameters(self, current_iter: int) -> None:
         assert self._train_step is not None
         key = jax.random.fold_in(jax.random.key(self.opt.manual_seed or 0), current_iter)
-        self.state, logs = self._train_step(
-            self.state, {"lq": self.lq, "gt": self.gt}, key
-        )
+        batch = {"lq": self.lq, "gt": self.gt}
+        if getattr(self, "dynamic_loss_scheduler", None) is not None:
+            prev = getattr(self, "_pending_logs", None)
+            if prev:
+                self.dynamic_loss_scheduler.update(
+                    {k: float(v) for k, v in prev.items()}, current_iter
+                )
+            mults = self.dynamic_loss_scheduler.multipliers
+            batch["dyn_w"] = jnp.asarray(
+                [mults.get(k, 1.0) for k, _l, _kind in self.losses], jnp.float32
+            )
+        self.state, logs = self._train_step(self.state, batch, key)
         self._pending_logs = logs  # device arrays; fetched lazily
 
     def get_current_log(self) -> dict[str, float]:
