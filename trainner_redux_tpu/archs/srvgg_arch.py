@@ -120,4 +120,4 @@ def superultracompact(
     )
 
 
-ARCH_REGISTRY.register(SRVGGNetCompact, name="srvggnetcompact")
+ARCH_REGISTRY.register(compact, name="srvggnetcompact")
