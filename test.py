@@ -9,6 +9,9 @@ from os import path as osp
 
 if os.environ.get("TRAINNER_PLATFORM"):
     os.environ["JAX_PLATFORMS"] = os.environ["TRAINNER_PLATFORM"]
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["TRAINNER_PLATFORM"])
 
 
 def test_pipeline(root_path: str, argv: list[str] | None = None) -> None:

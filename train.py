@@ -17,10 +17,14 @@ from os import path as osp
 
 
 def _setup_jax_env() -> None:
-    # Allow CPU-only smoke runs: TRAINNER_PLATFORM=cpu overrides.
+    # Allow CPU-only smoke runs: TRAINNER_PLATFORM=cpu overrides. The host
+    # sitecustomize may have imported jax already, so set the config too.
     plat = os.environ.get("TRAINNER_PLATFORM")
     if plat:
         os.environ["JAX_PLATFORMS"] = plat
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 _setup_jax_env()
@@ -190,6 +194,14 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
                         model.validation(
                             val_loader, current_iter, tb_logger, opt.val.save_img
                         )
+                    mgr = getattr(model, "automation_manager", None)
+                    if mgr is not None:
+                        mgr.on_validation(
+                            current_iter, getattr(model, "metric_results", {}) or {}
+                        )
+                        if mgr.should_stop:
+                            logger.info("Early stopping triggered by automation.")
+                            interrupted["flag"] = True
                 data_timer.tic()
             epoch += 1
     except KeyboardInterrupt:

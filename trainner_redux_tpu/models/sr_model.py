@@ -218,6 +218,15 @@ class SRModel(BaseModel):
                 base_weights, **{k: v for k, v in dls.items() if k != "enabled"}
             )
 
+        # training automations (host controllers; traced scalars into the step)
+        from trainner_redux_tpu.utils.training_automations import (
+            create_automation_manager,
+        )
+
+        self.automation_manager = create_automation_manager(
+            train_opt.training_automations
+        )
+
         self.adaptive_d = bool(train_opt.adaptive_d)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -464,7 +473,17 @@ class SRModel(BaseModel):
                 (_loss, (logs, output, raw_gan)), grads = run_grad(lq, gt)
                 d_gt = gt
 
+            # gradient-norm logging + optional traced clipping / LR scaling
+            g_norm = optax.global_norm(grads)
+            logs["grad_norm_g"] = jnp.asarray(g_norm, jnp.float32)
+            clip_t = batch.get("clip_t")
+            if clip_t is not None:
+                scale = jnp.minimum(1.0, clip_t / jnp.maximum(g_norm, 1e-12))
+                grads = jax.tree.map(lambda g: g * scale, grads)
             updates, new_opt_g = tx_g.update(grads, state.opt_state_g, state.params_g)
+            lr_mult = batch.get("lr_mult")
+            if lr_mult is not None:
+                updates = jax.tree.map(lambda u: u * lr_mult, updates)
             new_params_g = optax.apply_updates(state.params_g, updates)
 
             new_ema = state.ema_params_g
@@ -538,6 +557,14 @@ class SRModel(BaseModel):
         assert self._train_step is not None
         key = jax.random.fold_in(jax.random.key(self.opt.manual_seed or 0), current_iter)
         batch = {"lq": self.lq, "gt": self.gt}
+        mgr = getattr(self, "automation_manager", None)
+        if mgr is not None:
+            prev = getattr(self, "_pending_logs", None)
+            if prev is not None and current_iter % 10 == 0:
+                mgr.on_iteration(current_iter, {k: float(v) for k, v in prev.items()})
+            batch["lr_mult"] = jnp.asarray(mgr.lr_multiplier, jnp.float32)
+            if mgr.clip_threshold is not None:
+                batch["clip_t"] = jnp.asarray(mgr.clip_threshold, jnp.float32)
         if getattr(self, "dynamic_loss_scheduler", None) is not None:
             prev = getattr(self, "_pending_logs", None)
             if prev:
