@@ -59,6 +59,17 @@ SHAPE_CASES = [
         },
         3,
     ),
+    ({"type": "artcnn_r8f48", "scale": 2, "filters": 16, "n_block": 1}, 2),
+    ({"type": "safmn", "scale": 3, "dim": 16, "n_blocks": 1}, 3),
+    ({"type": "man_tiny", "scale": 2, "n_feats": 12, "n_resblocks": 1}, 2),
+    ({"type": "plksr_tiny", "scale": 2, "dim": 16, "n_blocks": 1}, 2),
+    ({"type": "realplksr", "scale": 4, "dim": 16, "n_blocks": 1}, 4),
+    ({"type": "rcan", "scale": 2, "n_resgroups": 1, "n_resblocks": 1, "n_feats": 8,
+      "reduction": 4, "unshuffle_mod": True}, 2),
+    ({"type": "hat", "scale": 2, "embed_dim": 16, "depths": [2], "num_heads": [2],
+      "window_size": 8, "drop_path_rate": 0.0, "num_feat": 16}, 2),
+    ({"type": "dat", "scale": 2, "embed_dim": 16, "depth": [2], "num_heads": [2],
+      "split_size": [2, 4], "drop_path_rate": 0.0, "num_feat": 16}, 2),
 ]
 
 

@@ -1,0 +1,121 @@
+"""PLKSR / RealPLKSR — Partial Large Kernel CNN (flax/NHWC).
+
+Parity: the reference's spandrel-backed plksr/plksr_tiny/realplksr factories
+(/root/reference/traiNNer/archs/plksr_arch.py:10-70, realplksr_arch.py),
+implementing the PLKSR architecture (Lee et al. 2024): per block a
+double-conv channel mixer (DCCM), a partial large-kernel conv (only the
+first split of channels sees the 17x17 kernel), and element-wise attention;
+RealPLKSR adds LayerNorm and a DySample upsampler option.
+
+TPU note: the 17x17 depthwise-style partial conv is a single large-kernel
+conv on a channel slice — XLA maps it onto the MXU as an implicit GEMM; no
+kernel decomposition needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from trainner_redux_tpu.archs.arch_util import Conv2d, DySample, Dtype, pixel_shuffle
+from trainner_redux_tpu.utils.registry import SPANDREL_REGISTRY
+
+
+class DCCM(nn.Module):
+    """Doubled convolutional channel mixer."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Conv2d(self.dim * 2, 3, dtype=self.dtype, name="conv0")(x)
+        x = nn.gelu(x)
+        return Conv2d(self.dim, 3, dtype=self.dtype, name="conv1")(x)
+
+
+class PLKBlock(nn.Module):
+    dim: int
+    kernel_size: int = 17
+    split_ratio: float = 0.25
+    use_ea: bool = True
+    norm: bool = False  # RealPLKSR uses LayerNorm
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shortcut = x
+        if self.norm:
+            x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = DCCM(self.dim, dtype=self.dtype, name="channel_mixer")(x)
+
+        # partial large-kernel conv on the first split of channels
+        k_ch = int(self.dim * self.split_ratio)
+        x1, x2 = x[..., :k_ch], x[..., k_ch:]
+        x1 = Conv2d(k_ch, self.kernel_size, dtype=self.dtype, name="lk_conv")(x1)
+        x = jnp.concatenate([x1, x2], axis=-1)
+
+        if self.use_ea:
+            att = nn.sigmoid(Conv2d(self.dim, 1, dtype=self.dtype, name="ea_conv")(x))
+            x = x * att
+        x = Conv2d(self.dim, 1, dtype=self.dtype, name="refine")(x)
+        return x + shortcut
+
+
+class PLKSR(nn.Module):
+    dim: int = 64
+    n_blocks: int = 28
+    upscaling_factor: int = 4
+    kernel_size: int = 17
+    split_ratio: float = 0.25
+    use_ea: bool = True
+    norm: bool = False
+    dysample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        del train
+        x = x.astype(self.dtype)
+        s = self.upscaling_factor
+        feat = Conv2d(self.dim, 3, dtype=self.dtype, name="head")(x)
+        body = feat
+        for i in range(self.n_blocks):
+            body = PLKBlock(
+                self.dim, self.kernel_size, self.split_ratio, self.use_ea, self.norm,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )(body)
+        body = body + feat
+        if self.dysample:
+            out = DySample(
+                self.dim, 3 * 1, scale=s, groups=4, dtype=self.dtype, name="dysample"
+            )(body)
+            out = Conv2d(3, 3, dtype=self.dtype, name="tail")(out)
+        else:
+            out = Conv2d(3 * s * s, 3, dtype=self.dtype, name="tail")(body)
+            out = pixel_shuffle(out, s)
+        # global repeat-residual (PLKSR adds the pixel-repeated input)
+        base = jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
+        return (out + base).astype(jnp.float32)
+
+
+@SPANDREL_REGISTRY.register()
+def plksr(scale: int = 4, dim: int = 64, n_blocks: int = 28, **kw) -> PLKSR:
+    kw.pop("kernel_size", None)
+    return PLKSR(dim=dim, n_blocks=n_blocks, upscaling_factor=scale, **kw)
+
+
+@SPANDREL_REGISTRY.register()
+def plksr_tiny(scale: int = 4, dim: int = 64, n_blocks: int = 12, **kw) -> PLKSR:
+    return PLKSR(dim=dim, n_blocks=n_blocks, upscaling_factor=scale, **kw)
+
+
+@SPANDREL_REGISTRY.register()
+def realplksr(
+    scale: int = 4, dim: int = 64, n_blocks: int = 28, upsampler: str = "pixelshuffle",
+    layer_norm: bool = True, **kw,
+) -> PLKSR:
+    return PLKSR(
+        dim=dim, n_blocks=n_blocks, upscaling_factor=scale, norm=layer_norm,
+        dysample=(upsampler == "dysample"), **kw,
+    )
