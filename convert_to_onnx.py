@@ -1,0 +1,130 @@
+"""Model export entry point (parity: /root/reference/convert_to_onnx.py).
+
+The reference exports torch models to ONNX via dynamo/legacy exporters and
+optimizes with ORT/onnxslim. The TPU-native equivalents emitted here:
+
+- **StableHLO** (`.stablehlo.mlir` + serialized `jax.export` artifact): the
+  portable compiler-level format for JAX models (loadable from C++/IREE/
+  OpenXLA toolchains — the ONNX analogue of the XLA ecosystem).
+- **TF SavedModel** via jax2tf (convertible to ONNX offline with tf2onnx,
+  which needs internet-installed tooling; in zero-egress environments the
+  SavedModel itself serves TF-Serving/TFLite pipelines).
+- **torch-layout safetensors** for arch families with registered exporters
+  (chaiNNer/OpenModelDB interop).
+
+Numeric verification compares the exported function against the JAX forward
+(the reference's `onnx.verify` equivalent).
+
+Usage: python convert_to_onnx.py -opt <config.yml>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from os import path as osp
+
+import numpy as np
+
+if os.environ.get("TRAINNER_PLATFORM"):
+    os.environ["JAX_PLATFORMS"] = os.environ["TRAINNER_PLATFORM"]
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["TRAINNER_PLATFORM"])
+
+
+def parse_input_shape(shape: str) -> tuple[int, int, int, int]:
+    """'1x3xHxW' (torch layout, dynamic H/W default 256) -> NHWC tuple."""
+    parts = shape.lower().split("x")
+    n = int(parts[0]) if parts[0].isdigit() else 1
+    c = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 3
+    h = int(parts[2]) if len(parts) > 2 and parts[2].isdigit() else 256
+    w = int(parts[3]) if len(parts) > 3 and parts[3].isdigit() else 256
+    return (n, h, w, c)
+
+
+def main(argv: list[str] | None = None) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from trainner_redux_tpu.models import build_model
+    from trainner_redux_tpu.utils import get_root_logger
+    from trainner_redux_tpu.utils.config import Config
+
+    opt, _args = Config.load_config_from_file(
+        osp.abspath(osp.dirname(__file__)), is_train=False, argv=argv
+    )
+    logger = get_root_logger()
+    onnx_opt = opt.onnx
+    shape = parse_input_shape(onnx_opt.shape if onnx_opt else "1x3x256x256")
+    dtype = jnp.bfloat16 if (onnx_opt and onnx_opt.dtype == "bf16") else jnp.float32
+
+    model = build_model(opt)
+    params = jax.device_get(model._infer_params())
+    net = model.net_g
+
+    def forward(x):
+        return net.apply({"params": params}, x, train=False)
+
+    x = jnp.zeros(shape, jnp.float32)
+    out_dir = opt.path.results_root or "."
+    os.makedirs(out_dir, exist_ok=True)
+    base = osp.join(out_dir, opt.name)
+
+    # ---- StableHLO via jax.export ----
+    from jax import export as jax_export
+
+    exported = jax_export.export(jax.jit(forward))(
+        jax.ShapeDtypeStruct(shape, jnp.float32)
+    )
+    with open(base + ".stablehlo.mlir", "w") as f:
+        f.write(exported.mlir_module())
+    with open(base + ".jaxexport.bin", "wb") as f:
+        f.write(exported.serialize())
+    logger.info(f"wrote {base}.stablehlo.mlir and .jaxexport.bin")
+
+    # ---- TF SavedModel via jax2tf ----
+    try:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        tf_fn = tf.function(
+            jax2tf.convert(forward, with_gradient=False),
+            autograph=False,
+            input_signature=[tf.TensorSpec(shape, tf.float32, name="input")],
+        )
+        module = tf.Module()
+        module.f = tf_fn
+        tf.saved_model.save(module, base + ".savedmodel")
+        logger.info(f"wrote {base}.savedmodel (convert offline: tf2onnx)")
+    except Exception as e:
+        logger.warning(f"TF SavedModel export skipped: {type(e).__name__}: {e}")
+
+    # ---- torch-layout safetensors (ecosystem interop) ----
+    try:
+        from safetensors.numpy import save_file
+
+        from trainner_redux_tpu.models.base_model import BaseModel
+        from trainner_redux_tpu.utils.torch_compat import export_torch_state_dict
+
+        flat = BaseModel.flatten_params(params)
+        torch_sd = export_torch_state_dict(flat, type(net).__name__)
+        save_file(torch_sd, base + ".torch.safetensors")
+        logger.info(f"wrote {base}.torch.safetensors")
+    except NotImplementedError as e:
+        logger.warning(f"torch-layout export unavailable: {e}")
+
+    # ---- numeric verification ----
+    if onnx_opt is None or onnx_opt.verify:
+        rng = np.random.default_rng(0)
+        sample = rng.random(shape).astype(np.float32)
+        ref = np.asarray(forward(jnp.asarray(sample)))
+        rt = jax_export.deserialize(exported.serialize())
+        got = np.asarray(rt.call(jnp.asarray(sample)))
+        err = float(np.abs(ref - got).max())
+        logger.info(f"verification max abs error (stablehlo roundtrip): {err:.3e}")
+        assert err < 1e-5, "export verification failed"
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
