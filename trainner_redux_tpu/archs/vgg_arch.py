@@ -59,9 +59,12 @@ class VGGFeatureExtractor:
         self.vgg_type = vgg_type
         self.use_input_norm = use_input_norm
         self.range_norm = range_norm
-        # only run the net up to the deepest requested layer
+        # only run the net up to the deepest requested layer;
+        # 'reluX_Y' taps the post-activation of 'convX_Y' (LPIPS convention)
         names = [n for n, _ in self.cfg]
-        last = max(names.index(n) for n in self.layer_name_list)
+        last = max(
+            names.index(n.replace("relu", "conv")) for n in self.layer_name_list
+        )
         self.cfg = self.cfg[: last + 1]
         self.params = self._load_or_init(weights_path, seed)
 
@@ -116,6 +119,9 @@ class VGGFeatureExtractor:
                 if name in self.layer_name_list:
                     feats[name] = x  # pre-activation tap (BasicSR convention)
                 x = jax.nn.relu(x)
+                relu_name = name.replace("conv", "relu")
+                if relu_name in self.layer_name_list:
+                    feats[relu_name] = x  # post-activation tap (LPIPS convention)
         return feats
 
 

@@ -24,11 +24,14 @@ _DISTS_CHANNELS = [3, 64, 128, 256, 512, 512]  # input + 5 stages
 
 
 def _load_dists_weights() -> tuple[np.ndarray, np.ndarray] | None:
+    candidates = [
+        os.path.join(os.path.dirname(__file__), "..", "assets", "dists_weights.pt")
+    ]
     wdir = os.environ.get("TRAINNER_WEIGHTS_DIR")
-    if not wdir:
-        return None
-    path = os.path.join(wdir, "dists_weights.pt")
-    if not os.path.exists(path):
+    if wdir:
+        candidates.insert(0, os.path.join(wdir, "dists_weights.pt"))
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
         return None
     import torch
 

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from trainner_redux_tpu.metrics import psnr_ssim  # noqa: F401 (registers metrics)
+from trainner_redux_tpu.metrics import perceptual_metrics, psnr_ssim  # noqa: F401 (registers metrics)
 from trainner_redux_tpu.utils.registry import METRIC_REGISTRY
 
 __all__ = ["calculate_metric", "METRIC_REGISTRY"]
