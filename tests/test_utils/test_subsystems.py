@@ -1,0 +1,127 @@
+"""Auxiliary subsystems: hardware detection, memory manager, dataset analyzer,
+zero-config generation, dynamic wrappers, automations."""
+
+import numpy as np
+import pytest
+
+
+def test_hardware_detector():
+    from trainner_redux_tpu.utils.hardware_detection import HardwareDetector
+
+    info = HardwareDetector().detect()
+    assert info.num_devices >= 1
+    assert info.host_cpus >= 1
+    assert HardwareDetector().performance_tier() in ("high", "medium", "low")
+
+
+def test_parameter_optimizer_search():
+    import jax
+    import jax.numpy as jnp
+
+    from trainner_redux_tpu.utils.memory_manager import ParameterOptimizer
+
+    def lower_fn(batch, lq):
+        def step(x):
+            return (x * 2).sum()
+
+        return jax.jit(step).lower(jnp.zeros((batch, lq, lq, 3)))
+
+    opt = ParameterOptimizer(hbm_budget_bytes=1 << 30)
+    est = opt.search(lower_fn, 8, 32)
+    assert est.fits
+    assert (est.batch, est.lq_size) == (8, 32)
+
+    # absurdly tiny budget forces a downshift through the ladder
+    tiny = ParameterOptimizer(hbm_budget_bytes=1024, min_batch=1, min_patch=16)
+    est2 = tiny.search(lower_fn, 8, 32)
+    assert (est2.batch, est2.lq_size) <= (8, 32)
+
+
+def test_dataset_analyzer(tmp_path):
+    import cv2
+
+    from trainner_redux_tpu.utils.dataset_analyzer import DatasetAnalyzer
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        cv2.imwrite(str(tmp_path / f"i{i}.png"), (rng.random((40, 40, 3)) * 255).astype(np.uint8))
+    a = DatasetAnalyzer().analyze_folder(str(tmp_path))
+    assert a.num_images == 4
+    assert 0.0 <= a.complexity_score <= 1.0
+    assert a.recommended_lq_size in (32, 48, 64)
+
+
+def test_zero_config(tmp_path):
+    import cv2
+
+    from trainner_redux_tpu.utils.zero_config_training import ZeroConfigTrainingManager
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"i{i}.png"), (rng.random((48, 48, 3)) * 255).astype(np.uint8))
+    opt = ZeroConfigTrainingManager().generate("span_s", 2, str(tmp_path))
+    assert opt.scale == 2
+    assert opt.high_order_degradation  # no LQ root -> OTF
+    assert opt.network_g["type"] == "span_s"
+    assert opt.train.total_iter > 0
+
+
+def test_dynamic_wrappers():
+    from trainner_redux_tpu.data.dynamic_dataloader_wrapper import (
+        DynamicDataLoaderWrapper,
+        DynamicDatasetWrapper,
+    )
+
+    assert DynamicDatasetWrapper.snap(50) == 48
+    assert DynamicDatasetWrapper.snap(10) == 16
+    assert DynamicDataLoaderWrapper.snap_batch(13) == 8
+
+    class FakeLoader:
+        batch_size = 16
+
+    w = DynamicDataLoaderWrapper(FakeLoader())
+    assert w.set_batch_size(13) == 8
+    assert w.loader.batch_size == 8
+
+
+def test_automation_manager_lifecycle():
+    from trainner_redux_tpu.utils.training_automations import create_automation_manager
+
+    mgr = create_automation_manager(
+        {
+            "enabled": True,
+            "intelligent_lr_scheduler": {"enabled": True, "patience": 2, "factor": 0.5},
+            "intelligent_early_stopping": {"enabled": True, "patience": 3},
+            "adaptive_gradient_clipping": {"enabled": True, "window": 50},
+        }
+    )
+    assert mgr is not None
+    # no improvement for > patience validations shrinks lr and then stops
+    for i, v in enumerate([30.0, 30.0, 30.0, 30.0, 30.0, 30.0, 30.0]):
+        mgr.on_validation(i, {"psnr": v})
+    assert mgr.lr_multiplier < 1.0
+    assert mgr.should_stop
+
+    for i in range(30):
+        mgr.on_iteration(i, {"grad_norm_g": 1.0 + 0.01 * i})
+    assert mgr.clip_threshold is not None
+
+    state = mgr.state_dict()
+    mgr2 = create_automation_manager(
+        {
+            "enabled": True,
+            "intelligent_lr_scheduler": {"enabled": True},
+            "intelligent_early_stopping": {"enabled": True},
+            "adaptive_gradient_clipping": {"enabled": True},
+        }
+    )
+    mgr2.load_state_dict(state)
+    assert mgr2.lr_multiplier == mgr.lr_multiplier
+    assert mgr2.should_stop == mgr.should_stop
+
+
+def test_automations_disabled_returns_none():
+    from trainner_redux_tpu.utils.training_automations import create_automation_manager
+
+    assert create_automation_manager(None) is None
+    assert create_automation_manager({"enabled": False}) is None

@@ -106,6 +106,16 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
     opt, args = Config.load_config_from_file(root_path, is_train=True, argv=argv)
     set_random_seed((opt.manual_seed or 0) + (opt.rank or 0))
 
+    import jax
+
+    if opt.detect_anomaly:
+        # reference: torch detect_anomaly (train.py:273-283); JAX equivalent
+        jax.config.update("jax_debug_nans", True)
+    if opt.fast_matmul:
+        jax.config.update("jax_default_matmul_precision", "fastest")
+    # `deterministic` needs no switch: JAX programs are deterministic by
+    # construction (explicit PRNG keys, no atomics-based reductions on TPU).
+
     resume_state_path = load_resume_state(opt)
     make_exp_dirs(opt)
     assert opt.path.experiments_root is not None
@@ -150,6 +160,13 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
     iter_timer, data_timer = AvgTimer(), AvgTimer()
     logger.info(f"Start training from epoch: {start_epoch}, iter: {current_iter}")
 
+    # profiling: TRAINNER_PROFILE=<dir> wraps the first 50 iterations in a
+    # jax.profiler trace (SURVEY.md §5.1: tensorboard-viewable device trace)
+    profile_dir = os.environ.get("TRAINNER_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        logger.info(f"Profiling to {profile_dir} (first 50 iters)")
+
     epoch = start_epoch
     try:
         while current_iter < total_iters and not interrupted["flag"]:
@@ -166,6 +183,10 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
 
                 if current_iter == 1:
                     msg_logger.reset_start_time()
+                if profile_dir and current_iter == 50:
+                    jax.profiler.stop_trace()
+                    logger.info(f"Profile trace written to {profile_dir}")
+                    profile_dir = None
 
                 if opt.logger and current_iter % opt.logger.print_freq == 0:
                     log_vars = {
