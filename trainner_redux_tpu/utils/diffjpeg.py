@@ -85,6 +85,28 @@ def _diff_round(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(x) + (x - jnp.round(x)) ** 3
 
 
+def _use_pallas_kernel() -> bool:
+    """Opt-in fused Pallas JPEG core (TRAINNER_PALLAS=1, TPU only).
+
+    Measured on v5e: the hand-fused kernel matches XLA's fused einsum
+    bit-for-bit but is ~7% slower at production shapes (XLA already keeps the
+    (*,64) contractions fused with the elementwise quantization and the op is
+    HBM-bound). Kept for environments where the surrounding fusion breaks
+    (e.g. very large per-image block counts spilling VMEM) — and as the
+    reference implementation for custom-lowering this op.
+    """
+    import os
+
+    if not os.environ.get("TRAINNER_PALLAS"):
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _rgb_to_ycbcr(x: jnp.ndarray) -> jnp.ndarray:
     """NHWC RGB [0,255] -> YCbCr [0,255] full-swing (JPEG convention)."""
     mat = jnp.asarray(
@@ -135,16 +157,24 @@ def diff_jpeg(img: jnp.ndarray, quality) -> jnp.ndarray:
     y_tab = jnp.asarray(Y_TABLE).reshape(-1)
     c_tab = jnp.asarray(C_TABLE).reshape(-1)
 
+    use_pallas = _use_pallas_kernel()
+
     def encode_decode(channel: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
         ch, cw = channel.shape[1], channel.shape[2]
         blocks = _to_blocks(channel - 128.0)  # (B, nblocks, 64)
-        coeffs = jnp.einsum("uk,bnk->bnu", dct_m, blocks)
-        qtab = jnp.clip(table[None, None, :] * factor, 1.0, 255.0)
-        quant = _diff_round(coeffs / qtab)
-        deq = quant * qtab
-        # IDCT: dct matrix is orthogonal up to the alpha scaling -> use
-        # transpose with inverse scaling baked into the matrix product
-        spatial = jnp.einsum("uk,bnu->bnk", _idct_matrix(), deq)
+        qtab = jnp.clip(table[None, None, :] * factor, 1.0, 255.0)  # (B,1,64)
+        if use_pallas:
+            # fused VMEM-resident DCT/quant/IDCT (ops/pallas/jpeg_kernel.py)
+            from trainner_redux_tpu.ops.pallas.jpeg_kernel import jpeg_block_transform
+
+            spatial = jpeg_block_transform(blocks, qtab[:, 0, :])
+        else:
+            coeffs = jnp.einsum("uk,bnk->bnu", dct_m, blocks)
+            quant = _diff_round(coeffs / qtab)
+            deq = quant * qtab
+            # IDCT: dct matrix is orthogonal up to the alpha scaling -> use
+            # transpose with inverse scaling baked into the matrix product
+            spatial = jnp.einsum("uk,bnu->bnk", _idct_matrix(), deq)
         return _from_blocks(spatial, ch, cw) + 128.0
 
     y2 = encode_decode(y, y_tab)
