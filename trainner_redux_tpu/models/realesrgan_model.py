@@ -33,14 +33,30 @@ class RealESRGANModel(SRModel):
         self.queue_size = int(opt.queue_size)
         self._pool: dict[str, Any] | None = None
         self._feed_count = 0
-        self._degrade_jit = jax.jit(self._degrade)
+        self._degrade_jit = jax.jit(self._degrade, static_argnames=("skip_compression",))
         self._pool_jit = jax.jit(self._pool_step)
+        self._op_jits: dict[str, Any] = {}
+
+        # degradation sequence control (reference paragon_sequences.py; the
+        # reference's enable_sequences path is broken by a missing import —
+        # fixed by construction here)
+        self.sequence_controller = None
+        if opt.enable_sequences:
+            from trainner_redux_tpu.models.paragon_sequences import (
+                SequenceController,
+                create_predefined_sequences,
+            )
+
+            self.sequence_controller = SequenceController(
+                create_predefined_sequences(), seed=opt.manual_seed or 0
+            )
+            self._seq_rng = np.random.default_rng([opt.manual_seed or 0, 515151])
 
     # ------------------------------------------------------------------
     # the jitted degradation program
     # ------------------------------------------------------------------
 
-    def _degrade(self, gt, kernel1, kernel2, sinc_kernel, key):
+    def _degrade(self, gt, kernel1, kernel2, sinc_kernel, key, skip_compression=False):
         """(B, gt_size+32, gt_size+32, 3) GT -> cropped (gt, lq) pair."""
         opt = self.opt
         scale = self.scale
@@ -212,6 +228,13 @@ class RealESRGANModel(SRModel):
         out = D.filter2d(out, sinc_kernel)
 
         # -------- stage 4: compression (jpeg + modern-codec surrogates) --------
+        if skip_compression:
+            # a degradation sequence replaces the compression stages
+            lq = D.round_to_uint8(out)
+            gt_size0 = self.opt.datasets["train"].gt_size
+            assert gt_size0 is not None
+            return D.paired_random_crop_device(gt, lq, keys[47], gt_size0, scale)
+
         fmt_probs = np.asarray(opt.compression_weights, np.float64)
         fmt_probs = fmt_probs / fmt_probs.sum()
         ranges = {
@@ -335,6 +358,48 @@ class RealESRGANModel(SRModel):
 
     # ------------------------------------------------------------------
 
+    def _apply_plan(self, lq, plan, key):
+        """Execute a degradation-sequence plan with per-op jitted executors."""
+        from trainner_redux_tpu.ops.resize import gaussian_blur
+
+        def get(name, fn):
+            if name not in self._op_jits:
+                self._op_jits[name] = jax.jit(fn)
+            return self._op_jits[name]
+
+        for i, (op, params) in enumerate(plan):
+            k = jax.random.fold_in(key, i + 100)
+            b = lq.shape[0]
+            if op in ("jpeg", "recompress_jpeg"):
+                q = float(params.get("quality", 75.0))
+                lq = get("jpeg", lambda x, qq: D.diff_jpeg_clip(x, qq))(
+                    lq, jnp.full((b,), q, jnp.float32)
+                )
+            elif op == "blur":
+                sigma = float(params.get("sigma", 1.0))
+                lq = jnp.clip(gaussian_blur(lq, 7, sigma), 0.0, 1.0)
+            elif op == "sensor_noise":
+                std = float(params.get("std", 0.02))
+                lq = get("snoise", D.apply_sensor_noise)(
+                    lq, k, jnp.full((b, 1, 1, 1), std, jnp.float32)
+                )
+            elif op == "oversharpen":
+                s_ = float(params.get("strength", 1.2))
+                lq = get("osharp", D.apply_oversharpen)(
+                    lq, jnp.full((b, 1, 1, 1), s_, jnp.float32)
+                )
+            elif op == "exposure":
+                f_ = float(params.get("factor", 1.0))
+                lq = get("expo", D.apply_exposure)(
+                    lq, jnp.full((b, 1, 1, 1), f_, jnp.float32)
+                )
+            elif op == "lens_distortion":
+                s_ = float(params.get("strength", 0.05))
+                lq = get("lens", D.apply_lens_distortion)(
+                    lq, jnp.full((b,), s_, jnp.float32)
+                )
+        return D.round_to_uint8(lq)
+
     def feed_data(self, data: dict[str, Any]) -> None:
         if not (self.is_train and "kernel1" in data):
             super().feed_data(data)
@@ -351,9 +416,18 @@ class RealESRGANModel(SRModel):
         key = jax.random.fold_in(
             jax.random.key((self.opt.manual_seed or 0) + 7919), self._feed_count
         )
+        plan = None
+        if (
+            self.sequence_controller is not None
+            and self._seq_rng.uniform() < self.opt.sequence_probability
+        ):
+            plan = self.sequence_controller.plan()
         gt, lq = self._degrade_jit(
-            batch["gt"], batch["kernel1"], batch["kernel2"], batch["sinc_kernel"], key
+            batch["gt"], batch["kernel1"], batch["kernel2"], batch["sinc_kernel"], key,
+            skip_compression=bool(plan),
         )
+        if plan:
+            lq = self._apply_plan(lq, plan, key)
 
         if self.queue_size > 0:
             b = int(lq.shape[0])

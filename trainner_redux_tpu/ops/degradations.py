@@ -305,3 +305,8 @@ def compress_jpeg_like(
     )
     q = jnp.clip(q + quality_offset, 1.0, 100.0)
     return diff_jpeg(img, q)
+
+
+def diff_jpeg_clip(img: jnp.ndarray, quality: jnp.ndarray) -> jnp.ndarray:
+    """DiffJPEG with traced per-sample quality, clipped to [0,1]."""
+    return jnp.clip(diff_jpeg(img, quality), 0.0, 1.0)
