@@ -111,7 +111,23 @@ class DataLoader:
         def gen():
             try:
                 while True:
-                    item = out_q.get()
+                    # worker-health behavior (reference prefetch_dataloader.py
+                    # WorkerHealthMonitor/RobustPrefetchGenerator): bounded
+                    # waits with retries, then a hard error naming the stall
+                    item = None
+                    got = False
+                    for _attempt in range(6):
+                        try:
+                            item = out_q.get(timeout=60)
+                            got = True
+                            break
+                        except queue.Empty:
+                            if not thread.is_alive():
+                                raise RuntimeError(
+                                    "data loader producer died without result"
+                                ) from None
+                    if not got:
+                        raise RuntimeError("data loader stalled (>6 min per batch)")
                     if item is None:
                         break
                     if isinstance(item, Exception):

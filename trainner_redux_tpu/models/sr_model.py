@@ -269,9 +269,18 @@ class SRModel(BaseModel):
     ):
         """Compute (total_loss, (logs, output, raw_gan)) for one micro-batch. Traced.
         dyn_w: optional per-loss multiplier vector (dynamic loss scheduling)."""
+        # input/output pixel-format conversion (reference sr_model.py:471-486)
+        if self.opt.input_pixel_format == "ycbcr":
+            from trainner_redux_tpu.utils.color_util import rgb2ycbcr as _r2y
+
+            lq = _r2y(lq)
         output = self.net_g.apply(
             {"params": params_g}, lq, train=True, rngs={"dropout": key}
         )
+        if self.opt.output_pixel_format == "ycbcr":
+            from trainner_redux_tpu.utils.color_util import ycbcr2rgb as _y2r
+
+            output = jnp.clip(_y2r(output), 0.0, 1.0)
         logs: dict[str, jnp.ndarray] = {}
         total = jnp.zeros((), jnp.float32)
         raw_gan = jnp.zeros((), jnp.float32)
@@ -606,8 +615,20 @@ class SRModel(BaseModel):
         """Shape-keyed jitted eval apply (pad to multiple of 16 to bound
         recompiles across validation image sizes)."""
         if key not in self._apply_cache:
+            in_fmt = self.opt.input_pixel_format
+            out_fmt = self.opt.output_pixel_format
+
             def apply(params, lq):
-                return self.net_g.apply({"params": params}, lq, train=False)
+                if in_fmt == "ycbcr":
+                    from trainner_redux_tpu.utils.color_util import rgb2ycbcr as _r2y
+
+                    lq = _r2y(lq)
+                out = self.net_g.apply({"params": params}, lq, train=False)
+                if out_fmt == "ycbcr":
+                    from trainner_redux_tpu.utils.color_util import ycbcr2rgb as _y2r
+
+                    out = jnp.clip(_y2r(out), 0.0, 1.0)
+                return out
 
             self._apply_cache[key] = jax.jit(apply)
         return self._apply_cache[key]
