@@ -22,7 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from trainner_redux_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from trainner_redux_tpu.parallel.mesh import (
+    TENSOR_AXIS,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params,
+)
 from trainner_redux_tpu.utils.dist_util import master_only
 from trainner_redux_tpu.utils.logger import get_root_logger
 from trainner_redux_tpu.utils.redux_options import ReduxOptions
@@ -48,6 +54,10 @@ class BaseModel:
         return {**shard_batch(self.mesh, arrays), **rest}
 
     def replicate(self, tree: Any) -> Any:
+        # on dp-only meshes: replicate; with a 'tensor' axis: shard large
+        # kernels' output channels over it (optimizer state follows via jit)
+        if TENSOR_AXIS in self.mesh.axis_names:
+            return shard_params(self.mesh, tree)
         return replicate(self.mesh, tree)
 
     @staticmethod

@@ -77,3 +77,38 @@ def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
             f"global batch {global_batch_size} not divisible by process count {n_proc}"
         )
     return global_batch_size // n_proc
+
+
+def param_sharding_rule(mesh: Mesh, min_shard_elems: int = 1 << 16):
+    """Sharding rule for parameter trees on meshes with a 'tensor' axis.
+
+    Large kernels shard their output-channel (last) dimension over 'tensor'
+    (the dimension optax updates elementwise, so optimizer state follows);
+    small params stay replicated. On a pure-data mesh everything replicates.
+    Returns fn(param) -> NamedSharding.
+    """
+    if TENSOR_AXIS not in mesh.axis_names:
+        rep = NamedSharding(mesh, P())
+        return lambda p: rep
+
+    tsize = mesh.shape[TENSOR_AXIS]
+    rep = NamedSharding(mesh, P())
+
+    def rule(p) -> NamedSharding:
+        shape = getattr(p, "shape", ())
+        if (
+            len(shape) >= 1
+            and int(np.prod(shape)) >= min_shard_elems
+            and shape[-1] % tsize == 0
+        ):
+            spec = [None] * (len(shape) - 1) + [TENSOR_AXIS]
+            return NamedSharding(mesh, P(*spec))
+        return rep
+
+    return rule
+
+
+def shard_params(mesh: Mesh, tree: Any, min_shard_elems: int = 1 << 16) -> Any:
+    """device_put a param tree under the tensor-sharding rule."""
+    rule = param_sharding_rule(mesh, min_shard_elems)
+    return jax.tree.map(lambda p: jax.device_put(p, rule(p)), tree)
