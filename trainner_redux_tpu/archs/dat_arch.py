@@ -56,9 +56,9 @@ class SGFN(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, H, W, C)
         x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x1, x2 = jnp.split(x, 2, axis=-1)
-        x2 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="sg_norm")(x2)
+        x2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="sg_norm")(x2)
         x2 = Conv2d(
             self.hidden // 2, 3, feature_group_count=self.hidden // 2,
             dtype=self.dtype, name="sg_conv",
@@ -124,10 +124,10 @@ class DynamicPosBias(nn.Module):
     def __call__(self, biases: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="pos_proj")(biases)
         for i in (1, 2):
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name=f"norm{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=f"norm{i}")(x)
             x = nn.relu(x)
             x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name=f"pos{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm3")(x)
         x = nn.relu(x)
         return nn.Dense(self.num_heads, dtype=self.dtype, param_dtype=jnp.float32, name="pos3")(x)
 
@@ -316,7 +316,7 @@ class DATB(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         if self.b_idx % 2 == 0:
             do_shift = (
                 self.rg_idx % 2 == 0 and self.b_idx > 0 and (self.b_idx - 2) % 4 == 0
@@ -331,7 +331,7 @@ class DATB(nn.Module):
                 dtype=self.dtype, name="attn",
             )(xn)
         x = x + DropPath(self.drop_path, name="dp1")(att, train)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         y = SGFN(
             int(self.dim * self.expansion_factor), self.dim, dtype=self.dtype, name="ffn"
         )(y)
@@ -364,7 +364,7 @@ class DAT(nn.Module):
             x = (x - mean) * self.img_range
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_first")(x)
-        body = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="before_RG")(feat)
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="before_RG")(feat)
 
         shift = (self.split_size[0] // 2, self.split_size[1] // 2)
         total = sum(self.depth)

@@ -90,7 +90,7 @@ class DRCT(nn.Module):
                 self.embed_dim, self.growth, heads, ws, self.mlp_ratio, dpr[gi],
                 dtype=self.dtype, name=f"layers_{gi}",
             )(body, train)
-        body = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(body)
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(body)
         body = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body")(body)
         feat = feat + body
 

@@ -41,7 +41,7 @@ class CAB(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mid = max(1, self.num_feat // int(self.compress_ratio))
         y = Conv2d(mid, 3, dtype=self.dtype, name="conv0")(x)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = Conv2d(self.num_feat, 3, dtype=self.dtype, name="conv1")(y)
         # squeeze-excite channel attention
         att = y.mean(axis=(1, 2), keepdims=True)
@@ -75,7 +75,7 @@ class HAB(nn.Module):
         shift = self.shift_size if min(h, w) > ws else 0
 
         shortcut = x
-        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
 
         conv_x = CAB(
             self.dim, self.compress_ratio, self.squeeze_factor, dtype=self.dtype,
@@ -100,10 +100,10 @@ class HAB(nn.Module):
             attn_x + self.conv_scale * conv_x, train
         )
 
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(y)
         return x + DropPath(self.drop_path, name="drop_path2")(y, train)
 
@@ -132,7 +132,7 @@ class OCAB(nn.Module):
         scale = hd**-0.5
 
         shortcut = x
-        xn = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
 
         qkv = nn.Dense(
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
@@ -184,10 +184,10 @@ class OCAB(nn.Module):
         out = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
         x = shortcut + window_reverse(out, ws, h, w)
 
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(y)
         return x + y
 
@@ -295,7 +295,7 @@ class HAT(nn.Module):
                 dtype=self.dtype, name=f"layers_{i}",
             )(body, train)
             cursor += depth
-        body = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(body)
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(body)
         body = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body")(body)
         feat = feat + body
 

@@ -22,7 +22,7 @@ class ChannelLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(x)
 
 
 def _dw(ch: int, k: int, dilation: int = 1, dtype=jnp.float32, name: str = "dw"):

@@ -29,7 +29,7 @@ class GatedCNNBlock(nn.Module):
         hidden = int(d * self.expansion_ratio)
         conv_ch = int(d * self.conv_ratio)
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         x = Conv2d(hidden * 2, 3, dtype=self.dtype, name="fc1")(x)
         g, rest = x[..., :hidden], x[..., hidden:]
         i_part, c_part = rest[..., : hidden - conv_ch], rest[..., hidden - conv_ch :]
@@ -37,7 +37,7 @@ class GatedCNNBlock(nn.Module):
             conv_ch, self.kernel_size, feature_group_count=conv_ch,
             dtype=self.dtype, name="conv",
         )(c_part)
-        x = nn.gelu(g) * jnp.concatenate([i_part, c_part], axis=-1)
+        x = nn.gelu(g, approximate=False) * jnp.concatenate([i_part, c_part], axis=-1)
         x = Conv2d(d, 1, dtype=self.dtype, name="fc2")(x)
         return x + shortcut
 

@@ -30,7 +30,7 @@ class DCCM(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = Conv2d(self.dim * 2, 3, dtype=self.dtype, name="conv0")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return Conv2d(self.dim, 3, dtype=self.dtype, name="conv1")(x)
 
 
@@ -46,7 +46,7 @@ class PLKBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         shortcut = x
         if self.norm:
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         x = DCCM(self.dim, dtype=self.dtype, name="channel_mixer")(x)
 
         # partial large-kernel conv on the first split of channels

@@ -30,7 +30,7 @@ def _act(x: jnp.ndarray, mode: str) -> jnp.ndarray:
     if mode == "silu":
         return nn.silu(x)
     if mode == "gelu":
-        return nn.gelu(x)
+        return nn.gelu(x, approximate=False)
     return x
 
 

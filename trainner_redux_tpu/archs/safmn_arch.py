@@ -56,7 +56,7 @@ class SAFM(nn.Module):
         out = Conv2d(self.dim, 1, dtype=self.dtype, name="aggr")(
             jnp.concatenate(parts, axis=-1)
         )
-        return nn.gelu(out) * x
+        return nn.gelu(out, approximate=False) * x
 
 
 class CCM(nn.Module):
@@ -68,7 +68,7 @@ class CCM(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = int(self.dim * self.ffn_scale)
         x = Conv2d(hidden, 3, dtype=self.dtype, name="conv0")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         return Conv2d(self.dim, 1, dtype=self.dtype, name="conv1")(x)
 
 
@@ -79,9 +79,9 @@ class AttBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         x = x + SAFM(self.dim, dtype=self.dtype, name="safm")(y)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         return x + CCM(self.dim, self.ffn_scale, dtype=self.dtype, name="ccm")(y)
 
 

@@ -115,7 +115,7 @@ class SRFormerBlock(nn.Module):
         ws = self.window_size
         shift = self.shift_size if min(h, w) > ws else 0
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         if shift:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         win = window_partition(x, ws)
@@ -126,10 +126,10 @@ class SRFormerBlock(nn.Module):
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + DropPath(self.drop_path, name="dp1")(x, train)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         hid = int(self.dim * self.mlp_ratio)
         y = nn.Dense(hid, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(y)
         return x + DropPath(self.drop_path, name="dp2")(y, train)
 
@@ -177,7 +177,7 @@ class SRFormer(nn.Module):
             res = Conv2d(self.embed_dim, 3, dtype=self.dtype, name=f"layers_{gi}_conv")(res)
             body = body + res
             cursor += depth
-        body = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(body)
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(body)
         body = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body")(body)
         feat = feat + body
 

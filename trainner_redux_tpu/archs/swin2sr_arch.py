@@ -113,13 +113,13 @@ class Swin2Block(nn.Module):
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         # SwinV2 post-norm residual
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(y)
         x = shortcut + DropPath(self.drop_path, name="dp1")(y, train)
 
         z = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
-        z = nn.gelu(z)
+        z = nn.gelu(z, approximate=False)
         z = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(z)
-        z = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(z)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(z)
         return x + DropPath(self.drop_path, name="dp2")(z, train)
 
 
@@ -165,7 +165,7 @@ class Swin2SR(nn.Module):
             res = Conv2d(self.embed_dim, 3, dtype=self.dtype, name=f"layers_{gi}_conv")(res)
             body = body + res
             cursor += depth
-        body = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(body)
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(body)
         body = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body")(body)
         feat = feat + body
 

@@ -167,7 +167,7 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if min(h, w) > ws else 0
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         windows = window_partition(x, ws)
@@ -182,10 +182,10 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train)
 
         # MLP
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(y)
         return x + DropPath(self.drop_path, name="drop_path2")(y, train)
 
@@ -302,7 +302,7 @@ class SwinIR(nn.Module):
                 name=f"layers_{i}",
             )(body, train)
             cursor += depth
-        body = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(body)
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(body)
         if self.resi_connection == "1conv":
             body = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body")(body)
         else:
