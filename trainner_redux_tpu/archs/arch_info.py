@@ -118,8 +118,28 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "scales": [2, 3, 4], "video": False},
     {"names": ["artcnn", "artcnn_r16f96", "artcnn_r8f64", "artcnn_r8f48"],
      "family": "ArtCNN", "scales": [1, 2, 4], "video": False},
+    {"names": ["srformer", "srformer_light"], "family": "SRFormer", "scales": [2, 3, 4],
+     "video": False},
+    {"names": ["swin2sr_s", "swin2sr_m"], "family": "Swin2SR", "scales": [2, 4],
+     "video": False},
+    {"names": ["drct", "drct_l"], "family": "DRCT", "scales": [2, 3, 4], "video": False},
+    {"names": ["elan", "elan_light"], "family": "ELAN", "scales": [2, 3, 4],
+     "video": False},
+    {"names": ["fdat_tiny", "fdat_light", "fdat_medium", "fdat_large", "fdat_xl"],
+     "family": "FDAT", "scales": [1, 2, 3, 4], "video": False},
+    {"names": ["mosr", "mosr_t"], "family": "MoSR", "scales": [2, 4], "video": False},
+    {"names": ["spanplus", "spanplus_s", "spanplus_st", "spanplus_sts"],
+     "family": "SPANPlus", "scales": [1, 2, 4], "video": False},
+    {"names": ["lkfmixer_t", "lkfmixer_b", "lkfmixer_l"], "family": "LKFMixer",
+     "scales": [2, 3, 4], "video": False},
+    {"names": ["eimn_l", "eimn_a"], "family": "EIMN", "scales": [2, 3, 4],
+     "video": False},
+    {"names": ["sebica", "sebica_mini"], "family": "Sebica", "scales": [2, 4],
+     "video": False},
+    {"names": ["omnisr"], "family": "OmniSR", "scales": [2, 3, 4], "video": False},
     {"names": ["temporalspan"], "family": "TemporalSPAN", "scales": [2, 4],
      "video": True},
+    {"names": ["tscunet"], "family": "TSCUNet", "scales": [1, 2, 4], "video": True},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
