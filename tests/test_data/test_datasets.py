@@ -1,0 +1,100 @@
+"""Dataset unit tests (parity: reference tests/test_data/): path pairing,
+crop shapes, meta-info pairing, pack backend, sampler determinism."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ds_root(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("pairs")
+    (root / "hr").mkdir()
+    (root / "lr").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        hr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "hr" / f"img{i}.png"), hr)
+        cv2.imwrite(str(root / "lr" / f"img{i}x4.png"), cv2.resize(hr, (16, 16)))
+    (root / "meta.txt").write_text("img0.png\nimg2.png\n")
+    return root
+
+
+def _opt(root, **kw):
+    from trainner_redux_tpu.utils.redux_options import DatasetOptions
+
+    opt = DatasetOptions(
+        name="t", type="pairedimagedataset",
+        dataroot_gt=[str(root / "hr")], dataroot_lq=[str(root / "lr")],
+        filename_tmpl="{}x4", **kw,
+    )
+    opt.scale = 4
+    return opt
+
+
+def test_filename_template_pairing(ds_root):
+    from trainner_redux_tpu.data import build_dataset
+
+    opt = _opt(ds_root)
+    opt.phase = "val"
+    ds = build_dataset(opt)
+    assert len(ds) == 5
+    s = ds[0]
+    assert s["gt"].shape == (64, 64, 3)
+    assert s["lq"].shape == (16, 16, 3)
+    assert s["lq_path"].endswith("x4.png")
+
+
+def test_train_crop_shapes(ds_root):
+    from trainner_redux_tpu.data import build_dataset
+
+    opt = _opt(ds_root, lq_size=8)
+    opt.phase = "train"
+    ds = build_dataset(opt)
+    s = ds[1]
+    assert s["gt"].shape == (32, 32, 3)  # lq_size * scale
+    assert s["lq"].shape == (8, 8, 3)
+    assert 0.0 <= s["lq"].min() and s["lq"].max() <= 1.0
+
+
+def test_meta_info_pairing(ds_root):
+    from trainner_redux_tpu.data import build_dataset
+
+    opt = _opt(ds_root, meta_info=str(ds_root / "meta.txt"))
+    opt.phase = "val"
+    ds = build_dataset(opt)
+    assert len(ds) == 2
+
+
+def test_pack_backend_roundtrip(ds_root, tmp_path):
+    from trainner_redux_tpu.data.packfile import PackReader, make_pack_from_imgs
+
+    pack = tmp_path / "hr.pack"
+    n = make_pack_from_imgs(str(ds_root / "hr"), str(pack))
+    assert n == 5
+    reader = PackReader(str(pack))
+    assert len(reader) == 5
+    data = reader.get(reader.keys()[0])
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    assert img.shape == (64, 64, 3)
+
+
+def test_enlarged_sampler_determinism():
+    from trainner_redux_tpu.data.data_sampler import EnlargedSampler, resolve_enlarge_ratio
+
+    s0 = EnlargedSampler(10, num_replicas=2, rank=0, ratio=2)
+    s1 = EnlargedSampler(10, num_replicas=2, rank=1, ratio=2)
+    s0.set_epoch(3)
+    s1.set_epoch(3)
+    i0, i1 = list(s0), list(s1)
+    assert len(i0) == len(i1) == 10  # ceil(10*2/2)
+    assert all(0 <= i < 10 for i in i0 + i1)
+    # disjoint interleave of the same permutation
+    s0b = EnlargedSampler(10, 2, 0, 2)
+    s0b.set_epoch(3)
+    assert list(s0b) == i0  # deterministic per epoch
+    assert resolve_enlarge_ratio("auto", 50) == 20
+    assert resolve_enlarge_ratio(3, 50) == 3
