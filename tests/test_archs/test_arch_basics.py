@@ -124,3 +124,60 @@ def test_train_step_no_nans():
         assert all(
             np.all(np.isfinite(np.asarray(leaf))) for leaf in jax.tree.leaves(new_params)
         )
+
+
+# one forward+backward+update NaN sweep over every ported generator family
+GRAD_SWEEP = [
+    {"type": "compact", "scale": 2, "num_feat": 8, "num_conv": 1},
+    {"type": "span_f32", "scale": 2},
+    {"type": "esrgan_lite", "scale": 2, "num_blocks": 1, "num_filters": 8},
+    {"type": "rcan", "scale": 2, "n_resgroups": 1, "n_resblocks": 1, "n_feats": 8,
+     "reduction": 4},
+    {"type": "swinir_s", "scale": 2, "embed_dim": 16, "depths": [2], "num_heads": [2],
+     "drop_path_rate": 0.0},
+    {"type": "hat", "scale": 2, "embed_dim": 16, "depths": [2], "num_heads": [2],
+     "window_size": 8, "drop_path_rate": 0.0, "num_feat": 16},
+    {"type": "dat", "scale": 2, "embed_dim": 16, "depth": [2], "num_heads": [2],
+     "split_size": [2, 4], "drop_path_rate": 0.0, "num_feat": 16},
+    {"type": "fdat_tiny", "scale": 2, "embed_dim": 16, "num_groups": 1,
+     "depth_per_group": 1, "num_heads": 2, "drop_path_rate": 0.0},
+    {"type": "srformer", "scale": 2, "embed_dim": 16, "depths": [2], "num_heads": [2],
+     "window_size": 8, "drop_path_rate": 0.0, "num_feat": 16},
+    {"type": "swin2sr_s", "scale": 2, "embed_dim": 16, "depths": [2], "num_heads": [2],
+     "window_size": 8, "drop_path_rate": 0.0, "num_feat": 16},
+    {"type": "drct", "scale": 2, "embed_dim": 18, "num_heads": [2], "window_size": 4,
+     "growth": 6, "drop_path_rate": 0.0, "num_feat": 16},
+    {"type": "elan", "scale": 2, "m_elan": 2, "c_elan": 30, "window_sizes": [2, 4, 8]},
+    {"type": "safmn", "scale": 2, "dim": 16, "n_blocks": 1},
+    {"type": "man_tiny", "scale": 2, "n_feats": 12, "n_resblocks": 1},
+    {"type": "plksr_tiny", "scale": 2, "dim": 16, "n_blocks": 1},
+    {"type": "mosr_t", "scale": 2, "dim": 16, "n_block": 1},
+    {"type": "spanplus_sts", "scale": 2, "feature_channels": 16, "blocks": [1]},
+    {"type": "lkfmixer_t", "scale": 2, "channels": 16, "num_block": 1, "large_kernel": 7},
+    {"type": "eimn_a", "scale": 2, "embed_dims": 16, "num_stages": 1},
+    {"type": "sebica_mini", "scale": 2},
+    {"type": "omnisr", "scale": 2, "num_feat": 16, "res_num": 1, "window_size": 4},
+    {"type": "artcnn_r8f48", "scale": 2, "filters": 16, "n_block": 1},
+]
+
+
+@pytest.mark.parametrize("opt", GRAD_SWEEP, ids=lambda o: o["type"])
+def test_grad_sweep(opt):
+    """Registry conformance sweep (reference tests/test_archs/test_archs.py):
+    one full train step with finite loss/grads/params for every family."""
+    import optax
+
+    net = build_network(dict(opt))
+    x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3))
+    gt = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3))
+    params = net.init(jax.random.key(0), x, train=False)
+
+    def loss_fn(p):
+        return jnp.abs(net.apply(p, x, train=False) - gt).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    tx = optax.adamw(1e-4)
+    new_params = optax.apply_updates(params, tx.update(grads, tx.init(params), params)[0])
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
+    assert all(np.all(np.isfinite(np.asarray(p))) for p in jax.tree.leaves(new_params))
