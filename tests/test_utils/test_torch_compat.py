@@ -175,3 +175,81 @@ def test_srvgg_exporter_roundtrip(tmp_path):
     back = _convert_srvgg({k: np.asarray(v) for k, v in torch_sd.items()}, net)
     for k, v in flat.items():
         np.testing.assert_allclose(back[k], v, atol=0, err_msg=k)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("variant", ["swinir_s", "swinir_m"])
+def test_swinir_converter_covers_full_tree(variant):
+    """Synthesize a torch-layout SwinIR state dict (official key names,
+    shapes derived from the flax tree) and assert the converter reproduces
+    the init tree exactly — full coverage, correct transposes."""
+    from trainner_redux_tpu.utils.torch_compat import _convert_swinir
+
+    net = build_network(
+        {"type": variant, "scale": 2, "embed_dim": 16, "depths": [2, 2],
+         "num_heads": [2, 2], "drop_path_rate": 0.0}
+    )
+    x = jnp.ones((1, 16, 16, 3))
+    params = net.init(jax.random.key(0), x, train=False)["params"]
+    flat = BaseModel.flatten_params(params)
+
+    def to_torch_key(fk: str) -> str:
+        import re as _re
+
+        m = _re.fullmatch(r"layers_(\d+)\.blocks_(\d+)\.(.+)", fk)
+        if m:
+            i, j, rest = m.groups()
+            rest = (
+                rest.replace("mlp_fc", "mlp.fc")
+                .replace(".scale", ".weight")
+                .replace(".kernel", ".weight")
+            )
+            return f"layers.{i}.residual_group.blocks.{j}.{rest}"
+        m = _re.fullmatch(r"layers_(\d+)\.conv\.conv\.(kernel|bias)", fk)
+        if m:
+            return f"layers.{m.group(1)}.conv.{'weight' if m.group(2) == 'kernel' else 'bias'}"
+        m = _re.fullmatch(r"patch_norm\.(scale|bias)", fk)
+        if m:
+            return f"patch_embed.norm.{'weight' if m.group(1) == 'scale' else 'bias'}"
+        m = _re.fullmatch(r"norm\.(scale|bias)", fk)
+        if m:
+            return f"norm.{'weight' if m.group(1) == 'scale' else 'bias'}"
+        m = _re.fullmatch(r"conv_before_upsample\.conv\.(kernel|bias)", fk)
+        if m:
+            return f"conv_before_upsample.0.{'weight' if m.group(1) == 'kernel' else 'bias'}"
+        m = _re.fullmatch(r"upsample_(\d+)\.conv\.(kernel|bias)", fk)
+        if m:
+            return f"upsample.{2 * int(m.group(1))}.{'weight' if m.group(2) == 'kernel' else 'bias'}"
+        m = _re.fullmatch(r"upsample_direct\.conv\.(kernel|bias)", fk)
+        if m:
+            return f"upsample.0.{'weight' if m.group(1) == 'kernel' else 'bias'}"
+        m = _re.fullmatch(r"(\w+)\.conv\.(kernel|bias)", fk)
+        if m:
+            return f"{m.group(1)}.{'weight' if m.group(2) == 'kernel' else 'bias'}"
+        raise AssertionError(f"unmapped flax key {fk}")
+
+    from trainner_redux_tpu.utils.torch_compat import conv_w_inv
+
+    rng = np.random.default_rng(7)
+    sd = {}
+    for fk, v in flat.items():
+        tv = rng.standard_normal(v.shape).astype(np.float32)
+        flat[fk] = tv
+        if fk.endswith(".conv.kernel"):
+            sd[to_torch_key(fk)] = conv_w_inv(tv)
+        elif fk.endswith(".kernel"):
+            sd[to_torch_key(fk)] = np.ascontiguousarray(tv.T)
+        else:
+            sd[to_torch_key(fk)] = tv
+    # buffers the converter must skip
+    sd["layers.0.residual_group.blocks.1.attn_mask"] = np.zeros((4, 64, 64), np.float32)
+    sd["layers.0.residual_group.blocks.0.attn.relative_position_index"] = np.zeros(
+        (64, 64), np.int64
+    )
+
+    back = _convert_swinir(sd, net)
+    assert set(back) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(back[k], flat[k], err_msg=k)

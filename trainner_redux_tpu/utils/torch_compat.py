@@ -237,3 +237,105 @@ def _convert_rrdbnet(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]
         else:
             out[fk] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# SwinIR (official key layout; block math already golden-tested bit-exact)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("SwinIR")
+def _convert_swinir(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    """Map official SwinIR torch keys -> flax keys.
+
+    Torch layout (reference loads these via spandrel; upstream SwinIR repo):
+      layers.{i}.residual_group.blocks.{j}.{norm1,attn.qkv,attn.proj,norm2,
+      mlp.fc1,mlp.fc2}, layers.{i}.conv[.{0,2,4}], patch_embed.norm, norm,
+      conv_first, conv_after_body[.{0,2,4}], conv_before_upsample.0,
+      upsample.{2k}, conv_last, conv_up1/2, conv_hr.
+    Buffers (relative_position_index, attn_mask) are recomputed statically.
+    """
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(("relative_position_index", "attn_mask")) or k.startswith(
+            ("absolute_pos_embed", "mean")
+        ):
+            continue
+        m = re.fullmatch(
+            r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\.(.+)\.(weight|bias)", k
+        )
+        if m:
+            i, j, inner, kind = m.groups()
+            prefix = f"layers_{i}.blocks_{j}"
+            if inner in ("norm1", "norm2"):
+                out[f"{prefix}.{inner}.{'scale' if kind == 'weight' else 'bias'}"] = v
+            elif inner in ("attn.qkv", "attn.proj"):
+                out[f"{prefix}.{inner}.{'kernel' if kind == 'weight' else 'bias'}"] = (
+                    linear_w(v) if kind == "weight" else v
+                )
+            elif inner in ("mlp.fc1", "mlp.fc2"):
+                tgt = inner.replace("mlp.fc", "mlp_fc")
+                out[f"{prefix}.{tgt}.{'kernel' if kind == 'weight' else 'bias'}"] = (
+                    linear_w(v) if kind == "weight" else v
+                )
+            continue
+        m = re.fullmatch(
+            r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\.attn"
+            r"\.relative_position_bias_table",
+            k,
+        )
+        if m:
+            out[f"layers_{m.group(1)}.blocks_{m.group(2)}.attn.relative_position_bias_table"] = v
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.conv\.(weight|bias)", k)
+        if m:
+            kind = m.group(2)
+            fk = f"layers_{m.group(1)}.conv.conv.{'kernel' if kind == 'weight' else 'bias'}"
+            out[fk] = conv_w(v) if kind == "weight" else v
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.conv\.(\d+)\.(weight|bias)", k)
+        if m:  # 3conv residual connection: seq indices 0/2/4 -> conv_0/1/2
+            i, si, kind = m.group(1), int(m.group(2)) // 2, m.group(3)
+            fk = f"layers_{i}.conv_{si}.conv.{'kernel' if kind == 'weight' else 'bias'}"
+            out[fk] = conv_w(v) if kind == "weight" else v
+            continue
+        m = re.fullmatch(r"patch_embed\.norm\.(weight|bias)", k)
+        if m:
+            out[f"patch_norm.{'scale' if m.group(1) == 'weight' else 'bias'}"] = v
+            continue
+        m = re.fullmatch(r"norm\.(weight|bias)", k)
+        if m:
+            out[f"norm.{'scale' if m.group(1) == 'weight' else 'bias'}"] = v
+            continue
+        m = re.fullmatch(r"conv_after_body\.(\d+)\.(weight|bias)", k)
+        if m:
+            si, kind = int(m.group(1)) // 2, m.group(2)
+            fk = f"conv_after_body_{si}.conv.{'kernel' if kind == 'weight' else 'bias'}"
+            out[fk] = conv_w(v) if kind == "weight" else v
+            continue
+        m = re.fullmatch(r"conv_before_upsample\.0\.(weight|bias)", k)
+        if m:
+            fk = f"conv_before_upsample.conv.{'kernel' if m.group(1) == 'weight' else 'bias'}"
+            out[fk] = conv_w(v) if m.group(1) == "weight" else v
+            continue
+        m = re.fullmatch(r"upsample\.(\d+)\.(weight|bias)", k)
+        if m:
+            si, kind = int(m.group(1)) // 2, m.group(2)
+            name = (
+                "upsample_direct"
+                if getattr(module, "upsampler", "") == "pixelshuffledirect"
+                else f"upsample_{si}"
+            )
+            fk = f"{name}.conv.{'kernel' if kind == 'weight' else 'bias'}"
+            out[fk] = conv_w(v) if kind == "weight" else v
+            continue
+        m = re.fullmatch(
+            r"(conv_first|conv_after_body|conv_last|conv_up1|conv_up2|conv_hr)"
+            r"\.(weight|bias)",
+            k,
+        )
+        if m:
+            fk = f"{m.group(1)}.conv.{'kernel' if m.group(2) == 'weight' else 'bias'}"
+            out[fk] = conv_w(v) if m.group(2) == "weight" else v
+            continue
+    return out
