@@ -253,3 +253,73 @@ def test_swinir_converter_covers_full_tree(variant):
     assert set(back) == set(flat)
     for k in flat:
         np.testing.assert_array_equal(back[k], flat[k], err_msg=k)
+
+
+def test_hat_converter_covers_full_tree():
+    """Same synthesis strategy as the SwinIR test, for HAT (HAB + OCAB +
+    CAB channel attention)."""
+    from trainner_redux_tpu.utils.torch_compat import _convert_hat, conv_w_inv
+
+    net = build_network(
+        {"type": "hat", "scale": 2, "embed_dim": 16, "depths": [2], "num_heads": [2],
+         "window_size": 8, "drop_path_rate": 0.0, "num_feat": 16}
+    )
+    x = jnp.ones((1, 16, 16, 3))
+    params = net.init(jax.random.key(0), x, train=False)["params"]
+    flat = BaseModel.flatten_params(params)
+
+    cab_inv = {"conv0": "cab.0", "conv1": "cab.2",
+               "att0": "cab.3.attention.1", "att1": "cab.3.attention.3"}
+
+    def to_torch_key(fk: str) -> str:
+        import re as _re
+
+        m = _re.fullmatch(r"layers_(\d+)\.blocks_(\d+)\.conv_block\.(\w+)\.conv\.(kernel|bias)", fk)
+        if m:
+            i, j, part, kind = m.groups()
+            return (f"layers.{i}.residual_group.blocks.{j}.conv_block."
+                    f"{cab_inv[part]}.{'weight' if kind == 'kernel' else 'bias'}")
+        m = _re.fullmatch(r"layers_(\d+)\.(blocks_\d+|overlap_attn)\.(.+)", fk)
+        if m:
+            i, mid, rest = m.groups()
+            rest = (rest.replace("mlp_fc", "mlp.fc").replace(".scale", ".weight")
+                    .replace(".kernel", ".weight"))
+            if mid == "overlap_attn":
+                return f"layers.{i}.residual_group.overlap_attn.{rest}"
+            j = mid.removeprefix("blocks_")
+            return f"layers.{i}.residual_group.blocks.{j}.{rest}"
+        m = _re.fullmatch(r"layers_(\d+)\.conv\.conv\.(kernel|bias)", fk)
+        if m:
+            return f"layers.{m.group(1)}.conv.{'weight' if m.group(2) == 'kernel' else 'bias'}"
+        m = _re.fullmatch(r"norm\.(scale|bias)", fk)
+        if m:
+            return f"norm.{'weight' if m.group(1) == 'scale' else 'bias'}"
+        m = _re.fullmatch(r"conv_before_upsample\.conv\.(kernel|bias)", fk)
+        if m:
+            return f"conv_before_upsample.0.{'weight' if m.group(1) == 'kernel' else 'bias'}"
+        m = _re.fullmatch(r"upsample_(\d+)\.conv\.(kernel|bias)", fk)
+        if m:
+            return f"upsample.{2 * int(m.group(1))}.{'weight' if m.group(2) == 'kernel' else 'bias'}"
+        m = _re.fullmatch(r"(\w+)\.conv\.(kernel|bias)", fk)
+        if m:
+            return f"{m.group(1)}.{'weight' if m.group(2) == 'kernel' else 'bias'}"
+        raise AssertionError(f"unmapped flax key {fk}")
+
+    rng = np.random.default_rng(11)
+    sd = {}
+    for fk, v in flat.items():
+        tv = rng.standard_normal(v.shape).astype(np.float32)
+        flat[fk] = tv
+        if fk.endswith(".conv.kernel"):
+            sd[to_torch_key(fk)] = conv_w_inv(tv)
+        elif fk.endswith(".kernel"):
+            sd[to_torch_key(fk)] = np.ascontiguousarray(tv.T)
+        else:
+            sd[to_torch_key(fk)] = tv
+    sd["relative_position_index_SA"] = np.zeros((64, 64), np.int64)
+    sd["relative_position_index_OCA"] = np.zeros((64, 144), np.int64)
+
+    back = _convert_hat(sd, net)
+    assert set(back) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(back[k], flat[k], err_msg=k)

@@ -339,3 +339,114 @@ def _convert_swinir(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
             out[fk] = conv_w(v) if m.group(2) == "weight" else v
             continue
     return out
+
+
+# ---------------------------------------------------------------------------
+# HAT (official key layout: RHAG = residual_group(HAB*, OCAB) + conv)
+# ---------------------------------------------------------------------------
+
+
+def _norm_key(kind: str) -> str:
+    return "scale" if kind == "weight" else "bias"
+
+
+def _dense_key(kind: str) -> str:
+    return "kernel" if kind == "weight" else "bias"
+
+
+@register_converter("HAT")
+def _convert_hat(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    """Map official HAT torch keys -> flax keys (hat_arch.py).
+
+    CAB sequential indices: cab.0/cab.2 convs, cab.3.attention.1/3 channel
+    attention convs. Buffers (relative_position_index_SA/OCA, attn_mask)
+    are recomputed statically.
+    """
+    cab_map = {
+        "cab.0": "conv0", "cab.2": "conv1",
+        "cab.3.attention.1": "att0", "cab.3.attention.3": "att1",
+    }
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if "relative_position_index" in k or k.endswith("attn_mask") or k.startswith(
+            ("mean", "absolute_pos_embed")
+        ):
+            continue
+        m = re.fullmatch(
+            r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\.(.+?)(?:\.(weight|bias))?$", k
+        )
+        if m:
+            i, j, inner, kind = m.groups()
+            prefix = f"layers_{i}.blocks_{j}"
+            if inner == "attn.relative_position_bias_table":
+                out[f"{prefix}.attn.relative_position_bias_table"] = v
+            elif inner in ("norm1", "norm2"):
+                out[f"{prefix}.{inner}.{_norm_key(kind)}"] = v
+            elif inner in ("attn.qkv", "attn.proj"):
+                out[f"{prefix}.{inner}.{_dense_key(kind)}"] = (
+                    linear_w(v) if kind == "weight" else v
+                )
+            elif inner in ("mlp.fc1", "mlp.fc2"):
+                tgt = inner.replace("mlp.fc", "mlp_fc")
+                out[f"{prefix}.{tgt}.{_dense_key(kind)}"] = (
+                    linear_w(v) if kind == "weight" else v
+                )
+            elif inner.startswith("conv_block."):
+                tgt = cab_map[inner.removeprefix("conv_block.")]
+                out[f"{prefix}.conv_block.{tgt}.conv.{_dense_key(kind)}"] = (
+                    conv_w(v) if kind == "weight" else v
+                )
+            continue
+        m = re.fullmatch(
+            r"layers\.(\d+)\.residual_group\.overlap_attn\.(.+?)(?:\.(weight|bias))?$", k
+        )
+        if m:
+            i, inner, kind = m.groups()
+            prefix = f"layers_{i}.overlap_attn"
+            if inner == "relative_position_bias_table":
+                out[f"{prefix}.relative_position_bias_table"] = v
+            elif inner in ("norm1", "norm2"):
+                out[f"{prefix}.{inner}.{_norm_key(kind)}"] = v
+            elif inner in ("qkv", "proj"):
+                out[f"{prefix}.{inner}.{_dense_key(kind)}"] = (
+                    linear_w(v) if kind == "weight" else v
+                )
+            elif inner in ("mlp.fc1", "mlp.fc2"):
+                tgt = inner.replace("mlp.fc", "mlp_fc")
+                out[f"{prefix}.{tgt}.{_dense_key(kind)}"] = (
+                    linear_w(v) if kind == "weight" else v
+                )
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.conv\.(weight|bias)", k)
+        if m:
+            kind = m.group(2)
+            out[f"layers_{m.group(1)}.conv.conv.{_dense_key(kind)}"] = (
+                conv_w(v) if kind == "weight" else v
+            )
+            continue
+        m = re.fullmatch(r"norm\.(weight|bias)", k)
+        if m:
+            out[f"norm.{_norm_key(m.group(1))}"] = v
+            continue
+        m = re.fullmatch(r"conv_before_upsample\.0\.(weight|bias)", k)
+        if m:
+            kind = m.group(1)
+            out[f"conv_before_upsample.conv.{_dense_key(kind)}"] = (
+                conv_w(v) if kind == "weight" else v
+            )
+            continue
+        m = re.fullmatch(r"upsample\.(\d+)\.(weight|bias)", k)
+        if m:
+            si, kind = int(m.group(1)) // 2, m.group(2)
+            out[f"upsample_{si}.conv.{_dense_key(kind)}"] = (
+                conv_w(v) if kind == "weight" else v
+            )
+            continue
+        m = re.fullmatch(r"(conv_first|conv_after_body|conv_last)\.(weight|bias)", k)
+        if m:
+            kind = m.group(2)
+            out[f"{m.group(1)}.conv.{_dense_key(kind)}"] = (
+                conv_w(v) if kind == "weight" else v
+            )
+            continue
+    return out
