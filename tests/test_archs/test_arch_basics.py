@@ -160,6 +160,7 @@ GRAD_SWEEP = [
     {"type": "artcnn_r8f48", "scale": 2, "filters": 16, "n_block": 1},
     {"type": "atd_light", "scale": 2, "embed_dim": 16, "depths": [2], "num_heads": [2],
      "window_size": 8, "category_size": 16, "num_tokens": 8, "reducted_dim": 4},
+    {"type": "realcugan", "scale": 2},
 ]
 
 

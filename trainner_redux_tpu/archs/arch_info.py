@@ -125,6 +125,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
     {"names": ["drct", "drct_l"], "family": "DRCT", "scales": [2, 3, 4], "video": False},
     {"names": ["atd", "atd_light"], "family": "ATD", "scales": [2, 3, 4],
      "video": False},
+    {"names": ["realcugan"], "family": "RealCUGAN", "scales": [2, 3, 4],
+     "video": False},
     {"names": ["elan", "elan_light"], "family": "ELAN", "scales": [2, 3, 4],
      "video": False},
     {"names": ["fdat_tiny", "fdat_light", "fdat_medium", "fdat_large", "fdat_xl"],
