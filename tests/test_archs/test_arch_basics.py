@@ -161,6 +161,7 @@ GRAD_SWEEP = [
     {"type": "atd_light", "scale": 2, "embed_dim": 16, "depths": [2], "num_heads": [2],
      "window_size": 8, "category_size": 16, "num_tokens": 8, "reducted_dim": 4},
     {"type": "realcugan", "scale": 2},
+    {"type": "rtmosr_l", "scale": 2, "dim": 16, "n_blocks": 1},
 ]
 
 

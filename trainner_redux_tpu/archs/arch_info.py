@@ -127,6 +127,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["realcugan"], "family": "RealCUGAN", "scales": [2, 3, 4],
      "video": False},
+    {"names": ["rtmosr", "rtmosr_l", "rtmosr_ul"], "family": "RTMoSR",
+     "scales": [1, 2, 4], "video": False},
     {"names": ["elan", "elan_light"], "family": "ELAN", "scales": [2, 3, 4],
      "video": False},
     {"names": ["fdat_tiny", "fdat_light", "fdat_medium", "fdat_large", "fdat_xl"],
