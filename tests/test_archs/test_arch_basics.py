@@ -162,6 +162,7 @@ GRAD_SWEEP = [
      "window_size": 8, "category_size": 16, "num_tokens": 8, "reducted_dim": 4},
     {"type": "realcugan", "scale": 2},
     {"type": "rtmosr_l", "scale": 2, "dim": 16, "n_blocks": 1},
+    {"type": "moesr2", "scale": 2, "dim": 16, "n_blocks": 1, "n_block": 1},
 ]
 
 
