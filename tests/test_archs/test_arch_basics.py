@@ -163,6 +163,7 @@ GRAD_SWEEP = [
     {"type": "realcugan", "scale": 2},
     {"type": "rtmosr_l", "scale": 2, "dim": 16, "n_blocks": 1},
     {"type": "moesr2", "scale": 2, "dim": 16, "n_blocks": 1, "n_block": 1},
+    {"type": "mosrv2", "scale": 2, "dim": 16, "n_block": 1},
 ]
 
 
