@@ -164,6 +164,8 @@ GRAD_SWEEP = [
     {"type": "rtmosr_l", "scale": 2, "dim": 16, "n_blocks": 1},
     {"type": "moesr2", "scale": 2, "dim": 16, "n_blocks": 1, "n_block": 1},
     {"type": "mosrv2", "scale": 2, "dim": 16, "n_block": 1},
+    {"type": "detailrefinernet", "scale": 1, "num_features": 16, "num_groups": 2,
+     "num_blocks_per_group": 1},
 ]
 
 
@@ -174,8 +176,9 @@ def test_grad_sweep(opt):
     import optax
 
     net = build_network(dict(opt))
+    s = opt.get("scale", 2)
     x = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3))
-    gt = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3))
+    gt = jax.random.uniform(jax.random.key(2), (2, 16 * s, 16 * s, 3))
     params = net.init(jax.random.key(0), x, train=False)
 
     def loss_fn(p):
@@ -187,3 +190,29 @@ def test_grad_sweep(opt):
     assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
     assert all(np.all(np.isfinite(np.asarray(p))) for p in jax.tree.leaves(new_params))
+
+
+def test_munet_discriminator_forward():
+    """MUNet quad-branch discriminator: logit map shape + finite grads with
+    spectral-norm state threading (reference munet_arch.py:253-404)."""
+    import jax
+    import jax.numpy as jnp
+
+    net = build_network({"type": "munet", "num_feat": 16, "ch_mult": [1, 2]})
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3))
+    variables = net.init(jax.random.key(1), x, train=True)
+    out, upd = net.apply(variables, x, train=True, mutable=["spectral"])
+    assert out.shape == (2, 32, 32, 1)
+    assert bool(jnp.isfinite(out).all())
+    assert "spectral" in upd
+
+    def loss_fn(p):
+        o, _ = net.apply(
+            {"params": p, "spectral": variables["spectral"]}, x, train=True,
+            mutable=["spectral"],
+        )
+        return jnp.mean(o**2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree.leaves(jax.tree.map(lambda t: float(jnp.abs(t).max()), g))
+    assert all(np.isfinite(v) for v in flat)

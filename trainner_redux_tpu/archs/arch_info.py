@@ -131,6 +131,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "scales": [1, 2, 4], "video": False},
     {"names": ["moesr2"], "family": "MoESR", "scales": [1, 2, 4], "video": False},
     {"names": ["mosrv2"], "family": "MoSRv2", "scales": [1, 2, 4], "video": False},
+    {"names": ["detailrefinernet"], "family": "DetailRefinerNet", "scales": [1],
+     "video": False},
     {"names": ["elan", "elan_light"], "family": "ELAN", "scales": [2, 3, 4],
      "video": False},
     {"names": ["fdat_tiny", "fdat_light", "fdat_medium", "fdat_large", "fdat_xl"],
