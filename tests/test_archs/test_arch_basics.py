@@ -166,6 +166,9 @@ GRAD_SWEEP = [
     {"type": "mosrv2", "scale": 2, "dim": 16, "n_block": 1},
     {"type": "detailrefinernet", "scale": 1, "num_features": 16, "num_groups": 2,
      "num_blocks_per_group": 1},
+    {"type": "elysiumsr", "scale": 2, "num_feat": 16, "num_blocks": 1},
+    {"type": "hyperionsr", "scale": 2, "num_feat": 16, "num_groups": 1,
+     "num_blocks": 1},
 ]
 
 

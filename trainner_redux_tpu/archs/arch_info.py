@@ -133,6 +133,10 @@ ALL_ARCHS: list[dict[str, Any]] = [
     {"names": ["mosrv2"], "family": "MoSRv2", "scales": [1, 2, 4], "video": False},
     {"names": ["detailrefinernet"], "family": "DetailRefinerNet", "scales": [1],
      "video": False},
+    {"names": ["elysiumsr_s", "elysiumsr_m", "elysiumsr_l", "elysiumsr_xl"],
+     "family": "ElysiumSR", "scales": [1, 2, 4], "video": False},
+    {"names": ["hyperionsr_s", "hyperionsr_m", "hyperionsr_l", "hyperionsr_xl"],
+     "family": "HyperionSR", "scales": [1, 2, 4], "video": False},
     {"names": ["elan", "elan_light"], "family": "ELAN", "scales": [2, 3, 4],
      "video": False},
     {"names": ["fdat_tiny", "fdat_light", "fdat_medium", "fdat_large", "fdat_xl"],
