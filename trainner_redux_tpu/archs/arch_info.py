@@ -136,6 +136,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
     {"names": ["elysiumsr_s", "elysiumsr_m", "elysiumsr_l", "elysiumsr_xl"],
      "family": "ElysiumSR", "scales": [1, 2, 4], "video": False},
     {"names": ["spanf"], "family": "SPANF", "scales": [2, 4], "video": False},
+    {"names": ["lmlt_tiny", "lmlt_base", "lmlt_large"], "family": "LMLT",
+     "scales": [2, 3, 4], "video": False},
     {"names": ["hyperionsr_s", "hyperionsr_m", "hyperionsr_l", "hyperionsr_xl"],
      "family": "HyperionSR", "scales": [1, 2, 4], "video": False},
     {"names": ["elan", "elan_light"], "family": "ELAN", "scales": [2, 3, 4],
