@@ -171,6 +171,8 @@ GRAD_SWEEP = [
      "num_blocks": 1},
     {"type": "spanf", "scale": 2, "feature_channels": 16},
     {"type": "lmlt_tiny", "scale": 2, "dim": 16, "n_blocks": 1},
+    {"type": "paragonsr", "scale": 2, "num_feat": 16, "num_groups": 1,
+     "num_blocks": 1},
     {"type": "unetsegmentation", "scale": 1, "classes": 3, "base_feat": 8,
      "depth": 2},
 ]

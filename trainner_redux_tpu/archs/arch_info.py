@@ -138,6 +138,9 @@ ALL_ARCHS: list[dict[str, Any]] = [
     {"names": ["spanf"], "family": "SPANF", "scales": [2, 4], "video": False},
     {"names": ["lmlt_tiny", "lmlt_base", "lmlt_large"], "family": "LMLT",
      "scales": [2, 3, 4], "video": False},
+    {"names": ["paragonsr_anime", "paragonsr_nano", "paragonsr_tiny", "paragonsr_xs",
+               "paragonsr_s", "paragonsr_m", "paragonsr_l", "paragonsr_xl"],
+     "family": "ParagonSR", "scales": [1, 2, 4], "video": False},
     {"names": ["hyperionsr_s", "hyperionsr_m", "hyperionsr_l", "hyperionsr_xl"],
      "family": "HyperionSR", "scales": [1, 2, 4], "video": False},
     {"names": ["elan", "elan_light"], "family": "ELAN", "scales": [2, 3, 4],
