@@ -175,6 +175,8 @@ GRAD_SWEEP = [
      "num_blocks": 1},
     {"type": "unetsegmentation", "scale": 1, "classes": 3, "base_feat": 8,
      "depth": 2},
+    {"type": "scunet_aaf6aa", "scale": 2, "dim": 16,
+     "config": [1, 1, 1, 1, 1, 1, 1]},
 ]
 
 

@@ -160,6 +160,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
     {"names": ["temporalspan"], "family": "TemporalSPAN", "scales": [2, 4],
      "video": True},
     {"names": ["tscunet"], "family": "TSCUNet", "scales": [1, 2, 4], "video": True},
+    {"names": ["scunet_aaf6aa"], "family": "SCUNet", "scales": [1, 2, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
