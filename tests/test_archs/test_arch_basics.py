@@ -177,6 +177,8 @@ GRAD_SWEEP = [
      "depth": 2},
     {"type": "scunet_aaf6aa", "scale": 2, "dim": 16,
      "config": [1, 1, 1, 1, 1, 1, 1]},
+    {"type": "gaterv3", "scale": 2, "dim": 16, "enc_blocks": [1, 1],
+     "dec_blocks": [1, 1], "num_latent": 1, "sisr_blocks": 1},
 ]
 
 

@@ -162,6 +162,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
     {"names": ["tscunet"], "family": "TSCUNet", "scales": [1, 2, 4], "video": True},
     {"names": ["scunet_aaf6aa"], "family": "SCUNet", "scales": [1, 2, 4],
      "video": False},
+    {"names": ["gaterv3_s", "gaterv3_r"], "family": "GateRV3", "scales": [1, 2, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
