@@ -179,6 +179,7 @@ GRAD_SWEEP = [
      "config": [1, 1, 1, 1, 1, 1, 1]},
     {"type": "gaterv3", "scale": 2, "dim": 16, "enc_blocks": [1, 1],
      "dec_blocks": [1, 1], "num_latent": 1, "sisr_blocks": 1},
+    {"type": "flexnet", "scale": 2, "dim": 16, "num_blocks": [1, 1]},
 ]
 
 

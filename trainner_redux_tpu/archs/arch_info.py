@@ -164,6 +164,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["gaterv3_s", "gaterv3_r"], "family": "GateRV3", "scales": [1, 2, 4],
      "video": False},
+    {"names": ["flexnet", "metaflexnet"], "family": "FlexNet", "scales": [1, 2, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
