@@ -180,6 +180,9 @@ GRAD_SWEEP = [
     {"type": "gaterv3", "scale": 2, "dim": 16, "enc_blocks": [1, 1],
      "dec_blocks": [1, 1], "num_latent": 1, "sisr_blocks": 1},
     {"type": "flexnet", "scale": 2, "dim": 16, "num_blocks": [1, 1]},
+    {"type": "emt", "scale": 2, "dim": 20, "n_blocks": 1, "n_layers": 2,
+     "num_heads": 2, "n_GTLs": 1, "window_list": [[8, 4], [4, 8]],
+     "shift_list": [[4, 2], [2, 4]]},
 ]
 
 

@@ -166,6 +166,7 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["flexnet", "metaflexnet"], "family": "FlexNet", "scales": [1, 2, 4],
      "video": False},
+    {"names": ["emt"], "family": "EMT", "scales": [2, 3, 4], "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
