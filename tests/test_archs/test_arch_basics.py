@@ -233,3 +233,24 @@ def test_munet_discriminator_forward():
     g = jax.grad(loss_fn)(variables["params"])
     flat = jax.tree.leaves(jax.tree.map(lambda t: float(jnp.abs(t).max()), g))
     assert all(np.isfinite(v) for v in flat)
+
+
+def test_cgnet_forward_grads():
+    """CascadedGaze needs >=~32px inputs (strided GCE cascade), so it gets its
+    own test instead of a GRAD_SWEEP entry."""
+    import optax
+
+    net = build_network(
+        {"type": "cascadedgaze", "scale": 1, "width": 16, "middle_blk_num": 1,
+         "enc_blk_nums": [1, 1], "dec_blk_nums": [1, 1], "GCE_CONVS_nums": [3, 2]}
+    )
+    x = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
+    gt = jax.random.uniform(jax.random.key(2), (2, 64, 64, 3))
+    params = net.init(jax.random.key(0), x, train=False)
+
+    def loss_fn(p):
+        return jnp.abs(net.apply(p, x, train=False) - gt).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))

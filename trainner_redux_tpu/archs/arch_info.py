@@ -167,6 +167,7 @@ ALL_ARCHS: list[dict[str, Any]] = [
     {"names": ["flexnet", "metaflexnet"], "family": "FlexNet", "scales": [1, 2, 4],
      "video": False},
     {"names": ["emt"], "family": "EMT", "scales": [2, 3, 4], "video": False},
+    {"names": ["cascadedgaze"], "family": "CGNet", "scales": [1], "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
