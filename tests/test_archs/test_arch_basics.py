@@ -254,3 +254,22 @@ def test_cgnet_forward_grads():
     loss, grads = jax.value_and_grad(loss_fn)(params)
     assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
+
+
+def test_temporalspanv2_video_forward():
+    """TSPANv2 consumes (B, T, H, W, C) clips and emits the center frame at
+    scale (reference temporal_span_v2_arch.py:333-518)."""
+    net = build_network(
+        {"type": "temporalspanv2", "scale": 2, "num_frames": 3,
+         "feature_channels": 16, "num_blocks": 2}
+    )
+    x = jax.random.uniform(jax.random.key(0), (2, 3, 12, 16, 3))
+    params = net.init(jax.random.key(1), x, train=False)
+    y = net.apply(params, x, train=False)
+    assert y.shape == (2, 24, 32, 3)
+
+    def loss_fn(p):
+        return jnp.abs(net.apply(p, x, train=True)).mean()
+
+    grads = jax.grad(loss_fn)(params)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))

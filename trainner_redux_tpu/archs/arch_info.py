@@ -32,7 +32,7 @@ REQUIRE_64_HW = {"hat", "hat_s", "hat_m", "hat_l", "tscunet"}
 REQUIRE_BATCH_2 = {"dat", "dat_s", "dat_2", "dat_light"}
 
 # Video archs consuming (B, T, H, W, C) clips.
-VSR_ARCHS = {"temporalspan", "tscunet"}
+VSR_ARCHS = {"temporalspan", "temporalspanv2", "tscunet"}
 
 # Published PSNR/SSIM of officially released models: Urban100 Y-channel,
 # models trained on DF2K (or DIV2K where marked). Source: the reference's
@@ -160,6 +160,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
     {"names": ["temporalspan"], "family": "TemporalSPAN", "scales": [2, 4],
      "video": True},
     {"names": ["tscunet"], "family": "TSCUNet", "scales": [1, 2, 4], "video": True},
+    {"names": ["temporalspanv2"], "family": "TemporalSPANv2", "scales": [2, 4],
+     "video": True},
     {"names": ["scunet_aaf6aa"], "family": "SCUNet", "scales": [1, 2, 4],
      "video": False},
     {"names": ["gaterv3_s", "gaterv3_r"], "family": "GateRV3", "scales": [1, 2, 4],
