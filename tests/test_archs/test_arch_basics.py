@@ -273,3 +273,17 @@ def test_temporalspanv2_video_forward():
 
     grads = jax.grad(loss_fn)(params)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
+
+
+def test_lawfft_testarch():
+    """LAWFFT (test-arch registry): FFT attention + dynamic local kernels."""
+    net = build_network(
+        {"type": "lawfft", "scale": 2, "dim": 16, "n_rblock": 1, "n_mblock": 2,
+         "unshuffle_mod": True}
+    )
+    x = jax.random.uniform(jax.random.key(0), (2, 12, 20, 3))
+    params = net.init(jax.random.key(1), x, train=False)
+    y = net.apply(params, x, train=False)
+    assert y.shape == (2, 24, 40, 3)
+    grads = jax.grad(lambda p: jnp.abs(net.apply(p, x, train=False)).mean())(params)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
