@@ -183,6 +183,8 @@ GRAD_SWEEP = [
     {"type": "emt", "scale": 2, "dim": 20, "n_blocks": 1, "n_layers": 2,
      "num_heads": 2, "n_GTLs": 1, "window_list": [[8, 4], [4, 8]],
      "shift_list": [[4, 2], [2, 4]]},
+    {"type": "dis_fast", "scale": 2, "num_features": 16, "num_blocks": 2,
+     "use_depthwise": True},
 ]
 
 

@@ -170,6 +170,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["emt"], "family": "EMT", "scales": [2, 3, 4], "video": False},
     {"names": ["cascadedgaze"], "family": "CGNet", "scales": [1], "video": False},
+    {"names": ["dis_balanced", "dis_fast"], "family": "DIS", "scales": [1, 2, 3, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
