@@ -185,6 +185,9 @@ GRAD_SWEEP = [
      "shift_list": [[4, 2], [2, 4]]},
     {"type": "dis_fast", "scale": 2, "num_features": 16, "num_blocks": 2,
      "use_depthwise": True},
+    {"type": "escrealm", "scale": 2, "dim": 16, "pdim": 8, "kernel_size": 5,
+     "n_blocks": 1, "conv_blocks": 1, "window_size": 8, "num_heads": 2,
+     "unshuffle_mod": True},
 ]
 
 

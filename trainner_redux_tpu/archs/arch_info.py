@@ -172,6 +172,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
     {"names": ["cascadedgaze"], "family": "CGNet", "scales": [1], "video": False},
     {"names": ["dis_balanced", "dis_fast"], "family": "DIS", "scales": [1, 2, 3, 4],
      "video": False},
+    {"names": ["escrealm", "escrealm_xl"], "family": "ESC", "scales": [1, 2, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
