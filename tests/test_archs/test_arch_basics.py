@@ -292,3 +292,26 @@ def test_lawfft_testarch():
     assert y.shape == (2, 24, 40, 3)
     grads = jax.grad(lambda p: jnp.abs(net.apply(p, x, train=False)).mean())(params)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
+
+
+def test_paragondiffusion_flow():
+    """Rectified-flow U-Net: loss + grads + Euler sampling on latents
+    (reference paragondiffusion_arch.py:180-333)."""
+    from trainner_redux_tpu.archs.paragondiffusion_arch import (
+        ParagonDiffusion,
+        rectified_flow_loss,
+        sample_flow,
+    )
+
+    net = ParagonDiffusion(channels=8, num_blocks=(1, 1), control_channels=4)
+    z1 = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    lr = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3))
+    variables = net.init(jax.random.key(2), z1, jnp.zeros((2,)), lr, train=False)
+    loss = rectified_flow_loss(net, variables, z1, lr, jax.random.key(3))
+    assert np.isfinite(float(loss))
+    grads = jax.grad(
+        lambda p: rectified_flow_loss(net, p, z1, lr, jax.random.key(3))
+    )(variables)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
+    z = sample_flow(net, variables, lr, (8, 8), jax.random.key(4), num_steps=2)
+    assert z.shape == (2, 8, 8, 4)
