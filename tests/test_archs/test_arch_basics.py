@@ -188,6 +188,8 @@ GRAD_SWEEP = [
     {"type": "escrealm", "scale": 2, "dim": 16, "pdim": 8, "kernel_size": 5,
      "n_blocks": 1, "conv_blocks": 1, "window_size": 8, "num_heads": 2,
      "unshuffle_mod": True},
+    {"type": "paragonsr2_pro", "scale": 2, "num_feat": 16, "num_groups": 1,
+     "num_blocks": 2, "window_size": 4},
 ]
 
 

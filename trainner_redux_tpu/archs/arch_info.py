@@ -174,6 +174,9 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["escrealm", "escrealm_xl"], "family": "ESC", "scales": [1, 2, 4],
      "video": False},
+    {"names": ["paragonsr2_realtime", "paragonsr2_stream", "paragonsr2_photo",
+               "paragonsr2_pro"], "family": "ParagonSR2", "scales": [1, 2, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
