@@ -190,6 +190,8 @@ GRAD_SWEEP = [
      "unshuffle_mod": True},
     {"type": "paragonsr2_pro", "scale": 2, "num_feat": 16, "num_groups": 1,
      "num_blocks": 2, "window_size": 4},
+    {"type": "gfisrv2", "scale": 2, "dim": 16, "n_blocks": 4,
+     "pixel_unshuffle": True},
 ]
 
 

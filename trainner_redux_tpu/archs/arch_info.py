@@ -177,6 +177,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
     {"names": ["paragonsr2_realtime", "paragonsr2_stream", "paragonsr2_photo",
                "paragonsr2_pro"], "family": "ParagonSR2", "scales": [1, 2, 4],
      "video": False},
+    {"names": ["gfisrv2"], "family": "GFISRv2", "scales": [1, 2, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
