@@ -192,6 +192,8 @@ GRAD_SWEEP = [
      "num_blocks": 2, "window_size": 4},
     {"type": "gfisrv2", "scale": 2, "dim": 16, "n_blocks": 4,
      "pixel_unshuffle": True},
+    {"type": "spanc", "scale": 2, "feature_channels": 16, "implicit_dim": 32,
+     "latent_layers": 2},
 ]
 
 

@@ -179,6 +179,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["gfisrv2"], "family": "GFISRv2", "scales": [1, 2, 4],
      "video": False},
+    {"names": ["spanc"], "family": "SpanC", "scales": [1, 2, 3, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
