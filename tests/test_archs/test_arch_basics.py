@@ -194,6 +194,10 @@ GRAD_SWEEP = [
      "pixel_unshuffle": True},
     {"type": "spanc", "scale": 2, "feature_channels": 16, "implicit_dim": 32,
      "latent_layers": 2},
+    {"type": "hit_sir", "scale": 2, "embed_dim": 16, "depths": [2],
+     "num_heads": [2], "base_win_size": [4, 4], "hier_win_ratios": [1, 2]},
+    {"type": "hit_srf", "scale": 2, "embed_dim": 16, "depths": [2],
+     "num_heads": [2], "base_win_size": [4, 4], "hier_win_ratios": [1, 2]},
 ]
 
 

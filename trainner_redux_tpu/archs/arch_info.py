@@ -181,6 +181,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["spanc"], "family": "SpanC", "scales": [1, 2, 3, 4],
      "video": False},
+    {"names": ["hit_sir", "hit_sng", "hit_srf"], "family": "HiT",
+     "scales": [2, 3, 4], "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
