@@ -183,6 +183,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["hit_sir", "hit_sng", "hit_srf"], "family": "HiT",
      "scales": [2, 3, 4], "video": False},
+    {"names": ["dwt", "dwt_s"], "family": "DWT", "scales": [2, 3, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
