@@ -200,6 +200,8 @@ GRAD_SWEEP = [
      "num_heads": [2], "base_win_size": [4, 4], "hier_win_ratios": [1, 2]},
     {"type": "dwt_s", "scale": 2, "embed_dim": 16, "depths": [2, 2],
      "num_heads": [2, 2], "window_size": 4, "layer_kinds": [[0, -1], [0, 2]]},
+    {"type": "srformerv2", "scale": 2, "embed_dim": 16, "depths": [2],
+     "num_heads": [2], "window_size": 8, "squeeze_dim": 8},
 ]
 
 

@@ -185,6 +185,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "scales": [2, 3, 4], "video": False},
     {"names": ["dwt", "dwt_s"], "family": "DWT", "scales": [2, 3, 4],
      "video": False},
+    {"names": ["srformerv2"], "family": "SRFormerV2", "scales": [2, 3, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
