@@ -323,3 +323,24 @@ def test_hat_converter_covers_full_tree():
     assert set(back) == set(flat)
     for k in flat:
         np.testing.assert_array_equal(back[k], flat[k], err_msg=k)
+
+
+def test_swinir_exporter_roundtrip():
+    """flax -> torch-layout export -> converter -> identical params."""
+    from trainner_redux_tpu.utils.torch_compat import (
+        _convert_swinir,
+        export_torch_state_dict,
+    )
+
+    net = build_network(
+        {"type": "swinir_m", "scale": 2, "embed_dim": 16, "depths": [2],
+         "num_heads": [2], "drop_path_rate": 0.0}
+    )
+    x = jnp.ones((1, 16, 16, 3))
+    params = net.init(jax.random.key(0), x, train=False)["params"]
+    flat = BaseModel.flatten_params(params)
+    torch_sd = export_torch_state_dict(flat, "SwinIR")
+    back = _convert_swinir({k: np.asarray(v) for k, v in torch_sd.items()}, net)
+    assert set(back) == set(flat)
+    for k, v in flat.items():
+        np.testing.assert_allclose(back[k], v, atol=0, err_msg=k)

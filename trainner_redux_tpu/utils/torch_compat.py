@@ -450,3 +450,66 @@ def _convert_hat(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
             )
             continue
     return out
+
+
+@register_exporter("SwinIR")
+def _export_swinir(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """flax -> official SwinIR torch layout (inverse of _convert_swinir)."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        m = re.fullmatch(r"layers_(\d+)\.blocks_(\d+)\.(.+)", k)
+        if m:
+            i, j, rest = m.groups()
+            rest = (
+                rest.replace("mlp_fc", "mlp.fc")
+                .replace(".scale", ".weight")
+            )
+            if rest.endswith(".kernel"):
+                rest = rest.replace(".kernel", ".weight")
+                v = linear_w(v)
+            out[f"layers.{i}.residual_group.blocks.{j}.{rest}"] = v
+            continue
+        m = re.fullmatch(r"layers_(\d+)\.conv\.conv\.(kernel|bias)", k)
+        if m:
+            kind = m.group(2)
+            out[f"layers.{m.group(1)}.conv.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+            continue
+        m = re.fullmatch(r"patch_norm\.(scale|bias)", k)
+        if m:
+            out[f"patch_embed.norm.{'weight' if m.group(1) == 'scale' else 'bias'}"] = v
+            continue
+        m = re.fullmatch(r"norm\.(scale|bias)", k)
+        if m:
+            out[f"norm.{'weight' if m.group(1) == 'scale' else 'bias'}"] = v
+            continue
+        m = re.fullmatch(r"conv_before_upsample\.conv\.(kernel|bias)", k)
+        if m:
+            kind = m.group(1)
+            out[f"conv_before_upsample.0.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+            continue
+        m = re.fullmatch(r"upsample_(\d+)\.conv\.(kernel|bias)", k)
+        if m:
+            si, kind = 2 * int(m.group(1)), m.group(2)
+            out[f"upsample.{si}.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+            continue
+        m = re.fullmatch(r"upsample_direct\.conv\.(kernel|bias)", k)
+        if m:
+            kind = m.group(1)
+            out[f"upsample.0.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+            continue
+        m = re.fullmatch(r"(\w+)\.conv\.(kernel|bias)", k)
+        if m:
+            kind = m.group(2)
+            out[f"{m.group(1)}.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+            continue
+    return out
