@@ -202,6 +202,8 @@ GRAD_SWEEP = [
      "num_heads": [2, 2], "window_size": 4, "layer_kinds": [[0, -1], [0, 2]]},
     {"type": "srformerv2", "scale": 2, "embed_dim": 16, "depths": [2],
      "num_heads": [2], "window_size": 8, "squeeze_dim": 8},
+    {"type": "ditn_real", "scale": 2, "dim": 16, "ITL_blocks": 1,
+     "SAL_blocks": 1, "patch_size": 4},
 ]
 
 

@@ -187,6 +187,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["srformerv2"], "family": "SRFormerV2", "scales": [2, 3, 4],
      "video": False},
+    {"names": ["ditn_real"], "family": "DITN", "scales": [2, 3, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
