@@ -204,6 +204,8 @@ GRAD_SWEEP = [
      "num_heads": [2], "window_size": 8, "squeeze_dim": 8},
     {"type": "ditn_real", "scale": 2, "dim": 16, "ITL_blocks": 1,
      "SAL_blocks": 1, "patch_size": 4},
+    {"type": "seemore_t", "scale": 2, "embedding_dim": 16, "num_layers": 1,
+     "num_experts": 2, "topk": 1},
 ]
 
 
