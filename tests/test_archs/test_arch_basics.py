@@ -206,6 +206,8 @@ GRAD_SWEEP = [
      "SAL_blocks": 1, "patch_size": 4},
     {"type": "seemore_t", "scale": 2, "embedding_dim": 16, "num_layers": 1,
      "num_experts": 2, "topk": 1},
+    {"type": "rgt_s", "scale": 2, "embed_dim": 16, "depth": [2],
+     "num_heads": [2], "split_size": [2, 4]},
 ]
 
 
