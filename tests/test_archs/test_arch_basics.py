@@ -335,3 +335,15 @@ def test_paragondiffusion_flow():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
     z = sample_flow(net, variables, lr, (8, 8), jax.random.key(4), num_steps=2)
     assert z.shape == (2, 8, 8, 4)
+
+
+def test_topiq_cfanet_scores():
+    """CFANet FR/NR forward produces scalar scores (reference
+    topiq_arch.py:229-497); pretrained weights are gated separately."""
+    net = build_network({"type": "topiq", "scale": 1, "use_ref": True})
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    y = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
+    params = net.init(jax.random.key(2), x, y, train=False)
+    s = net.apply(params, x, y, train=False)
+    assert s.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(s)))
