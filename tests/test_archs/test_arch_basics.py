@@ -208,6 +208,9 @@ GRAD_SWEEP = [
      "num_experts": 2, "topk": 1},
     {"type": "rgt_s", "scale": 2, "embed_dim": 16, "depth": [2],
      "num_heads": [2], "split_size": [2, 4]},
+    {"type": "craft", "scale": 2, "embed_dim": 16, "depths": [1, 1],
+     "num_heads": [2, 2], "split_size_0": 2, "split_size_1": 4,
+     "window_size": 4},
 ]
 
 

@@ -193,6 +193,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["rgt", "rgt_s"], "family": "RGT", "scales": [2, 3, 4],
      "video": False},
+    {"names": ["craft"], "family": "CRAFT", "scales": [2, 3, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
