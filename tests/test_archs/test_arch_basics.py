@@ -211,6 +211,9 @@ GRAD_SWEEP = [
     {"type": "craft", "scale": 2, "embed_dim": 16, "depths": [1, 1],
      "num_heads": [2, 2], "split_size_0": 2, "split_size_1": 4,
      "window_size": 4},
+    {"type": "grl_s", "scale": 2, "embed_dim": 16, "depths": [2],
+     "num_heads_window": [2], "num_heads_stripe": [2], "window_size": 4,
+     "stripe_size": [8, 8], "anchor_window_down_factor": 2},
 ]
 
 

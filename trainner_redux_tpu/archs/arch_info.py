@@ -195,6 +195,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["craft"], "family": "CRAFT", "scales": [2, 3, 4],
      "video": False},
+    {"names": ["grl_t", "grl_s", "grl_b"], "family": "GRL", "scales": [1, 2, 3, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
