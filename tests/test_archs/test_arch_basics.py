@@ -214,6 +214,7 @@ GRAD_SWEEP = [
     {"type": "grl_s", "scale": 2, "embed_dim": 16, "depths": [2],
      "num_heads_window": [2], "num_heads_stripe": [2], "window_size": 4,
      "stripe_size": [8, 8], "anchor_window_down_factor": 2},
+    {"type": "dctlsa", "scale": 2, "nf": 15, "num_modules": 2, "num_head": 3},
 ]
 
 

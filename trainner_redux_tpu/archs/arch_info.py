@@ -197,6 +197,8 @@ ALL_ARCHS: list[dict[str, Any]] = [
      "video": False},
     {"names": ["grl_t", "grl_s", "grl_b"], "family": "GRL", "scales": [1, 2, 3, 4],
      "video": False},
+    {"names": ["dctlsa"], "family": "DCTLSA", "scales": [2, 3, 4],
+     "video": False},
     {"names": ["autoencoder"], "family": "AutoEncoder", "scales": [4], "video": False},
 ]
 
