@@ -354,3 +354,16 @@ def test_topiq_cfanet_scores():
     s = net.apply(params, x, y, train=False)
     assert s.shape == (2,)
     assert np.all(np.isfinite(np.asarray(s)))
+
+
+def test_metagan3_feature_discriminator():
+    """MetaGAN3 dual-path SN feature discriminator: /32 feature map output
+    (reference metagan3_arch.py:164-193)."""
+    net = build_network(
+        {"type": "metagan3", "dims": [8, 12, 16, 20], "blocks": [1, 1, 1, 1]}
+    )
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3))
+    variables = net.init(jax.random.key(1), x, train=True)
+    y, _ = net.apply(variables, x, train=True, mutable=["spectral"])
+    assert y.shape == (2, 1, 1, 20)
+    assert np.all(np.isfinite(np.asarray(y)))

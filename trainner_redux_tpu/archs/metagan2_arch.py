@@ -137,6 +137,5 @@ def _metagan_factory(**defaults):
 
 
 ARCH_REGISTRY.register(_metagan_factory(), name="metagan2")
-# metagan3 shares the gated-CNN discriminator topology (the reference v3
-# adjusts block internals; tracked as an alias until a dedicated port)
-ARCH_REGISTRY.register(_metagan_factory(), name="metagan3")
+# metagan3 now has a dedicated port with the exact v3 block internals
+# (dual-path spectral-norm blocks): see metagan3_arch.py
