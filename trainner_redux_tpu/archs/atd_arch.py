@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_shuffle

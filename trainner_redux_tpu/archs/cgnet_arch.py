@@ -12,7 +12,6 @@ input residual.
 from __future__ import annotations
 
 import jax
-import jax.lax as lax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -14,7 +14,6 @@ weights (documented divergence).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, PReLU, pixel_shuffle
-from trainner_redux_tpu.utils.registry import ARCH_REGISTRY, SPANDREL_REGISTRY
+from trainner_redux_tpu.utils.registry import SPANDREL_REGISTRY
 
 
 class FastResBlock(nn.Module):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 import numpy as np
 
-from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_shuffle, pixel_unshuffle
+from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_unshuffle
 from trainner_redux_tpu.archs.moesr_arch import ChannelLayerNorm, UniUpsample
 from trainner_redux_tpu.archs.realcugan_arch import TorchDeconv
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY

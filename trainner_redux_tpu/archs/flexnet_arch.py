@@ -12,7 +12,6 @@ the pixelshuffle / nearest+conv / dysample upsampler.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -14,7 +14,6 @@ optimizers see raw grads).
 from __future__ import annotations
 
 import jax
-import jax.lax as lax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -9,7 +9,6 @@ in fp32 with RMS pre/post norms.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

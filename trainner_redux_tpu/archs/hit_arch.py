@@ -14,7 +14,6 @@ uses a ConvFFN with a 5x5 depthwise branch.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

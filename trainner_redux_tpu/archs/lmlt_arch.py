@@ -11,7 +11,6 @@ depthwise LePE positional encoding.
 from __future__ import annotations
 
 import jax
-import jax.lax as lax
 import jax.numpy as jnp
 from flax import linen as nn
 

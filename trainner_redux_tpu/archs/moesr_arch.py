@@ -10,7 +10,6 @@ nearest+conv / dysample — reference arch_util.py UniUpsample).
 
 from __future__ import annotations
 
-import jax.lax as lax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -11,7 +11,6 @@ sharded-batch shardings (the DDP equivalent).
 
 from __future__ import annotations
 
-import time
 from os import path as osp
 from typing import Any
 

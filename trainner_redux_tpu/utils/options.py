@@ -10,7 +10,6 @@ is JAX-native: `jax.distributed.initialize` for multi-host, and `num_gpu`
 from __future__ import annotations
 
 import argparse
-import os
 import random
 import sys
 import time
