@@ -344,3 +344,24 @@ def test_swinir_exporter_roundtrip():
     assert set(back) == set(flat)
     for k, v in flat.items():
         np.testing.assert_allclose(back[k], v, atol=0, err_msg=k)
+
+
+def test_hat_exporter_roundtrip():
+    """flax -> torch-layout HAT export -> converter -> identical params."""
+    from trainner_redux_tpu.utils.torch_compat import (
+        _convert_hat,
+        export_torch_state_dict,
+    )
+
+    net = build_network(
+        {"type": "hat", "scale": 2, "embed_dim": 16, "depths": [2], "num_heads": [2],
+         "window_size": 8, "drop_path_rate": 0.0, "num_feat": 16}
+    )
+    x = jnp.ones((1, 16, 16, 3))
+    params = net.init(jax.random.key(0), x, train=False)["params"]
+    flat = BaseModel.flatten_params(params)
+    torch_sd = export_torch_state_dict(flat, "HAT")
+    back = _convert_hat({k: np.asarray(v) for k, v in torch_sd.items()}, net)
+    assert set(back) == set(flat)
+    for k, v in flat.items():
+        np.testing.assert_allclose(back[k], v, atol=0, err_msg=k)

@@ -513,3 +513,65 @@ def _export_swinir(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             )
             continue
     return out
+
+
+@register_exporter("HAT")
+def _export_hat(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """flax -> official HAT torch layout (inverse of _convert_hat)."""
+    cab_inv = {"conv0": "cab.0", "conv1": "cab.2",
+               "att0": "cab.3.attention.1", "att1": "cab.3.attention.3"}
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        m = re.fullmatch(r"layers_(\d+)\.blocks_(\d+)\.conv_block\.(\w+)\.conv\.(kernel|bias)", k)
+        if m:
+            i, j, part, kind = m.groups()
+            tk = (f"layers.{i}.residual_group.blocks.{j}.conv_block."
+                  f"{cab_inv[part]}.{'weight' if kind == 'kernel' else 'bias'}")
+            out[tk] = conv_w_inv(v) if kind == "kernel" else v
+            continue
+        m = re.fullmatch(r"layers_(\d+)\.(blocks_\d+|overlap_attn)\.(.+)", k)
+        if m:
+            i, mid, rest = m.groups()
+            rest = rest.replace("mlp_fc", "mlp.fc").replace(".scale", ".weight")
+            if rest.endswith(".kernel"):
+                rest = rest.replace(".kernel", ".weight")
+                v = linear_w(v)
+            if mid == "overlap_attn":
+                out[f"layers.{i}.residual_group.overlap_attn.{rest}"] = v
+            else:
+                j = mid.removeprefix("blocks_")
+                out[f"layers.{i}.residual_group.blocks.{j}.{rest}"] = v
+            continue
+        m = re.fullmatch(r"layers_(\d+)\.conv\.conv\.(kernel|bias)", k)
+        if m:
+            kind = m.group(2)
+            out[f"layers.{m.group(1)}.conv.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+            continue
+        m = re.fullmatch(r"norm\.(scale|bias)", k)
+        if m:
+            out[f"norm.{'weight' if m.group(1) == 'scale' else 'bias'}"] = v
+            continue
+        m = re.fullmatch(r"conv_before_upsample\.conv\.(kernel|bias)", k)
+        if m:
+            kind = m.group(1)
+            out[f"conv_before_upsample.0.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+            continue
+        m = re.fullmatch(r"upsample_(\d+)\.conv\.(kernel|bias)", k)
+        if m:
+            si, kind = 2 * int(m.group(1)), m.group(2)
+            out[f"upsample.{si}.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+            continue
+        m = re.fullmatch(r"(\w+)\.conv\.(kernel|bias)", k)
+        if m:
+            kind = m.group(2)
+            out[f"{m.group(1)}.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+            continue
+    return out
