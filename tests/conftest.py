@@ -11,6 +11,9 @@ import os
 # pins JAX_PLATFORMS to the real TPU backend (axon sitecustomize), but tests
 # run on a virtual 8-device CPU platform for speed and determinism.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests exercise perceptual-loss math, not pretrained features; opt in to the
+# random-init escape hatch that production construction refuses by default.
+os.environ.setdefault("TRAINNER_ALLOW_RANDOM_VGG", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

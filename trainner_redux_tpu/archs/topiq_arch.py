@@ -127,15 +127,12 @@ class PreNormDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray) -> jnp.ndarray:
+        # reference topiq_arch.py:165-172: norm2 normalizes the MEMORY, the
+        # declared self_attn is never applied — cross-attention + FFN only.
+        memory = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+                              name="norm2")(memory)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm1")(tgt)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, dtype=self.dtype, param_dtype=jnp.float32,
-            name="self_attn",
-        )(y, y)
-        tgt = tgt + y
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
-                         name="norm2")(tgt)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, dtype=self.dtype, param_dtype=jnp.float32,
             name="cross_attn",
@@ -192,15 +189,28 @@ class CFANet(nn.Module):
                 wgt = nn.sigmoid(Conv2d(1, 3, dtype=self.dtype, name=f"wp_{i}_2")(wgt))
                 feat = feat * wgt
             else:
-                g = nn.sigmoid(Conv2d(df.shape[-1], 3, dtype=self.dtype,
-                                      name=f"wp_{i}_gate")(df))
-                feat = df * g
+                # GatedConv (reference topiq_arch.py:206-226): split a 1x1
+                # 2x-conv, gate gelu(x1) by a sigmoid weight block on x2
+                dim = df.shape[-1]
+                split = Conv2d(dim * 2, 1, padding=0, dtype=self.dtype,
+                               name=f"wp_{i}_split")(df)
+                x1, x2 = split[..., :dim], split[..., dim:]
+                wgt = nn.gelu(Conv2d(64, 1, padding=0, dtype=self.dtype,
+                                     name=f"wp_{i}_0")(x2), approximate=False)
+                wgt = nn.gelu(Conv2d(64, 3, dtype=self.dtype,
+                                     name=f"wp_{i}_1")(wgt), approximate=False)
+                wgt = nn.sigmoid(Conv2d(1, 3, dtype=self.dtype,
+                                        name=f"wp_{i}_2")(wgt))
+                feat = nn.gelu(x1, approximate=False) * wgt
             if feat.shape[1] > th and feat.shape[2] > tw:
                 # average pool to the deepest level's resolution
                 fh, fw = feat.shape[1] // th, feat.shape[2] // tw
                 feat = nn.avg_pool(feat, (fh, fw), strides=(fh, fw))
             b, fh, fw, _ = feat.shape
-            p = jax.image.resize(pos, (fh, fw, self.inter_dim), "cubic")
+            # torch F.interpolate bicubic (a=-0.75, no antialias) parity
+            from trainner_redux_tpu.ops.resize import resize as _resize
+
+            p = _resize(pos[None].astype(jnp.float32), (fh, fw), "bicubic", False)[0]
             feat = nn.gelu(Conv2d(self.inter_dim, 1, padding=0, dtype=self.dtype,
                                   name=f"dim_reduce_{i}")(feat), approximate=False)
             tok = feat.reshape(b, fh * fw, self.inter_dim)

@@ -5,8 +5,10 @@ named conv-layer taps (conv1_1 .. conv5_4), ImageNet input normalization,
 optional range_norm. Pretrained torchvision weights are loaded from a local
 file (zero-egress environments cannot download them — same constraint as the
 reference, which fetches via torchvision): set `TRAINNER_WEIGHTS_DIR` or pass
-`weights_path`; otherwise the extractor is randomly initialized and a warning
-is emitted (tests exercise the math, not the pretrained features).
+`weights_path`. Without weights, construction FAILS by default — training a
+perceptual loss or scoring LPIPS against random features is silently
+meaningless. Tests opt out via allow_random_init=True or
+TRAINNER_ALLOW_RANDOM_VGG=1.
 """
 
 from __future__ import annotations
@@ -53,7 +55,9 @@ class VGGFeatureExtractor:
         range_norm: bool = False,
         weights_path: str | None = None,
         seed: int = 0,
+        allow_random_init: bool = False,
     ) -> None:
+        self.allow_random_init = allow_random_init
         self.layer_name_list = list(layer_name_list)
         self.cfg = VGG19_CFG if vgg_type == "vgg19" else VGG16_CFG
         self.vgg_type = vgg_type
@@ -78,6 +82,18 @@ class VGGFeatureExtractor:
                     path = cand
         if path and os.path.exists(path):
             return load_torchvision_vgg(path, self.cfg)
+        if not (
+            self.allow_random_init
+            or os.environ.get("TRAINNER_ALLOW_RANDOM_VGG") == "1"
+        ):
+            raise FileNotFoundError(
+                f"Pretrained {self.vgg_type} weights not found. Perceptual/LPIPS "
+                "features from a randomly initialized VGG are meaningless; refusing "
+                "to train against them. Provide the torchvision state dict via "
+                f"weights_path= or place {self.vgg_type}.pth under "
+                "$TRAINNER_WEIGHTS_DIR. For tests/experiments only, pass "
+                "allow_random_init=True or set TRAINNER_ALLOW_RANDOM_VGG=1."
+            )
         import logging
 
         logging.getLogger("trainner_redux_tpu").warning(

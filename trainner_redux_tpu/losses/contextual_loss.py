@@ -74,44 +74,3 @@ class ContextualLoss:
             )
             total = total + w * (-jnp.log(jnp.maximum(cx, 1e-8))).mean()
         return self.loss_weight * total
-
-
-@LOSS_REGISTRY.register(name="contrastiveloss")
-class ContrastiveLoss:
-    """Contrastive SR loss (reference contrastive_loss.py:13 uses CLIP
-    embeddings; here VGG features serve as the embedding tower, a documented
-    divergence for the zero-egress environment): push the output towards the
-    GT embedding and away from the (upscaled) LQ embedding."""
-
-    def __init__(
-        self,
-        loss_weight: float = 1.0,
-        layer_weights: dict[str, float] | None = None,
-        vgg_type: str = "vgg19",
-        temperature: float = 1.0,
-        weights_path: str | None = None,
-        **_: dict,
-    ) -> None:
-        self.loss_weight = loss_weight
-        self.layer_weights = dict(layer_weights or {"conv3_4": 1.0, "conv5_4": 1.0})
-        self.temperature = temperature
-        self.vgg = VGGFeatureExtractor(
-            list(self.layer_weights), vgg_type=vgg_type, weights_path=weights_path
-        )
-
-    def __call__(
-        self, output: jnp.ndarray, gt: jnp.ndarray, lq: jnp.ndarray
-    ) -> jnp.ndarray:
-        from trainner_redux_tpu.ops.resize import resize
-
-        h, w = output.shape[1], output.shape[2]
-        lq_up = resize(lq.astype(jnp.float32), (h, w), "bicubic", True)
-        f_out = self.vgg(output.astype(jnp.float32))
-        f_gt = self.vgg(jax.lax.stop_gradient(gt.astype(jnp.float32)))
-        f_lq = self.vgg(jax.lax.stop_gradient(jnp.clip(lq_up, 0, 1)))
-        total = jnp.zeros((), jnp.float32)
-        for name, wgt in self.layer_weights.items():
-            pos = jnp.abs(f_out[name] - f_gt[name]).mean()
-            neg = jnp.abs(f_out[name] - f_lq[name]).mean()
-            total = total + wgt * pos / jnp.maximum(neg * self.temperature, 1e-8)
-        return self.loss_weight * total

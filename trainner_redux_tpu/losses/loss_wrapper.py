@@ -1,13 +1,12 @@
-"""ModelAsLoss wrapper + gated external-tower losses.
+"""ModelAsLoss wrapper.
 
 ModelAsLoss (parity: reference loss_wrapper.py:7) lets an architecture
 compute its own training loss (used by ParagonDiffusion).
 
-The external-backbone perceptual losses (ConvNeXt/DINO/ResNet50-anime/CLIP
-line-distiller/AESOP/TOPIQ-as-loss) require pretrained towers that cannot be
-fetched in a zero-egress environment and are not bundled by the reference
-either; they register with an informative construction-time error so configs
-fail fast with guidance instead of silently training on random features.
+The external-backbone perceptual losses (ConvNeXt/DINO/ResNet50-anime/
+LineDistiller/AESOP/CLIP-contrastive) live in tower_perceptual_loss.py with
+real flax towers + local torch-state-dict loaders; TOPIQ-as-loss is in
+topiq_loss.py.
 """
 
 from __future__ import annotations
@@ -28,29 +27,3 @@ class ModelAsLoss:
         import jax.numpy as jnp
 
         return self.loss_weight * jnp.asarray(output, jnp.float32).mean()
-
-
-def _gated(name: str, needs: str):
-    class GatedLoss:
-        def __init__(self, *args, **kwargs) -> None:
-            raise NotImplementedError(
-                f"{name} requires pretrained {needs} weights which are not "
-                "bundled and cannot be downloaded in this environment. Place "
-                "the weights under TRAINNER_WEIGHTS_DIR and use the "
-                "corresponding *_weights_path option, or choose another loss "
-                "(perceptualloss/distsloss run with local VGG weights)."
-            )
-
-    GatedLoss.__name__ = name
-    return GatedLoss
-
-
-for _name, _needs in [
-    ("convnextperceptualloss", "ConvNeXt"),
-    ("dinoperceptualloss", "DINOv2"),
-    ("perceptualanimeloss", "ResNet50-anime"),
-    ("linedistillerloss", "LineDistiller"),
-    ("aesoploss", "AESOP autoencoder"),
-    ("topiqloss", "TOPIQ"),
-]:
-    LOSS_REGISTRY.register(_gated(_name, _needs), name=_name)

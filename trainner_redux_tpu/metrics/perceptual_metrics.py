@@ -49,18 +49,46 @@ def calculate_dists(
     return float(scorer(_prep(img, crop_border), _prep(img2, crop_border)))
 
 
+def _get_topiq(use_ref: bool, weights_path: str | None):
+    """Build a jitted CFANet scorer with converted pyiqa weights."""
+    import jax
+
+    from trainner_redux_tpu.archs.feature_towers import resolve_weights
+    from trainner_redux_tpu.archs.topiq_arch import CFANet
+    from trainner_redux_tpu.archs.topiq_weights import load_cfanet_params
+
+    filename = (
+        "cfanet_fr_kadid_res50.pth" if use_ref else "cfanet_nr_koniq_res50.pth"
+    )
+    path = resolve_weights(weights_path, filename, "TOPIQ metric")
+    params = load_cfanet_params(path, use_ref=use_ref)
+    net = CFANet(use_ref=use_ref)
+
+    @jax.jit
+    def score(x, y=None):
+        return net.apply({"params": params}, x, y, train=False)
+
+    return score
+
+
 @METRIC_REGISTRY.register(name="calculate_topiq")
-def calculate_topiq(img: np.ndarray, img2: np.ndarray, **kwargs) -> float:
-    raise NotImplementedError(
-        "TOPIQ requires pretrained CFANet weights that are not bundled and "
-        "cannot be downloaded in this environment. Place them under "
-        "TRAINNER_WEIGHTS_DIR and file an issue to wire the loader, or use "
-        "calculate_lpips / calculate_dists."
+def calculate_topiq(
+    img: np.ndarray, img2: np.ndarray, crop_border: int = 0,
+    weights_path: str | None = None, **kwargs,
+) -> float:
+    """Full-reference TOPIQ (reference metrics/topiq.py:11-24)."""
+    if "topiq" not in _scorers:
+        _scorers["topiq"] = _get_topiq(True, weights_path)
+    return float(
+        np.asarray(_scorers["topiq"](_prep(img, crop_border), _prep(img2, crop_border)))[0]
     )
 
 
 @METRIC_REGISTRY.register(name="calculate_topiq_nr")
-def calculate_topiq_nr(img: np.ndarray, **kwargs) -> float:
-    raise NotImplementedError(
-        "TOPIQ-NR requires pretrained weights unavailable in this environment."
-    )
+def calculate_topiq_nr(
+    img: np.ndarray, crop_border: int = 0, weights_path: str | None = None, **kwargs
+) -> float:
+    """No-reference TOPIQ (reference metrics/topiq.py:28-34)."""
+    if "topiq_nr" not in _scorers:
+        _scorers["topiq_nr"] = _get_topiq(False, weights_path)
+    return float(np.asarray(_scorers["topiq_nr"](_prep(img, crop_border)))[0])
