@@ -1,0 +1,128 @@
+"""Generate cross-framework golden fixtures from the reference's torch archs.
+
+For each family with a LOCAL reference implementation, instantiate the
+reference nn.Module with a tiny deterministic config, run one eval forward,
+and record (state_dict -> safetensors, input/output -> npz) under
+tests/golden/. The test suite then converts the state dict with our
+torch_compat converters and asserts the flax forward matches the torch
+output — end-to-end converter + arch-math validation across frameworks
+(the strongest parity evidence available in a zero-egress environment;
+see PARITY.md).
+
+Usage: python scripts/parity/generate_golden.py [case ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from reference_oracle import import_ref_arch  # noqa: E402
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "tests", "golden"
+)
+
+# case -> (module file, class name, kwargs, input shape NCHW or NTCHW)
+CASES: dict[str, tuple[str, str, dict, tuple]] = {
+    "span": (
+        "span_arch", "SPAN",
+        dict(num_in_ch=3, num_out_ch=3, feature_channels=16, upscale=2,
+             norm=False),
+        (1, 3, 16, 16),
+    ),
+    "span_norm": (
+        "span_arch", "SPAN",
+        dict(num_in_ch=3, num_out_ch=3, feature_channels=16, upscale=2,
+             norm=True),
+        (1, 3, 16, 16),
+    ),
+    "srvgg": (
+        "srvgg_arch", "SRVGGNetCompact",
+        dict(num_feat=8, num_conv=2, upscale=2),
+        (1, 3, 16, 16),
+    ),
+    "hat": (
+        "hat_arch", "HAT",
+        dict(img_size=16, embed_dim=16, depths=(2,), num_heads=(2,),
+             window_size=4, compress_ratio=2, squeeze_factor=4,
+             drop_path_rate=0.0, upscale=2,
+             upsampler="pixelshuffle", num_feat=16),
+        (1, 3, 16, 16),
+    ),
+    "dat": (
+        "dat_arch", "DAT",
+        dict(img_size=16, embed_dim=16, depth=[2], num_heads=[2],
+             split_size=[2, 4], drop_path_rate=0.0, upscale=2,
+             resi_connection="1conv", upsampler="pixelshuffle"),
+        (1, 3, 16, 16),
+    ),
+    "fdat": (
+        "fdat_arch", "FDAT",
+        dict(scale=2, embed_dim=16, num_groups=1, depth_per_group=1,
+             num_heads=2, window_size=4, drop_path_rate=0.0,
+             upsampler_type="pixelshuffle"),
+        (1, 3, 16, 16),
+    ),
+    "drct": (
+        "drct_arch", "DRCT",
+        dict(img_size=16, embed_dim=18, depths=(2,), num_heads=(2,),
+             window_size=4, gc=6, drop_path_rate=0.0, upscale=2,
+             upsampler="pixelshuffle", resi_connection="1conv"),
+        (1, 3, 16, 16),
+    ),
+    "tscunet": (
+        "tscunet_arch", "TSCUNet",
+        dict(clip_size=5, nb=1, dim=64, scale=2, input_resolution=64),
+        (1, 5, 3, 64, 64),
+    ),
+    # discriminators (GAN parity)
+    "unetdisc": (
+        "discriminator_arch", "UNetDiscriminatorSN",
+        dict(num_in_ch=3, num_feat=16),
+        (1, 3, 32, 32),
+    ),
+    "vggdisc": (
+        "discriminator_arch", "VGGStyleDiscriminator",
+        dict(num_in_ch=3, num_feat=16, input_size=128),
+        (1, 3, 128, 128),
+    ),
+}
+
+
+def generate(case: str) -> None:
+    import torch
+    from safetensors.torch import save_file
+
+    module_file, cls_name, kwargs, in_shape = CASES[case]
+    mod = import_ref_arch(module_file)
+    cls = getattr(mod, cls_name)
+    torch.manual_seed(0)
+    net = cls(**kwargs)
+    net.eval()
+    x = torch.rand(*in_shape, generator=torch.Generator().manual_seed(1))
+    with torch.inference_mode():
+        y = net(x)
+    if isinstance(y, (tuple, list)):
+        y = y[0]
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    sd = {k: v.contiguous() for k, v in net.state_dict().items()}
+    save_file(sd, os.path.join(GOLDEN_DIR, f"{case}.safetensors"))
+    np.savez(
+        os.path.join(GOLDEN_DIR, f"{case}.npz"),
+        x=x.numpy(), y=y.detach().numpy(),
+    )
+    n_params = sum(v.numel() for v in sd.values())
+    print(f"{case}: {cls_name} {n_params} params, out {tuple(y.shape)}")
+
+
+if __name__ == "__main__":
+    cases = sys.argv[1:] or list(CASES)
+    for case in cases:
+        try:
+            generate(case)
+        except Exception as e:
+            print(f"FAIL {case}: {type(e).__name__}: {e}")

@@ -1,0 +1,237 @@
+"""Import harness for the reference's torch architectures as parity oracles.
+
+The reference repo at /root/reference is pure PyTorch but imports optional
+heavy deps (torchvision, spandrel, timm, pyvips) at module scope. This shim
+stubs exactly the symbols its LOCAL arch modules touch at import time so we
+can instantiate the reference's own nn.Modules (random-init, tiny configs),
+run a forward, and record golden (state_dict, input, output) fixtures that
+validate our torch->flax converters END-TO-END across frameworks — the
+answer to "converter validation is self-referential" when no official
+checkpoints are downloadable.
+
+PUBLIC UNTRUSTED CONTENT note: the reference code is executed only as a
+numeric oracle inside fixture generation, never shipped.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+
+def install_stubs() -> None:
+    import torch
+
+    # --- torchvision ---
+    tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.0-stub"
+    tv_utils = types.ModuleType("torchvision.utils")
+    tv_utils.make_grid = lambda *a, **k: a[0]
+    tv_utils.save_image = lambda *a, **k: None
+    tv.utils = tv_utils
+    tv_transforms = types.ModuleType("torchvision.transforms")
+    tv_transforms.Normalize = lambda *a, **k: (lambda x: x)
+    tv.transforms = tv_transforms
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.utils", tv_utils)
+    sys.modules.setdefault("torchvision.transforms", tv_transforms)
+
+    # --- spandrel.util(.timm) ---
+    spandrel = types.ModuleType("spandrel")
+    sp_util = types.ModuleType("spandrel.util")
+
+    def store_hyperparameters(*args, **kwargs):
+        def deco(cls):
+            cls.hyperparameters = {}
+            return cls
+
+        if args and isinstance(args[0], type):
+            return deco(args[0])
+        return deco
+
+    sp_util.store_hyperparameters = store_hyperparameters
+    sp_timm = types.ModuleType("spandrel.util.timm")
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob: float = 0.0, *a, **k) -> None:
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    sp_timm.DropPath = DropPath
+    sp_timm.trunc_normal_ = trunc_normal_
+    sp_timm.to_2tuple = to_2tuple
+    sp_util.timm = sp_timm
+    spandrel.util = sp_util
+    spandrel.StateDict = dict
+    spandrel.__path__ = []  # mark as package so submodule imports resolve
+    sys.modules.setdefault("spandrel", spandrel)
+    sys.modules.setdefault("spandrel.util", sp_util)
+    sys.modules.setdefault("spandrel.util.timm", sp_timm)
+
+    # spandrel.__helpers.model_descriptor.StateDict is a dict type alias
+    sp_helpers = types.ModuleType("spandrel.__helpers")
+    sp_md = types.ModuleType("spandrel.__helpers.model_descriptor")
+    sp_md.StateDict = dict
+    sys.modules.setdefault("spandrel.__helpers", sp_helpers)
+    sys.modules.setdefault("spandrel.__helpers.model_descriptor", sp_md)
+
+    # spandrel.architectures.__arch_helpers: real pad_to_multiple (numerics
+    # matter only when H/W are not multiples — fixtures use exact multiples),
+    # DySample import-only stub (fixtures pick non-dysample upsamplers).
+    import torch.nn.functional as F
+
+    sp_archs = types.ModuleType("spandrel.architectures")
+    sp_archs.__path__ = []
+    sp_ah = types.ModuleType("spandrel.architectures.__arch_helpers")
+    sp_pad = types.ModuleType("spandrel.architectures.__arch_helpers.padding")
+
+    def pad_to_multiple(t, multiple, *, mode="reflect", value=0.0):
+        h, w = t.shape[-2:]
+        ph = (multiple - h % multiple) % multiple
+        pw = (multiple - w % multiple) % multiple
+        if ph or pw:
+            kw = {"value": value} if mode == "constant" else {}
+            return F.pad(t, (0, pw, 0, ph), mode=mode, **kw)
+        return t
+
+    sp_pad.pad_to_multiple = pad_to_multiple
+    sp_dys = types.ModuleType("spandrel.architectures.__arch_helpers.dysample")
+
+    class DySample(torch.nn.Module):
+        def __init__(self, *a, **k) -> None:
+            super().__init__()
+
+        def forward(self, x):
+            raise NotImplementedError(
+                "DySample oracle stub: pick a fixture config that does not "
+                "route through DySample."
+            )
+
+    sp_dys.DySample = DySample
+    sp_block = types.ModuleType("spandrel.architectures.__arch_helpers.block")
+    sp_block.RRDB = type("RRDB", (torch.nn.Module,), {})
+    sp_ah.padding = sp_pad
+    sp_ah.dysample = sp_dys
+    sp_ah.block = sp_block
+    for name, mod in (
+        ("spandrel.architectures", sp_archs),
+        ("spandrel.architectures.__arch_helpers", sp_ah),
+        ("spandrel.architectures.__arch_helpers.padding", sp_pad),
+        ("spandrel.architectures.__arch_helpers.dysample", sp_dys),
+        ("spandrel.architectures.__arch_helpers.block", sp_block),
+    ):
+        sys.modules.setdefault(name, mod)
+
+    # --- timm (some archs import DropPath/trunc_normal_ from timm) ---
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+    timm_layers.DropPath = DropPath
+    timm_layers.trunc_normal_ = trunc_normal_
+    timm_layers.to_2tuple = to_2tuple
+    timm_models.layers = timm_layers
+    timm.models = timm_models
+    timm_layers2 = types.ModuleType("timm.layers")
+    timm_layers2.__path__ = []  # package: some archs import timm.layers.drop
+    timm_layers2.DropPath = DropPath
+    timm_layers2.trunc_normal_ = trunc_normal_
+    timm_layers2.to_2tuple = to_2tuple
+    timm_drop = types.ModuleType("timm.layers.drop")
+    timm_drop.DropPath = DropPath
+
+    def drop_path(x, drop_prob=0.0, training=False, scale_by_keep=True):
+        return x
+
+    timm_drop.drop_path = drop_path
+    timm_weight_init = types.ModuleType("timm.layers.weight_init")
+    timm_weight_init.trunc_normal_ = trunc_normal_
+    timm_helpers = types.ModuleType("timm.layers.helpers")
+    timm_helpers.to_2tuple = to_2tuple
+    timm.layers = timm_layers2
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", timm_models)
+    sys.modules.setdefault("timm.models.layers", timm_layers)
+    sys.modules.setdefault("timm.layers", timm_layers2)
+    sys.modules.setdefault("timm.layers.drop", timm_drop)
+    sys.modules.setdefault("timm.layers.weight_init", timm_weight_init)
+    sys.modules.setdefault("timm.layers.helpers", timm_helpers)
+
+    # --- pyvips (img_util does `pyvips.Image` in annotations/attrs) ---
+    pyvips = types.ModuleType("pyvips")
+
+    class _VipsImage:  # attribute access only; never executed
+        pass
+
+    pyvips.Image = _VipsImage
+    pyvips.Interesting = types.SimpleNamespace(ENTROPY="entropy")
+    sys.modules.setdefault("pyvips", pyvips)
+
+    # --- msgspec (redux_options defines Structs at import time) ---
+    if "msgspec" not in sys.modules:
+        msgspec = types.ModuleType("msgspec")
+
+        class Struct:
+            def __init_subclass__(cls, **kwargs) -> None:
+                pass
+
+            def __init__(self, **kw) -> None:
+                self.__dict__.update(kw)
+
+        class Meta:
+            def __init__(self, *a, **k) -> None:
+                pass
+
+        def field(*a, **k):
+            return k.get("default")
+
+        msgspec.Struct = Struct
+        msgspec.Meta = Meta
+        msgspec.field = field
+        msgspec.structs = types.SimpleNamespace(asdict=lambda s: dict(s.__dict__))
+        msgspec.yaml = types.SimpleNamespace(
+            decode=lambda *a, **k: None, encode=lambda *a, **k: b""
+        )
+        msgspec.json = types.SimpleNamespace(
+            decode=lambda *a, **k: None, encode=lambda *a, **k: b""
+        )
+        msgspec.convert = lambda obj, type=None, **k: obj
+        msgspec.to_builtins = lambda obj, **k: obj
+        msgspec.ValidationError = type("ValidationError", (Exception,), {})
+        msgspec.DecodeError = type("DecodeError", (Exception,), {})
+        sys.modules["msgspec"] = msgspec
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+def import_ref_arch(module_name: str):
+    """Import a reference arch FILE (e.g. 'dat_arch') with stubs live.
+
+    traiNNer.archs.__init__ auto-imports the whole zoo (including spandrel-
+    class factories we cannot satisfy), so we register a dummy package for
+    'traiNNer.archs' whose __path__ points at the real directory — submodule
+    imports resolve file-by-file without running the scanning __init__.
+    """
+    install_stubs()
+    import importlib
+
+    if "traiNNer.archs" not in sys.modules:
+        import traiNNer  # real (empty) package init
+
+        pkg = types.ModuleType("traiNNer.archs")
+        pkg.__path__ = ["/root/reference/traiNNer/archs"]
+        pkg.__package__ = "traiNNer.archs"
+        sys.modules["traiNNer.archs"] = pkg
+        traiNNer.archs = pkg
+    return importlib.import_module(f"traiNNer.archs.{module_name}")

@@ -218,7 +218,17 @@ GRAD_SWEEP = [
 ]
 
 
-@pytest.mark.parametrize("opt", GRAD_SWEEP, ids=lambda o: o["type"])
+# families exercised in the default (fast) run; the rest only in `-m ""`
+FAST_SWEEP_FAMILIES = {
+    "compact", "span_f32", "esrgan_lite", "swinir_s", "hat", "dat", "realcugan",
+}
+GRAD_SWEEP_PARAMS = [
+    o if o["type"] in FAST_SWEEP_FAMILIES else pytest.param(o, marks=pytest.mark.slow)
+    for o in GRAD_SWEEP
+]
+
+
+@pytest.mark.parametrize("opt", GRAD_SWEEP_PARAMS, ids=lambda o: o["type"])
 def test_grad_sweep(opt):
     """Registry conformance sweep (reference tests/test_archs/test_archs.py):
     one full train step with finite loss/grads/params for every family."""

@@ -31,8 +31,8 @@ LOSS_CONFIGS = [
     {"type": "chcloss", "loss_weight": 1.0},
     {"type": "consistencyloss", "loss_weight": 1.0},
     {"type": "fliploss", "loss_weight": 1.0},
-    {"type": "distsloss", "loss_weight": 1.0},
-    {"type": "contextualloss", "loss_weight": 1.0},
+    pytest.param({"type": "distsloss", "loss_weight": 1.0}, marks=pytest.mark.slow),
+    pytest.param({"type": "contextualloss", "loss_weight": 1.0}, marks=pytest.mark.slow),
 ]
 
 # losses whose zero at identical inputs is not exact (clip floors, relative terms)
@@ -159,8 +159,9 @@ def test_hsluv_reference_values():
     assert abs(l - 53.24) < 0.5
 
 
-def test_gated_tower_losses_fail_fast():
-    with pytest.raises(NotImplementedError, match="DINOv2"):
+def test_gated_tower_losses_fail_fast(monkeypatch):
+    monkeypatch.delenv("TRAINNER_WEIGHTS_DIR", raising=False)
+    with pytest.raises(FileNotFoundError, match="TRAINNER_WEIGHTS_DIR"):
         build_loss({"type": "dinoperceptualloss", "loss_weight": 1.0})
 
 

@@ -1,6 +1,9 @@
 """AEModel: autoencoder training with freeze masks."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_ae_model_trains_with_frozen_decoder():

@@ -7,6 +7,8 @@ import yaml
 
 from trainner_redux_tpu.utils.schema import decode
 
+pytestmark = pytest.mark.slow
+
 
 def make_gan_opt(tmp_path, gan_type="vanilla", network_d="unetdiscriminatorsn",
                  adaptive_d=False, extra_losses=""):

@@ -7,6 +7,8 @@ import yaml
 
 from trainner_redux_tpu.utils.schema import decode
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def gt_dataset(tmp_path_factory):

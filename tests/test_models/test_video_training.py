@@ -6,6 +6,8 @@ import yaml
 
 from trainner_redux_tpu.utils.schema import decode
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def video_dataset(tmp_path_factory):

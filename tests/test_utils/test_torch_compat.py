@@ -179,6 +179,8 @@ def test_srvgg_exporter_roundtrip(tmp_path):
 
 import pytest as _pytest
 
+pytestmark = pytest.mark.slow
+
 
 @_pytest.mark.parametrize("variant", ["swinir_s", "swinir_m"])
 def test_swinir_converter_covers_full_tree(variant):
@@ -274,6 +276,10 @@ def test_hat_converter_covers_full_tree():
     def to_torch_key(fk: str) -> str:
         import re as _re
 
+        if fk == "patch_norm.scale":
+            return "patch_embed.norm.weight"
+        if fk == "patch_norm.bias":
+            return "patch_embed.norm.bias"
         m = _re.fullmatch(r"layers_(\d+)\.blocks_(\d+)\.conv_block\.(\w+)\.conv\.(kernel|bias)", fk)
         if m:
             i, j, part, kind = m.groups()

@@ -27,20 +27,28 @@ from trainner_redux_tpu.utils.registry import SPANDREL_REGISTRY
 
 
 class BatchNormNoStats(nn.Module):
-    """Per-channel batch-statistics normalization (torch BN train-mode)."""
+    """Torch-BatchNorm2d parity: batch statistics in training, stored running
+    statistics in eval (filled by the checkpoint converter; identity 0/1 for
+    from-scratch models, where a post-training calibration pass can refresh
+    them deterministically instead of threading mutable state through jit)."""
 
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        axes = tuple(range(x.ndim - 1))
-        mu = x.mean(axis=axes, keepdims=True)
-        var = x.var(axis=axes, keepdims=True)
-        y = (x - mu) * jax.lax.rsqrt(var + self.epsilon)
+        mean = self.param("mean", nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (c,), jnp.float32)
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mu = x.mean(axis=axes, keepdims=True)
+            v = x.var(axis=axes, keepdims=True)
+        else:
+            mu, v = mean.astype(x.dtype), var.astype(x.dtype)
+        y = (x - mu) * jax.lax.rsqrt(v + self.epsilon)
         return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
@@ -122,6 +130,14 @@ class DynamicPosBias(nn.Module):
 
     @nn.compact
     def __call__(self, biases: jnp.ndarray) -> jnp.ndarray:
+        # hidden == 0 degenerates to a bias-only rpe, exactly like the
+        # reference's 0-element Linears at tiny dims (dat_arch.py:131-146)
+        if self.hidden == 0:
+            x = jnp.zeros(biases.shape[:-1] + (0,), self.dtype)
+            return nn.Dense(self.num_heads, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            kernel_init=nn.initializers.zeros,  # 0-dim fan-in
+                            name="pos3")(x)
         x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="pos_proj")(biases)
         for i in (1, 2):
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=f"norm{i}")(x)
@@ -161,7 +177,9 @@ class SpatialAttentionBranch(nn.Module):
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
 
-        pos = DynamicPosBias(nh, max(4, self.dim // 4), dtype=self.dtype, name="pos")(
+        # reference dat_arch.py:208: DynamicPosBias(self.dim // 4, heads) with
+        # internal pos_dim = dim // 4 again -> hidden = branch_dim // 16
+        pos = DynamicPosBias(nh, (self.dim // 4) // 4, dtype=self.dtype, name="pos")(
             jnp.asarray(_rect_bias_coords(self.h_sp, self.w_sp))
         )
         idx = jnp.asarray(_rect_rel_index(self.h_sp, self.w_sp))
@@ -190,7 +208,7 @@ class AdaptiveSpatialAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         b, h, w, c = x.shape
         qkv = nn.Dense(
             c * 3, use_bias=self.qkv_bias, dtype=self.dtype, param_dtype=jnp.float32,
@@ -233,15 +251,15 @@ class AdaptiveSpatialAttention(nn.Module):
 
         # conv branch + AIM
         conv_x = Conv2d(c, 3, feature_group_count=c, dtype=self.dtype, name="dwconv")(v_img)
-        conv_x = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="dw_bn")(conv_x))
+        conv_x = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="dw_bn")(conv_x, train))
 
         ch_map = conv_x.mean(axis=(1, 2), keepdims=True)
         ch_map = Conv2d(max(1, c // 8), 1, dtype=self.dtype, name="ci_0")(ch_map)
-        ch_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="ci_bn")(ch_map))
+        ch_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="ci_bn")(ch_map, train))
         ch_map = Conv2d(c, 1, dtype=self.dtype, name="ci_1")(ch_map)
 
         sp_map = Conv2d(max(1, c // 16), 1, dtype=self.dtype, name="si_0")(attened)
-        sp_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="si_bn")(sp_map))
+        sp_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="si_bn")(sp_map, train))
         sp_map = Conv2d(1, 1, dtype=self.dtype, name="si_1")(sp_map)
 
         attened = attened * nn.sigmoid(ch_map)
@@ -258,7 +276,7 @@ class AdaptiveChannelAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         b, h, w, c = x.shape
         nh = self.num_heads
         hd = c // nh
@@ -284,15 +302,15 @@ class AdaptiveChannelAttention(nn.Module):
         attened = attened.transpose(0, 3, 1, 2).reshape(b, h, w, c)
 
         conv_x = Conv2d(c, 3, feature_group_count=c, dtype=self.dtype, name="dwconv")(v_img)
-        conv_x = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="dw_bn")(conv_x))
+        conv_x = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="dw_bn")(conv_x, train))
 
         ch_map = attened.mean(axis=(1, 2), keepdims=True)
         ch_map = Conv2d(max(1, c // 8), 1, dtype=self.dtype, name="ci_0")(ch_map)
-        ch_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="ci_bn")(ch_map))
+        ch_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="ci_bn")(ch_map, train))
         ch_map = Conv2d(c, 1, dtype=self.dtype, name="ci_1")(ch_map)
 
         sp_map = Conv2d(max(1, c // 16), 1, dtype=self.dtype, name="si_0")(conv_x)
-        sp_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="si_bn")(sp_map))
+        sp_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="si_bn")(sp_map, train))
         sp_map = Conv2d(1, 1, dtype=self.dtype, name="si_1")(sp_map)
 
         attened = attened * nn.sigmoid(sp_map)
@@ -324,12 +342,12 @@ class DATB(nn.Module):
             att = AdaptiveSpatialAttention(
                 self.dim, self.num_heads, self.split_size, self.shift_size,
                 self.qkv_bias, self.qk_scale, do_shift, dtype=self.dtype, name="attn",
-            )(xn)
+            )(xn, train)
         else:
             att = AdaptiveChannelAttention(
                 self.dim, self.num_heads, self.qkv_bias, self.qk_scale,
                 dtype=self.dtype, name="attn",
-            )(xn)
+            )(xn, train)
         x = x + DropPath(self.drop_path, name="dp1")(att, train)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         y = SGFN(
@@ -383,6 +401,10 @@ class DAT(nn.Module):
             body = body + res
             cursor += self.depth[rg]
 
+        # final LN after all residual groups (reference dat_arch.py:1007,1054)
+        body = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm"
+        )(body)
         body = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body")(body)
         feat = feat + body
 

@@ -62,7 +62,7 @@ class HAB(nn.Module):
     compress_ratio: int = 3
     squeeze_factor: int = 30
     conv_scale: float = 0.01
-    mlp_ratio: float = 2.0
+    mlp_ratio: float = 4.0
     qkv_bias: bool = True
     qk_scale: float | None = None
     drop_path: float = 0.0
@@ -117,7 +117,7 @@ class OCAB(nn.Module):
     window_size: int = 16
     overlap_ratio: float = 0.5
     qkv_bias: bool = True
-    mlp_ratio: float = 2.0
+    mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -257,7 +257,7 @@ class HAT(nn.Module):
     squeeze_factor: int = 30
     conv_scale: float = 0.01
     overlap_ratio: float = 0.5
-    mlp_ratio: float = 2.0
+    mlp_ratio: float = 4.0
     qkv_bias: bool = True
     qk_scale: float | None = None
     drop_path_rate: float = 0.1
@@ -282,7 +282,10 @@ class HAT(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_first")(x)
-        body = feat
+        # patch_embed applies LN when patch_norm=True (reference HAT default)
+        body = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="patch_norm"
+        )(feat)
         total_depth = sum(self.depths)
         dpr = [float(v) for v in np.linspace(0, self.drop_path_rate, total_depth)]
         cursor = 0
@@ -335,16 +338,20 @@ def _hat_factory(**defaults):
 
 
 ARCH_REGISTRY.register(_hat_factory(), name="hat")
+# presets pass mlp_ratio=2.0 explicitly (reference hat_arch.py:1186,1244,1300);
+# the class default stays 4.0 like the reference HAT class
 ARCH_REGISTRY.register(
     _hat_factory(embed_dim=144, depths=[6] * 6, num_heads=[6] * 6, window_size=16,
-                 compress_ratio=24, squeeze_factor=24),
+                 compress_ratio=24, squeeze_factor=24, mlp_ratio=2.0),
     name="hat_s",
 )
 ARCH_REGISTRY.register(
-    _hat_factory(embed_dim=180, depths=[6] * 6, num_heads=[6] * 6, window_size=16),
+    _hat_factory(embed_dim=180, depths=[6] * 6, num_heads=[6] * 6, window_size=16,
+                 mlp_ratio=2.0),
     name="hat_m",
 )
 ARCH_REGISTRY.register(
-    _hat_factory(embed_dim=180, depths=[6] * 12, num_heads=[6] * 12, window_size=16),
+    _hat_factory(embed_dim=180, depths=[6] * 12, num_heads=[6] * 12, window_size=16,
+                 mlp_ratio=2.0),
     name="hat_l",
 )

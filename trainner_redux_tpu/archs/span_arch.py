@@ -126,7 +126,10 @@ class SPAB(nn.Module):
         out3 = Conv3XC(mid, out_c, gain=2, dtype=self.dtype, name="c3_r")(out2_act, train)
         sim_att = jax.nn.sigmoid(out3) - 0.5
         out = (out3 + x) * sim_att
-        return out, out1, sim_att
+        # the reference's act1 is SiLU(inplace=True) (span_arch.py:232,237):
+        # it mutates out1 in place, so the block actually RETURNS silu(out1) —
+        # conv_cat consumes the activated tensor (verified by golden fixture)
+        return out, out1_act, sim_att
 
 
 class SPAN(nn.Module):

@@ -443,65 +443,3 @@ class BCEWithLogitsDiceLoss:
         inter = (probs * target).sum()
         dice = 1.0 - (2 * inter + self.smooth) / (probs.sum() + target.sum() + self.smooth)
         return self.loss_weight * (self.bce_weight * bce + (1 - self.bce_weight) * dice)
-
-
-@LOSS_REGISTRY.register(name="fliploss")
-class FLIPLoss:
-    """Perceptual FLIP difference (NVIDIA LDR-FLIP core: color pipeline with
-    spatial CSF filtering + feature (edge/point) differences)."""
-
-    def __init__(
-        self,
-        loss_weight: float = 1.0,
-        pixels_per_degree: float = 0.3 * 3840 / 0.7,
-        **_: dict,
-    ) -> None:
-        self.loss_weight = loss_weight
-        self.ppd = pixels_per_degree
-
-    @staticmethod
-    def _ycxcz(rgb: jnp.ndarray) -> jnp.ndarray:
-        lin = jnp.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
-        mat = jnp.asarray(
-            [
-                [0.4124, 0.3576, 0.1805],
-                [0.2126, 0.7152, 0.0722],
-                [0.0193, 0.1192, 0.9505],
-            ],
-            rgb.dtype,
-        )
-        xyz = lin @ mat.T
-        ref = jnp.asarray([0.950428545, 1.0, 1.088900371], rgb.dtype)
-        xyz_n = xyz / ref
-        y = 116.0 * xyz_n[..., 1] - 16.0
-        cx = 500.0 * (xyz_n[..., 0] - xyz_n[..., 1])
-        cz = 200.0 * (xyz_n[..., 1] - xyz_n[..., 2])
-        return jnp.stack([y, cx, cz], axis=-1)
-
-    def _csf_blur(self, x: jnp.ndarray) -> jnp.ndarray:
-        from trainner_redux_tpu.ops.resize import gaussian_blur
-
-        # approximate the per-channel CSF with gaussian low-pass whose sigma
-        # scales with viewing distance (pixels per degree)
-        sigma = max(0.5, self.ppd / 720.0)
-        k = int(2 * round(3 * sigma) + 1)
-        return gaussian_blur(x, k, sigma)
-
-    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        p = self._ycxcz(jnp.clip(pred.astype(jnp.float32), 0, 1))
-        t = self._ycxcz(jnp.clip(target.astype(jnp.float32), 0, 1))
-        p_f = self._csf_blur(p)
-        t_f = self._csf_blur(t)
-        # normalized color difference (Hunt-adjusted L2 in YCxCz)
-        dist = jnp.linalg.norm((p_f - t_f) / 100.0, axis=-1)
-        color_diff = jnp.clip(dist, 0.0, 1.0) ** 0.7
-        # feature difference: gradient magnitude mismatch on luma
-        gy_p = _depthwise(p[..., :1] / 100.0, _SOBEL_Y, 1)
-        gx_p = _depthwise(p[..., :1] / 100.0, _SOBEL_X, 1)
-        gy_t = _depthwise(t[..., :1] / 100.0, _SOBEL_Y, 1)
-        gx_t = _depthwise(t[..., :1] / 100.0, _SOBEL_X, 1)
-        edge_p = jnp.hypot(gx_p, gy_p)[..., 0]
-        edge_t = jnp.hypot(gx_t, gy_t)[..., 0]
-        feature_diff = jnp.clip(jnp.abs(edge_p - edge_t), 0.0, 1.0) ** 0.5
-        flip = 1.0 - (1.0 - color_diff) * (1.0 - feature_diff)
-        return self.loss_weight * flip.mean()

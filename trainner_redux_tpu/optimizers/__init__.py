@@ -79,23 +79,52 @@ def adopt(learning_rate: Schedule, **opt: Any) -> optax.GradientTransformation:
 
 @OPTIMIZER_REGISTRY.register(name="adamwschedulefree")
 def adamw_schedule_free(learning_rate: Schedule, **opt: Any) -> optax.GradientTransformation:
+    """Schedule-free AdamW: momentum moved into the schedule-free z/y
+    averaging, base AdamW runs with b1=0. The LR *schedule* is respected —
+    optax contrib.schedule_free accepts a callable learning_rate."""
     from optax import contrib
 
     kw = _common(opt)
-    return contrib.schedule_free_adamw(
-        learning_rate=learning_rate if not callable(learning_rate) else learning_rate(0),
-        **kw,
+    b1 = kw.pop("b1", 0.9)
+    warmup = int(opt.pop("warmup_steps", 0) or 0)
+    lr = learning_rate
+    if warmup > 0 and callable(learning_rate):
+        base = learning_rate
+
+        def lr(count):  # reference AdamWScheduleFree's linear warmup
+            return base(count) * jnp.minimum((count + 1.0) / warmup, 1.0)
+
+    base_tx = optax.adamw(lr, b1=0.0, **kw)
+    return contrib.schedule_free(base_tx, learning_rate=lr, b1=b1)
+
+
+@OPTIMIZER_REGISTRY.register(name="adanschedulefree")
+def adanschedulefree(learning_rate: Schedule, **opt: Any) -> optax.GradientTransformation:
+    from trainner_redux_tpu.optimizers.transforms import adan_schedule_free
+
+    kw = _common(opt)
+    return adan_schedule_free(
+        learning_rate,
+        b1=kw.get("b1", 0.98), b2=kw.get("b2", 0.92), b3=kw.get("b3", 0.99),
+        eps=kw.get("eps", 1e-8), weight_decay=kw.get("weight_decay", 0.0),
+        warmup_steps=int(opt.pop("warmup_steps", 0) or 0),
+        r=float(opt.pop("r", 0.0)),
+        weight_lr_power=float(opt.pop("weight_lr_power", 2.0)),
     )
 
 
 @OPTIMIZER_REGISTRY.register(name="stableadamw")
 def stable_adamw(learning_rate: Schedule, **opt: Any) -> optax.GradientTransformation:
-    """AdamW with per-parameter RMS update clipping (StableAdamW)."""
+    """True StableAdamW: per-tensor RMS(g^2/v_hat) learning-rate clipping
+    (arXiv:2304.13013), not optax adaptive_grad_clip."""
+    from trainner_redux_tpu.optimizers.transforms import stable_adamw as _stable
+
     kw = _common(opt)
-    clip = float(opt.pop("clip_threshold", 1.0))
-    return optax.chain(
-        optax.adaptive_grad_clip(clip),
-        optax.adamw(learning_rate, **kw),
+    return _stable(
+        learning_rate,
+        b1=kw.get("b1", 0.9), b2=kw.get("b2", 0.999),
+        eps=kw.get("eps", 1e-8), weight_decay=kw.get("weight_decay", 0.0),
+        clip_threshold=float(opt.pop("clip_threshold", 1.0)),
     )
 
 
@@ -116,12 +145,20 @@ def prodigy(learning_rate: Schedule, **opt: Any) -> optax.GradientTransformation
 
 @OPTIMIZER_REGISTRY.register(name="soap")
 def soap(learning_rate: Schedule, **opt: Any) -> optax.GradientTransformation:
-    """SOAP is approximated by AdamW here until a native implementation lands;
-    the config surface is accepted for compatibility."""
+    """True SOAP (arXiv:2409.11321): Adam in the Shampoo eigenbasis with
+    periodic eigh preconditioner refresh (transforms.soap)."""
+    from trainner_redux_tpu.optimizers.transforms import soap as _soap
+
     kw = _common(opt)
     kw.pop("b3", None)
-    opt.pop("precondition_frequency", None)
-    return optax.adamw(learning_rate, **kw)
+    return _soap(
+        learning_rate,
+        b1=kw.get("b1", 0.95), b2=kw.get("b2", 0.95),
+        eps=kw.get("eps", 1e-8), weight_decay=kw.get("weight_decay", 0.0),
+        precondition_frequency=int(opt.pop("precondition_frequency", 10)),
+        max_precond_dim=int(opt.pop("max_precond_dim", 4096)),
+        shampoo_beta=opt.pop("shampoo_beta", None),
+    )
 
 
 def build_optimizer(

@@ -424,6 +424,10 @@ def _convert_hat(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
                 conv_w(v) if kind == "weight" else v
             )
             continue
+        m = re.fullmatch(r"patch_embed\.norm\.(weight|bias)", k)
+        if m:
+            out[f"patch_norm.{'scale' if m.group(1) == 'weight' else 'bias'}"] = v
+            continue
         m = re.fullmatch(r"norm\.(weight|bias)", k)
         if m:
             out[f"norm.{_norm_key(m.group(1))}"] = v
@@ -522,6 +526,10 @@ def _export_hat(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
                "att0": "cab.3.attention.1", "att1": "cab.3.attention.3"}
     out: dict[str, np.ndarray] = {}
     for k, v in flat.items():
+        m = re.fullmatch(r"patch_norm\.(scale|bias)", k)
+        if m:
+            out[f"patch_embed.norm.{'weight' if m.group(1) == 'scale' else 'bias'}"] = v
+            continue
         m = re.fullmatch(r"layers_(\d+)\.blocks_(\d+)\.conv_block\.(\w+)\.conv\.(kernel|bias)", k)
         if m:
             i, j, part, kind = m.groups()
@@ -574,4 +582,145 @@ def _export_hat(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
                 conv_w_inv(v) if kind == "kernel" else v
             )
             continue
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DAT (official key layout; reference dat_arch.py:903, validated against a
+# reference-torch golden fixture in tests/test_utils/test_golden_parity.py)
+# ---------------------------------------------------------------------------
+
+
+def _bn_to_flax(out: dict, sd: dict, tpre: str, fpre: str) -> None:
+    """torch BatchNorm2d state -> flax {scale,bias,mean,var} params."""
+    out[f"{fpre}.scale"] = sd[f"{tpre}.weight"]
+    out[f"{fpre}.bias"] = sd[f"{tpre}.bias"]
+    out[f"{fpre}.mean"] = sd[f"{tpre}.running_mean"]
+    out[f"{fpre}.var"] = sd[f"{tpre}.running_var"]
+
+
+def _put_ln(out: dict, fpre: str, kind: str, v) -> None:
+    out[f"{fpre}.{'scale' if kind == 'weight' else 'bias'}"] = v
+
+
+def _put_linear(out: dict, fpre: str, kind: str, v) -> None:
+    out[f"{fpre}.{'kernel' if kind == 'weight' else 'bias'}"] = (
+        linear_w(v) if kind == "weight" else v
+    )
+
+
+def _put_conv(out: dict, fpre: str, kind: str, v) -> None:
+    out[f"{fpre}.conv.{'kernel' if kind == 'weight' else 'bias'}"] = (
+        conv_w(v) if kind == "weight" else v
+    )
+
+
+@register_converter("DAT")
+def _convert_dat(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    handled: set[str] = set()
+
+    for k in list(sd):
+        if k.endswith((
+            "relative_position_index", "rpe_biases", "num_batches_tracked",
+        )):
+            handled.add(k)
+    # BNs inside the adaptive interaction module
+    for k in list(sd):
+        m = re.fullmatch(
+            r"layers\.(\d+)\.blocks\.(\d+)\.attn\.(dwconv\.1|channel_interaction\.2"
+            r"|spatial_interaction\.1)\.(weight|bias|running_mean|running_var)", k,
+        )
+        if m and k not in handled:
+            i, j, which = m.group(1), m.group(2), m.group(3)
+            fname = {"dwconv.1": "dw_bn", "channel_interaction.2": "ci_bn",
+                     "spatial_interaction.1": "si_bn"}[which]
+            _bn_to_flax(out, sd, f"layers.{i}.blocks.{j}.attn.{which}",
+                        f"layers_{i}_blocks_{j}.attn.{fname}")
+            for suf in ("weight", "bias", "running_mean", "running_var"):
+                handled.add(f"layers.{i}.blocks.{j}.attn.{which}.{suf}")
+
+    for k, v in sd.items():
+        if k in handled:
+            continue
+        if v.size == 0 and not re.search(r"pos3\.2\.weight$", k):
+            # degenerate 0-dim DynamicPosBias MLP layers (tiny dims): flax
+            # creates only pos3 in bias-only mode, whose (0, heads) kernel
+            # must still be present
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.blocks\.(\d+)\.(.+)\.(weight|bias)", k)
+        if m:
+            i, j, inner, kind = m.groups()
+            fpre = f"layers_{i}_blocks_{j}"
+            if inner in ("norm1", "norm2"):
+                _put_ln(out, f"{fpre}.{inner}", kind, v)
+            elif inner in ("attn.qkv", "attn.proj", "ffn.fc1", "ffn.fc2"):
+                _put_linear(out, f"{fpre}.{inner}", kind, v)
+            elif inner == "ffn.sg.norm":
+                _put_ln(out, f"{fpre}.ffn.sg_norm", kind, v)
+            elif inner == "ffn.sg.conv":
+                _put_conv(out, f"{fpre}.ffn.sg_conv", kind, v)
+            elif inner == "attn.dwconv.0":
+                _put_conv(out, f"{fpre}.attn.dwconv", kind, v)
+            elif inner == "attn.channel_interaction.1":
+                _put_conv(out, f"{fpre}.attn.ci_0", kind, v)
+            elif inner == "attn.channel_interaction.4":
+                _put_conv(out, f"{fpre}.attn.ci_1", kind, v)
+            elif inner == "attn.spatial_interaction.0":
+                _put_conv(out, f"{fpre}.attn.si_0", kind, v)
+            elif inner == "attn.spatial_interaction.3":
+                _put_conv(out, f"{fpre}.attn.si_1", kind, v)
+            else:
+                pm = re.fullmatch(r"attn\.attns\.(\d+)\.pos\.(.+)", inner)
+                if pm:
+                    b, pin = pm.groups()
+                    ppre = f"{fpre}.attn.attns_{b}.pos"
+                    if pin == "pos_proj":
+                        _put_linear(out, f"{ppre}.pos_proj", kind, v)
+                    elif re.fullmatch(r"pos([123])\.0", pin):
+                        _put_ln(out, f"{ppre}.norm{pin[3]}", kind, v)
+                    elif re.fullmatch(r"pos([123])\.2", pin):
+                        _put_linear(out, f"{ppre}.pos{pin[3]}", kind, v)
+                    else:
+                        raise KeyError(f"unmapped DAT pos key: {k}")
+                else:
+                    raise KeyError(f"unmapped DAT block key: {k}")
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.blocks\.(\d+)\.attn\.temperature", k)
+        if m:
+            out[f"layers_{m.group(1)}_blocks_{m.group(2)}.attn.temperature"] = v
+            continue
+        m = re.fullmatch(r"before_RG\.1\.(weight|bias)", k)
+        if m:
+            _put_ln(out, "before_RG", m.group(1), v)
+            continue
+        m = re.fullmatch(r"norm\.(weight|bias)", k)
+        if m:
+            _put_ln(out, "norm", m.group(1), v)
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.conv\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"layers_{m.group(1)}_conv", m.group(2), v)
+            continue
+        m = re.fullmatch(r"conv_before_upsample\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "conv_before_upsample", m.group(1), v)
+            continue
+        m = re.fullmatch(r"upsample\.(\d+)\.(weight|bias)", k)
+        if m:
+            si = int(m.group(1)) // 2
+            name = (
+                "upsample_direct"
+                if getattr(module, "upsampler", "") == "pixelshuffledirect"
+                else f"upsample_{si}"
+            )
+            _put_conv(out, name, m.group(2), v)
+            continue
+        m = re.fullmatch(
+            r"(conv_first|conv_after_body|conv_last)\.(weight|bias)", k
+        )
+        if m:
+            _put_conv(out, m.group(1), m.group(2), v)
+            continue
+        raise KeyError(f"unmapped DAT key: {k}")
     return out
