@@ -67,6 +67,13 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
              upsampler_type="pixelshuffle"),
         (1, 3, 16, 16),
     ),
+    "fdat_tc": (
+        "fdat_arch", "FDAT",
+        dict(scale=2, embed_dim=16, num_groups=1, depth_per_group=1,
+             num_heads=2, window_size=4, drop_path_rate=0.0,
+             upsampler_type="transpose+conv"),
+        (1, 3, 16, 16),
+    ),
     "drct": (
         "drct_arch", "DRCT",
         dict(img_size=16, embed_dim=18, depths=(2,), num_heads=(2,),

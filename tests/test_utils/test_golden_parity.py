@@ -33,7 +33,10 @@ FLAX_OPTS = {
             "num_heads": [2], "split_size": [2, 4], "drop_path_rate": 0.0},
     "fdat": {"type": "fdat", "scale": 2, "embed_dim": 16, "num_groups": 1,
              "depth_per_group": 1, "num_heads": 2, "window_size": 4,
-             "drop_path_rate": 0.0},
+             "drop_path_rate": 0.0, "upsampler_type": "pixelshuffle"},
+    "fdat_tc": {"type": "fdat", "scale": 2, "embed_dim": 16, "num_groups": 1,
+                "depth_per_group": 1, "num_heads": 2, "window_size": 4,
+                "drop_path_rate": 0.0, "upsampler_type": "transpose+conv"},
     "drct": {"type": "drct", "scale": 2, "embed_dim": 18, "depths": [2],
              "num_heads": [2], "window_size": 4, "growth": 6,
              "drop_path_rate": 0.0},
@@ -99,6 +102,6 @@ def test_golden_fast(case):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("case", ["hat", "fdat", "drct", "tscunet"])
+@pytest.mark.parametrize("case", ["hat", "fdat", "fdat_tc", "drct", "tscunet"])
 def test_golden_slow(case):
     _run_case(case)

@@ -16,6 +16,7 @@ from collections.abc import Callable, Sequence
 from typing import Any
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -304,3 +305,134 @@ class DySample(nn.Module):
 
 def mish(x: jnp.ndarray) -> jnp.ndarray:
     return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class ConvT2d(nn.Module):
+    """Torch ConvTranspose2d(k, s, p) parity via input-dilated conv.
+
+    The kernel is stored pre-flipped in HWIO "gradient view": torch weight
+    (I, O, kh, kw) -> flip(kh, kw) -> transpose to (kh, kw, I, O), so
+    __call__ is a single conv_general_dilated with lhs_dilation.
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (1, 1), [(k - 1 - p,) * 2, (k - 1 - p,) * 2],
+            lhs_dilation=(s, s), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(x.dtype)
+
+
+def nearest_up(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, s, w, s, c))
+    return x.reshape(n, h * s, w * s, c)
+
+
+class UniUpsampleV3(nn.Module):
+    """Flax port of the reference's UniUpsampleV3 (arch_util.py:584-732).
+
+    Parameterized units are named c0..cN in the torch Sequential's
+    parameter order, so the checkpoint converter maps positionally for
+    every mode. Supported: conv, pixelshuffledirect, pixelshuffle,
+    nearest+conv, transpose+conv, pa_up, dysample.
+    """
+
+    mode: str = "pa_up"
+    scale: int = 2
+    out_dim: int = 3
+    mid_dim: int = 48
+    group: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s, mode = self.scale, self.mode
+        j = 0
+
+        def conv(x, feats, k=3):
+            nonlocal j
+            y = Conv2d(feats, k, dtype=self.dtype, name=f"c{j}")(x)
+            j += 1
+            return y
+
+        def conv_t(x, feats, k, st, p):
+            nonlocal j
+            y = ConvT2d(feats, k, st, p, dtype=self.dtype, name=f"c{j}")(x)
+            j += 1
+            return y
+
+        if s == 1 or mode == "conv":
+            return conv(x, self.out_dim)
+        if mode == "pixelshuffledirect":
+            return pixel_shuffle(conv(x, self.out_dim * s * s), s)
+        if mode == "pixelshuffle":
+            x = nn.leaky_relu(conv(x, self.mid_dim), 0.01)
+            if (s & (s - 1)) == 0:
+                for _ in range(int(np.log2(s))):
+                    x = pixel_shuffle(conv(x, 4 * self.mid_dim), 2)
+            elif s == 3:
+                x = pixel_shuffle(conv(x, 9 * self.mid_dim), 3)
+            else:
+                raise ValueError(f"pixelshuffle: unsupported scale {s}")
+            return conv(x, self.out_dim)
+        if mode == "nearest+conv":
+            in_dim = x.shape[-1]
+            if (s & (s - 1)) == 0:
+                for _ in range(int(np.log2(s))):
+                    x = nn.leaky_relu(nearest_up(conv(x, in_dim), 2), 0.2)
+                x = nn.leaky_relu(conv(x, in_dim), 0.2)
+            elif s == 3:
+                x = nn.leaky_relu(nearest_up(conv(x, in_dim), 3), 0.2)
+                x = nn.leaky_relu(conv(x, in_dim), 0.2)
+            else:
+                raise ValueError(f"nearest+conv: unsupported scale {s}")
+            return conv(x, self.out_dim)
+        if mode == "transpose+conv":
+            in_dim = x.shape[-1]
+            if s == 2:
+                x = conv_t(x, self.out_dim, 4, 2, 1)
+            elif s == 3:
+                x = conv_t(x, self.out_dim, 3, 3, 0)
+            elif s == 4:
+                x = nn.gelu(conv_t(x, in_dim, 4, 2, 1), approximate=False)
+                x = conv_t(x, self.out_dim, 4, 2, 1)
+            else:
+                raise ValueError(f"transpose+conv: unsupported scale {s}")
+            return conv(x, self.out_dim)
+        if mode == "pa_up":
+            if (s & (s - 1)) == 0:
+                for _ in range(int(np.log2(s))):
+                    x = conv(nearest_up(x, 2), self.mid_dim)
+                    x = x * nn.sigmoid(conv(x, self.mid_dim, k=1))  # PA
+                    x = nn.leaky_relu(x, 0.2)
+                    x = nn.leaky_relu(conv(x, self.mid_dim), 0.2)
+            elif s == 3:
+                x = conv(nearest_up(x, 3), self.mid_dim)
+                x = x * nn.sigmoid(conv(x, self.mid_dim, k=1))
+                x = nn.leaky_relu(x, 0.2)
+                x = nn.leaky_relu(conv(x, self.mid_dim), 0.2)
+            else:
+                raise ValueError(f"pa_up: unsupported scale {s}")
+            return conv(x, self.out_dim)
+        if mode == "dysample":
+            if self.mid_dim != x.shape[-1]:
+                x = nn.leaky_relu(conv(x, self.mid_dim), 0.01)
+            return DySample(
+                x.shape[-1], self.out_dim, s, self.group, dtype=self.dtype,
+                name=f"c{j}",
+            )(x)
+        raise ValueError(f"UniUpsampleV3: unknown mode {mode!r}")

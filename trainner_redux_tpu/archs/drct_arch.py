@@ -19,7 +19,11 @@ from trainner_redux_tpu.utils.registry import SPANDREL_REGISTRY
 
 
 class RDG(nn.Module):
-    """Residual dense group of swin blocks."""
+    """Residual dense group (reference drct_arch.py:229-412): five swin
+    blocks at GROWING widths dim + k*gc over the dense concatenation, each
+    followed by a 1x1 'adjust' conv to gc (lrelu) — the last adjusts back to
+    dim; output is x5 * 0.2 + x. Heads follow the reference's divisibility
+    rule num_heads - (width % num_heads); swin4/swin5 use mlp_ratio=1."""
 
     dim: int
     growth: int
@@ -32,27 +36,27 @@ class RDG(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         gc = self.growth
-        feats = [x]
-        widths_in = [self.dim, self.dim + gc, self.dim + 2 * gc, self.dim + 3 * gc,
-                     self.dim + 4 * gc]
-        outs = []
-        cur = x
-        for i, win in enumerate(widths_in):
+        nh = self.num_heads
+        ws = self.window_size
+        outs: list[jnp.ndarray] = []
+        h = x
+        for i in range(5):
+            width = self.dim + i * gc
+            heads = nh if i == 0 else nh - (width % nh)
+            shift = ws // 2 if i % 2 == 1 else 0
+            mlp = self.mlp_ratio if i < 3 else 1.0
             inp = jnp.concatenate([x] + outs, axis=-1) if outs else x
-            # project dense input to the working dim, swin-attend, project to growth
-            h = Conv2d(self.dim, 1, dtype=self.dtype, name=f"in_proj_{i}")(inp)
             h = SwinBlock(
-                self.dim, self.num_heads, self.window_size,
-                0 if i % 2 == 0 else self.window_size // 2, self.mlp_ratio,
-                drop_path=self.drop_path, dtype=self.dtype, name=f"swin_{i}",
-            )(h, train)
-            if i < len(widths_in) - 1:
+                width, heads, ws, shift, mlp, drop_path=self.drop_path,
+                dtype=self.dtype, name=f"swin_{i + 1}",
+            )(inp, train)
+            if i < 4:
                 h = nn.leaky_relu(
-                    Conv2d(gc, 1, dtype=self.dtype, name=f"out_proj_{i}")(h), 0.2
+                    Conv2d(gc, 1, dtype=self.dtype, name=f"adjust_{i + 1}")(h), 0.2
                 )
                 outs.append(h)
             else:
-                h = Conv2d(self.dim, 1, dtype=self.dtype, name=f"out_proj_{i}")(h)
+                h = Conv2d(self.dim, 1, dtype=self.dtype, name=f"adjust_{i + 1}")(h)
         return h * 0.2 + x
 
 
@@ -83,7 +87,9 @@ class DRCT(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_first")(x)
-        body = feat
+        # patch_embed LN (patch_norm=True default, reference drct_arch.py)
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="patch_norm")(feat)
         dpr = [float(v) for v in np.linspace(0, self.drop_path_rate, len(self.depths))]
         for gi, heads in enumerate(self.num_heads):
             body = RDG(

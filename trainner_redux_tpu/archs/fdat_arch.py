@@ -13,7 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_shuffle, pixel_unshuffle
+from trainner_redux_tpu.archs.arch_util import (
+    Conv2d, Dtype, UniUpsampleV3, pixel_shuffle, pixel_unshuffle,
+)
 from trainner_redux_tpu.archs.swinir_arch import DropPath, window_partition, window_reverse
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
 
@@ -183,6 +185,8 @@ class FDAT(nn.Module):
     drop_path_rate: float = 0.1
     img_range: float = 1.0
     unshuffle_mod: bool = False
+    upsampler_type: str = "pixelshuffle"
+    mid_dim: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -223,18 +227,20 @@ class FDAT(nn.Module):
         deep = Conv2d(self.embed_dim, 3, use_bias=False, dtype=self.dtype, name="conv_after")(deep)
 
         feat = deep + shallow
-        out = Conv2d(
-            self.num_out_ch * net_scale**2, 3, dtype=self.dtype, name="upsampler"
+        # reference fdat_arch.py:263: UniUpsampleV3(upsampler_type, scale, ...)
+        out = UniUpsampleV3(
+            self.upsampler_type, net_scale, self.num_out_ch, self.mid_dim, 4,
+            dtype=self.dtype, name="upsampler",
         )(feat)
-        out = pixel_shuffle(out, net_scale)
         return out[:, : in_h * self.scale, : in_w * self.scale, :].astype(jnp.float32)
 
 
 def _fdat_factory(**defaults):
     def factory(scale: int = 4, **kwargs):
         cfg = dict(defaults)
-        for k in ("mid_dim", "upsampler_type", "img_range"):
-            kwargs.pop(k, None)
+        kwargs.pop("img_range", None)
+        # reference factory presets default to transpose+conv (fdat_arch.py:323+)
+        cfg.setdefault("upsampler_type", "transpose+conv")
         cfg.update(kwargs)
         cfg["group_block_pattern"] = tuple(
             cfg.get("group_block_pattern") or ("spatial", "channel")

@@ -123,6 +123,11 @@ class TSCUNet(nn.Module):
         # reflect-pad H/W to a 64 multiple (U-Net downsamples 8x, windows 8)
         pad_h = int(np.ceil(h / 64) * 64 - h)
         pad_w = int(np.ceil(w / 64) * 64 - w)
+        if not train:
+            # reference tscunet_arch.py:307-309: eval adds 64px extra padding
+            # on each axis to push reflection artifacts past the crop
+            pad_h += 64
+            pad_w += 64
         pt, pb = pad_h // 2 + pad_h % 2, pad_h // 2
         pl_, pr = pad_w // 2 + pad_w % 2, pad_w // 2
         xf = x.reshape(b * t, h, w, c)
@@ -164,8 +169,8 @@ class TSCUNet(nn.Module):
             s //= 2
             stage += 1
         y = nn.leaky_relu(Conv2d(self.dim, 3, dtype=self.dtype, name="up_final")(y), 0.2)
+        # reference returns m_tail output directly (tscunet_arch.py:360-365)
         out = Conv2d(self.out_nc, 3, use_bias=False, dtype=self.dtype, name="m_tail")(y)
-        out = nn.leaky_relu(out, 0.2)
 
         # crop the padding back out at output scale
         return out[
@@ -177,4 +182,8 @@ class TSCUNet(nn.Module):
 @ARCH_REGISTRY.register(name="tscunet")
 def tscunet(scale: int = 2, clip_size: int = 5, dim: int = 64, **kwargs) -> TSCUNet:
     kwargs.pop("state", None)
+    kwargs.pop("input_resolution", None)
+    nb = kwargs.pop("nb", None)
+    if nb is not None and "config" not in kwargs:
+        kwargs["config"] = (int(nb),) * 7
     return TSCUNet(clip_size=clip_size, dim=dim, scale=scale, **kwargs)

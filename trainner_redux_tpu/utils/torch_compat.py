@@ -724,3 +724,304 @@ def _convert_dat(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
             continue
         raise KeyError(f"unmapped DAT key: {k}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# UniUpsampleV3 (shared upsampler; reference arch_util.py:584-732)
+# ---------------------------------------------------------------------------
+
+
+def convT_w(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (I,O,kh,kw) -> flipped HWIO gradient view."""
+    return np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+
+
+def _convert_uni_upsample(
+    sd: dict, tpre: str, fpre: str, mode: str, scale: int, out: dict
+) -> None:
+    """Map torch UniUpsampleV3 Sequential params -> flax c{j} units.
+
+    Parameterized torch modules are taken in index order; in transpose+conv
+    mode every unit except the trailing conv is a ConvTranspose2d.
+    """
+    if mode == "dysample":
+        raise NotImplementedError(
+            "dysample upsampler checkpoint conversion not supported yet"
+        )
+    entries: list[tuple[int, str]] = []  # (torch_index, key_prefix)
+    seen = set()
+    for k in sd:
+        m = re.match(rf"{re.escape(tpre)}\.(\d+)(\.conv\.0)?\.(weight|bias)$", k)
+        if m:
+            idx = int(m.group(1))
+            pre = f"{tpre}.{idx}" + (m.group(2) or "")
+            if pre not in seen:
+                seen.add(pre)
+                entries.append((idx, pre))
+    entries.sort()
+    n_transpose = 0
+    if mode == "transpose+conv":
+        n_transpose = 2 if scale == 4 else 1
+    for j, (_idx, pre) in enumerate(entries):
+        w, b = sd[f"{pre}.weight"], sd.get(f"{pre}.bias")
+        if j < n_transpose:
+            out[f"{fpre}.c{j}.kernel"] = convT_w(w)
+            if b is not None:
+                out[f"{fpre}.c{j}.bias"] = b
+        else:
+            out[f"{fpre}.c{j}.conv.kernel"] = conv_w(w)
+            if b is not None:
+                out[f"{fpre}.c{j}.conv.bias"] = b
+
+
+_UNI_MODES = (
+    "conv", "pixelshuffledirect", "pixelshuffle", "nearest+conv", "dysample",
+    "transpose+conv", "lda", "pa_up",
+)
+
+
+def uni_upsample_mode(sd: dict, tpre: str, default: str = "pixelshuffle") -> tuple[str, int]:
+    """Read (mode, scale) from the MetaUpsample buffer when present."""
+    meta = sd.get(f"{tpre}.MetaUpsample")
+    if meta is not None and len(meta) >= 3:
+        return _UNI_MODES[int(meta[1])], int(meta[2])
+    return default, 0
+
+
+# ---------------------------------------------------------------------------
+# FDAT (reference fdat_arch.py:206-307; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("FDAT")
+def _convert_fdat(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    pattern = tuple(module.group_block_pattern)
+    mode, meta_scale = uni_upsample_mode(sd, "upsampler", module.upsampler_type)
+    net_scale = meta_scale or (
+        4 if (module.unshuffle_mod and module.scale <= 2) else module.scale
+    )
+    _convert_uni_upsample(sd, "upsampler", "upsampler", mode, net_scale, out)
+
+    for k, v in sd.items():
+        if k.startswith("upsampler."):
+            continue
+        m = re.fullmatch(r"conv_first(?:\.1)?\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "conv_first", m.group(1), v)
+            continue
+        m = re.fullmatch(r"conv_after\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "conv_after", m.group(1), v)
+            continue
+        m = re.fullmatch(r"groups\.(\d+)\.conv\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"groups_{m.group(1)}_conv", m.group(2), v)
+            continue
+        m = re.fullmatch(r"groups\.(\d+)\.blocks\.(\d+)\.(.+)", k)
+        if m:
+            g, i, rest = m.groups()
+            fpre = f"groups_{g}_blocks_{i}"
+            btype = pattern[int(i) % len(pattern)]
+            if rest in ("attn.temp", "attn.bias"):
+                out[f"{fpre}.{rest}"] = v
+                continue
+            rm = re.fullmatch(r"(n1|n2)\.(weight|bias)", rest)
+            if rm:
+                _put_ln(out, f"{fpre}.{rm.group(1)}", rm.group(2), v)
+                continue
+            rm = re.fullmatch(r"(attn\.qkv|attn\.proj|ffn\.fc1|ffn\.fc2)\.(weight|bias)", rest)
+            if rm:
+                _put_linear(out, f"{fpre}.{rm.group(1)}", rm.group(2), v)
+                continue
+            rm = re.fullmatch(r"conv\.0\.(weight|bias)", rest)
+            if rm:
+                _put_conv(out, f"{fpre}.conv", rm.group(1), v)
+                continue
+            rm = re.fullmatch(r"ffn\.smix\.(weight|bias)", rest)
+            if rm:
+                _put_conv(out, f"{fpre}.ffn.smix", rm.group(1), v)
+                continue
+            rm = re.fullmatch(r"inter\.(sg\.0|cg\.1|cg\.3)\.(weight|bias)", rest)
+            if rm:
+                which, kind = rm.groups()
+                # flax builds only the branch the block type uses
+                # (spatial -> channel-gate, channel -> spatial-gate)
+                if btype == "spatial" and which.startswith("cg"):
+                    fname = "cg_0" if which == "cg.1" else "cg_1"
+                    _put_conv(out, f"{fpre}.inter.{fname}", kind, v)
+                elif btype != "spatial" and which == "sg.0":
+                    _put_conv(out, f"{fpre}.inter.sg", kind, v)
+                continue
+            raise KeyError(f"unmapped FDAT block key: {k}")
+        raise KeyError(f"unmapped FDAT key: {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DRCT (reference drct_arch.py; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("DRCT")
+def _convert_drct(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(("relative_position_index", "attn_mask")) or k.startswith(
+            ("absolute_pos_embed", "mean")
+        ):
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.swin(\d)\.(.+)", k)
+        if m:
+            i, sw, rest = m.groups()
+            fpre = f"layers_{i}.swin_{sw}"
+            if rest == "attn.relative_position_bias_table":
+                out[f"{fpre}.attn.relative_position_bias_table"] = v
+                continue
+            rm = re.fullmatch(r"(norm1|norm2)\.(weight|bias)", rest)
+            if rm:
+                _put_ln(out, f"{fpre}.{rm.group(1)}", rm.group(2), v)
+                continue
+            rm = re.fullmatch(r"(attn\.qkv|attn\.proj)\.(weight|bias)", rest)
+            if rm:
+                _put_linear(out, f"{fpre}.{rm.group(1)}", rm.group(2), v)
+                continue
+            rm = re.fullmatch(r"mlp\.fc([12])\.(weight|bias)", rest)
+            if rm:
+                _put_linear(out, f"{fpre}.mlp_fc{rm.group(1)}", rm.group(2), v)
+                continue
+            raise KeyError(f"unmapped DRCT swin key: {k}")
+        m = re.fullmatch(r"layers\.(\d+)\.adjust(\d)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"layers_{m.group(1)}.adjust_{m.group(2)}", m.group(3), v)
+            continue
+        m = re.fullmatch(r"patch_embed\.norm\.(weight|bias)", k)
+        if m:
+            _put_ln(out, "patch_norm", m.group(1), v)
+            continue
+        m = re.fullmatch(r"norm\.(weight|bias)", k)
+        if m:
+            _put_ln(out, "norm", m.group(1), v)
+            continue
+        m = re.fullmatch(r"conv_before_upsample\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "conv_before_upsample", m.group(1), v)
+            continue
+        m = re.fullmatch(r"upsample\.(\d+)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"upsample_{int(m.group(1)) // 2}", m.group(2), v)
+            continue
+        m = re.fullmatch(
+            r"(conv_first|conv_after_body|conv_last|conv_up1|conv_up2|conv_hr)"
+            r"\.(weight|bias)", k,
+        )
+        if m:
+            _put_conv(out, m.group(1), m.group(2), v)
+            continue
+        raise KeyError(f"unmapped DRCT key: {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TSCUNet (reference tscunet_arch.py + scunet_aaf6aa_arch.py blocks;
+# golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _put_scunet_block(out: dict, sd: dict, tpre: str, fpre: str) -> None:
+    """ConvTransBlock: conv1_1/conv1_2 1x1 convs, conv_block.{0,2} -> cb_{0,1},
+    trans_block {ln->norm, mlp.{0,2}->mlp_fc{1,2}, msa -> attn}."""
+    for c in ("conv1_1", "conv1_2"):
+        _put_conv(out, f"{fpre}.{c}", "weight", sd[f"{tpre}.{c}.weight"])
+        _put_conv(out, f"{fpre}.{c}", "bias", sd[f"{tpre}.{c}.bias"])
+    _put_conv(out, f"{fpre}.cb_0", "weight", sd[f"{tpre}.conv_block.0.weight"])
+    _put_conv(out, f"{fpre}.cb_1", "weight", sd[f"{tpre}.conv_block.2.weight"])
+    tb, fb = f"{tpre}.trans_block", f"{fpre}.trans_block"
+    _put_ln(out, f"{fb}.norm1", "weight", sd[f"{tb}.ln1.weight"])
+    _put_ln(out, f"{fb}.norm1", "bias", sd[f"{tb}.ln1.bias"])
+    _put_ln(out, f"{fb}.norm2", "weight", sd[f"{tb}.ln2.weight"])
+    _put_ln(out, f"{fb}.norm2", "bias", sd[f"{tb}.ln2.bias"])
+    _put_linear(out, f"{fb}.mlp_fc1", "weight", sd[f"{tb}.mlp.0.weight"])
+    _put_linear(out, f"{fb}.mlp_fc1", "bias", sd[f"{tb}.mlp.0.bias"])
+    _put_linear(out, f"{fb}.mlp_fc2", "weight", sd[f"{tb}.mlp.2.weight"])
+    _put_linear(out, f"{fb}.mlp_fc2", "bias", sd[f"{tb}.mlp.2.bias"])
+    _put_linear(out, f"{fb}.attn.qkv", "weight", sd[f"{tb}.msa.embedding_layer.weight"])
+    _put_linear(out, f"{fb}.attn.qkv", "bias", sd[f"{tb}.msa.embedding_layer.bias"])
+    _put_linear(out, f"{fb}.attn.proj", "weight", sd[f"{tb}.msa.linear.weight"])
+    _put_linear(out, f"{fb}.attn.proj", "bias", sd[f"{tb}.msa.linear.bias"])
+    # (heads, 2w-1, 2w-1) -> ((2w-1)^2, heads), swin row-major rel index
+    rpp = sd[f"{tb}.msa.relative_position_params"]
+    out[f"{fb}.attn.relative_position_bias_table"] = np.ascontiguousarray(
+        rpp.transpose(1, 2, 0).reshape(-1, rpp.shape[0])
+    )
+
+
+@register_converter("TSCUNet")
+def _convert_tscunet(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    nb = max(
+        (int(m.group(1)) for k in sd
+         if (m := re.match(r"m_layers\.0\.m_body\.(\d+)\.", k))),
+        default=0,
+    ) + 1
+    # stems/tails (1-module Sequentials, bias-free)
+    for tname, fname in (("m_head.0", "m_head"), ("m_res.0", "m_res"),
+                         ("m_tail.0", "m_tail")):
+        if f"{tname}.weight" in sd:
+            _put_conv(out, fname, "weight", sd[f"{tname}.weight"])
+    layer_ids = sorted({int(k.split(".")[1]) for k in sd if k.startswith("m_layers.")})
+    for li in layer_ids:
+        tpre, fpre = f"m_layers.{li}", f"m_layers_{li}"
+        for tname, fname in ((f"{tpre}.m_head.0", f"{fpre}.m_head"),
+                             (f"{tpre}.m_res.0", f"{fpre}.m_res"),
+                             (f"{tpre}.m_tail.0", f"{fpre}.m_tail")):
+            if f"{tname}.weight" in sd:
+                _put_conv(out, fname, "weight", sd[f"{tname}.weight"])
+        for j in range(nb):
+            _put_scunet_block(out, sd, f"{tpre}.m_body.{j}", f"{fpre}.body_{j}")
+        for stage in ("down1", "down2", "down3"):
+            for j in range(nb):
+                _put_scunet_block(
+                    out, sd, f"{tpre}.m_{stage}.{j}", f"{fpre}.{stage}_{j}"
+                )
+            # strided 2x2 downsample conv at Sequential index nb
+            _put_conv(out, f"{fpre}.{stage}_conv", "weight",
+                      sd[f"{tpre}.m_{stage}.{nb}.weight"])
+        for stage in ("up1", "up2", "up3"):
+            # Upconv at index 0 (up.1 and up.3 convs), blocks at 1..nb
+            _put_conv(out, f"{fpre}.{stage}_conv_c0", "weight",
+                      sd[f"{tpre}.m_{stage}.0.up.1.weight"])
+            _put_conv(out, f"{fpre}.{stage}_conv_c0", "bias",
+                      sd[f"{tpre}.m_{stage}.0.up.1.bias"])
+            _put_conv(out, f"{fpre}.{stage}_conv_c1", "weight",
+                      sd[f"{tpre}.m_{stage}.0.up.3.weight"])
+            _put_conv(out, f"{fpre}.{stage}_conv_c1", "bias",
+                      sd[f"{tpre}.m_{stage}.0.up.3.bias"])
+            for j in range(nb):
+                _put_scunet_block(
+                    out, sd, f"{tpre}.m_{stage}.{j + 1}", f"{fpre}.{stage}_{j}"
+                )
+    # RRDB upsample tail: m_upsample.0.up = [rdb x n_rrdb, (Upsample, conv,
+    # lrelu) x log2(scale), conv, lrelu]
+    rrdb_ids = sorted({
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"m_upsample\.0\.up\.(\d+)\.rdb1\.", k))
+    })
+    for fi, ti in enumerate(rrdb_ids):
+        for rdb in ("rdb1", "rdb2", "rdb3"):
+            for conv in ("conv1", "conv2", "conv3", "conv4", "conv5"):
+                t = f"m_upsample.0.up.{ti}.{rdb}.{conv}"
+                f = f"up_rrdb_{fi}.{rdb}.{conv}"
+                _put_conv(out, f, "weight", sd[f"{t}.weight"])
+                _put_conv(out, f, "bias", sd[f"{t}.bias"])
+    plain_convs = sorted({
+        int(m.group(1))
+        for k in sd
+        if (m := re.fullmatch(r"m_upsample\.0\.up\.(\d+)\.weight", k))
+    })
+    for fi, ti in enumerate(plain_convs):
+        fname = "up_final" if fi == len(plain_convs) - 1 else f"up_conv_{fi}"
+        _put_conv(out, fname, "weight", sd[f"m_upsample.0.up.{ti}.weight"])
+        _put_conv(out, fname, "bias", sd[f"m_upsample.0.up.{ti}.bias"])
+    return out
