@@ -47,6 +47,70 @@ CONFIGS = {
 }
 
 
+def _make_disk_dataset(root: str, n_images: int, hr: int, scale: int) -> None:
+    """Synthesize a DIV2K-crop-like on-disk dataset (PNG decode included in
+    the e2e measurement, like the reference's real training input path)."""
+    import os
+
+    import cv2
+    import numpy as np
+
+    os.makedirs(f"{root}/gt", exist_ok=True)
+    os.makedirs(f"{root}/lq", exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n_images):
+        img = (rng.random((hr, hr, 3)) * 255).astype(np.uint8)
+        # real photographs compress; pure noise PNGs overstate decode cost,
+        # so low-pass to a plausible entropy level
+        img = cv2.GaussianBlur(img, (0, 0), 2.0)
+        cv2.imwrite(f"{root}/gt/{i:04d}.png", img)
+        lq = cv2.resize(img, (hr // scale, hr // scale), interpolation=cv2.INTER_CUBIC)
+        cv2.imwrite(f"{root}/lq/{i:04d}.png", lq)
+
+
+def _bench_e2e(model, cfg, b: int, n_dev: int) -> float:
+    """Disk -> decode -> crop/augment -> collate -> H2D -> jitted step."""
+    import tempfile
+
+    from trainner_redux_tpu.data import build_dataloader, build_dataset
+    from trainner_redux_tpu.data.loader import DevicePrefetcher
+    from trainner_redux_tpu.utils.redux_options import DatasetOptions
+
+    scale = 4
+    with tempfile.TemporaryDirectory() as root:
+        _make_disk_dataset(root, n_images=48, hr=cfg["lq"] * scale * 2, scale=scale)
+        ds_opt = DatasetOptions(
+            name="bench_e2e", type="pairedimagedataset", phase="train",
+            scale=scale, dataroot_gt=f"{root}/gt", dataroot_lq=f"{root}/lq",
+            gt_size=cfg["lq"] * scale, batch_size_per_gpu=cfg["batch_per_chip"],
+            num_worker_per_gpu=8, use_hflip=True, use_rot=True,
+            dataset_enlarge_ratio=100,
+        )
+        dataset = build_dataset(ds_opt)
+        loader = build_dataloader(dataset, ds_opt, num_gpu=n_dev, seed=0)
+        prefetcher = DevicePrefetcher(loader, put_fn=model.shard_batch)
+        prefetcher.reset()
+
+        def step(i: int) -> None:
+            batch = prefetcher.next()
+            if batch is None:
+                prefetcher.reset()
+                batch = prefetcher.next()
+            model.feed_data(batch)
+            model.optimize_parameters(i)
+
+        for i in range(100, 104):  # warmup (+compile reuse from step bench)
+            step(i)
+        jax.block_until_ready(model.state.params_g)
+        iters = 30
+        t0 = time.perf_counter()
+        for i in range(104, 104 + iters):
+            step(i)
+        jax.block_until_ready(model.state.params_g)
+        dt = time.perf_counter() - t0
+    return iters * b / dt / n_dev
+
+
 def main() -> None:
     from trainner_redux_tpu.models import build_model
     from trainner_redux_tpu.utils.redux_options import (
@@ -97,6 +161,11 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     per_chip = iters * b / dt / n_dev
+
+    # end-to-end: disk -> decode -> crop -> collate -> H2D -> step
+    # (the part the reference feeds with 8 worker processes per GPU)
+    e2e = _bench_e2e(model, cfg, b, n_dev)
+
     print(
         json.dumps(
             {
@@ -104,6 +173,8 @@ def main() -> None:
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(per_chip / cfg["baseline"], 3),
+                "e2e_images_per_sec_per_chip": round(e2e, 2),
+                "e2e_fraction_of_step_only": round(e2e / per_chip, 3),
             }
         )
     )

@@ -73,7 +73,15 @@ SHAPE_CASES = [
 ]
 
 
-@pytest.mark.parametrize("opt,scale", SHAPE_CASES)
+SHAPE_PARAMS = [
+    (o if i < 6 else pytest.param(*o, marks=pytest.mark.slow))
+    if not isinstance(o, tuple) or i < 6
+    else pytest.param(*o, marks=pytest.mark.slow)
+    for i, o in enumerate(SHAPE_CASES)
+]
+
+
+@pytest.mark.parametrize("opt,scale", SHAPE_PARAMS)
 def test_arch_output_shape(opt, scale):
     net = build_network(opt)
     x = jnp.ones((1, 16, 16, 3), jnp.float32)
@@ -219,9 +227,7 @@ GRAD_SWEEP = [
 
 
 # families exercised in the default (fast) run; the rest only in `-m ""`
-FAST_SWEEP_FAMILIES = {
-    "compact", "span_f32", "esrgan_lite", "swinir_s", "hat", "dat", "realcugan",
-}
+FAST_SWEEP_FAMILIES = {"compact", "span_f32", "swinir_s", "dat"}
 GRAD_SWEEP_PARAMS = [
     o if o["type"] in FAST_SWEEP_FAMILIES else pytest.param(o, marks=pytest.mark.slow)
     for o in GRAD_SWEEP
@@ -251,6 +257,7 @@ def test_grad_sweep(opt):
     assert all(np.all(np.isfinite(np.asarray(p))) for p in jax.tree.leaves(new_params))
 
 
+@pytest.mark.slow
 def test_munet_discriminator_forward():
     """MUNet quad-branch discriminator: logit map shape + finite grads with
     spectral-norm state threading (reference munet_arch.py:253-404)."""
@@ -277,6 +284,7 @@ def test_munet_discriminator_forward():
     assert all(np.isfinite(v) for v in flat)
 
 
+@pytest.mark.slow
 def test_cgnet_forward_grads():
     """CascadedGaze needs >=~32px inputs (strided GCE cascade), so it gets its
     own test instead of a GRAD_SWEEP entry."""
@@ -298,6 +306,7 @@ def test_cgnet_forward_grads():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
 
 
+@pytest.mark.slow
 def test_temporalspanv2_video_forward():
     """TSPANv2 consumes (B, T, H, W, C) clips and emits the center frame at
     scale (reference temporal_span_v2_arch.py:333-518)."""
@@ -317,6 +326,7 @@ def test_temporalspanv2_video_forward():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
 
 
+@pytest.mark.slow
 def test_lawfft_testarch():
     """LAWFFT (test-arch registry): FFT attention + dynamic local kernels."""
     net = build_network(
@@ -331,6 +341,7 @@ def test_lawfft_testarch():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
 
 
+@pytest.mark.slow
 def test_paragondiffusion_flow():
     """Rectified-flow U-Net: loss + grads + Euler sampling on latents
     (reference paragondiffusion_arch.py:180-333)."""
@@ -354,6 +365,7 @@ def test_paragondiffusion_flow():
     assert z.shape == (2, 8, 8, 4)
 
 
+@pytest.mark.slow
 def test_topiq_cfanet_scores():
     """CFANet FR/NR forward produces scalar scores (reference
     topiq_arch.py:229-497); pretrained weights are gated separately."""
@@ -366,6 +378,7 @@ def test_topiq_cfanet_scores():
     assert np.all(np.isfinite(np.asarray(s)))
 
 
+@pytest.mark.slow
 def test_metagan3_feature_discriminator():
     """MetaGAN3 dual-path SN feature discriminator: /32 feature map output
     (reference metagan3_arch.py:164-193)."""

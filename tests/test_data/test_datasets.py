@@ -55,7 +55,9 @@ def test_train_crop_shapes(ds_root):
     s = ds[1]
     assert s["gt"].shape == (32, 32, 3)  # lq_size * scale
     assert s["lq"].shape == (8, 8, 3)
-    assert 0.0 <= s["lq"].min() and s["lq"].max() <= 1.0
+    # train crops ship as uint8 (normalized on-device, 4x less H2D bandwidth)
+    assert s["lq"].dtype == np.uint8
+    assert 0 <= s["lq"].min() and s["lq"].max() <= 255
 
 
 def test_meta_info_pairing(ds_root):

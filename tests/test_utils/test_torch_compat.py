@@ -371,3 +371,91 @@ def test_hat_exporter_roundtrip():
     assert set(back) == set(flat)
     for k, v in flat.items():
         np.testing.assert_allclose(back[k], v, atol=0, err_msg=k)
+
+
+def test_swin2sr_converter_covers_full_tree():
+    """Synthesize an upstream-layout (mv-lab swin2sr / swinv2) state dict from
+    the flax init shapes; conversion must reproduce the init tree exactly."""
+    import re as _re
+
+    from trainner_redux_tpu.utils.torch_compat import _convert_swin2sr, conv_w_inv
+
+    net = build_network(
+        {"type": "swin2sr_s", "scale": 2, "embed_dim": 16, "depths": [2],
+         "num_heads": [2], "window_size": 8, "drop_path_rate": 0.0,
+         "num_feat": 16}
+    )
+    x = jnp.ones((1, 16, 16, 3))
+    params = net.init(jax.random.key(0), x, train=False)["params"]
+    flat = BaseModel.flatten_params(params)
+
+    sd = {}
+    for fk, v in flat.items():
+        m = _re.fullmatch(r"layers_(\d+)_blocks_(\d+)\.(.+)", fk)
+        if m:
+            i, j, rest = m.groups()
+            t = f"layers.{i}.residual_group.blocks.{j}"
+            if rest == "attn.logit_scale":
+                sd[f"{t}.attn.logit_scale"] = v
+            elif rest == "attn.qkv.bias":
+                d = v.shape[0] // 3
+                sd[f"{t}.attn.q_bias"] = v[:d]
+                sd[f"{t}.attn.v_bias"] = v[2 * d:]
+            elif rest.startswith("attn.cpb_fc"):
+                idx = "0" if "fc1" in rest else "2"
+                kind = "weight" if rest.endswith("kernel") else "bias"
+                sd[f"{t}.attn.cpb_mlp.{idx}.{kind}"] = v.T if kind == "weight" else v
+            elif rest.startswith(("norm1", "norm2")):
+                n, kind = rest.split(".")
+                sd[f"{t}.{n}.{'weight' if kind == 'scale' else 'bias'}"] = v
+            elif rest.startswith(("attn.qkv", "attn.proj")):
+                base = rest.rsplit(".", 1)[0]
+                kind = "weight" if rest.endswith("kernel") else "bias"
+                sd[f"{t}.{base}.{kind}"] = v.T if kind == "weight" else v
+            elif rest.startswith("fc"):
+                n, kind = rest.split(".")
+                sd[f"{t}.mlp.{n}.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                    v.T if kind == "kernel" else v
+                )
+            else:
+                raise AssertionError(f"unmapped flax block key {fk}")
+            continue
+        m = _re.fullmatch(r"layers_(\d+)_conv\.conv\.(kernel|bias)", fk)
+        if m:
+            kind = "weight" if m.group(2) == "kernel" else "bias"
+            sd[f"layers.{m.group(1)}.conv.{kind}"] = (
+                conv_w_inv(v) if kind == "weight" else v
+            )
+            continue
+        if fk.startswith("patch_norm."):
+            sd[f"patch_embed.norm.{'weight' if fk.endswith('scale') else 'bias'}"] = v
+            continue
+        if fk.startswith("norm."):
+            sd[f"norm.{'weight' if fk.endswith('scale') else 'bias'}"] = v
+            continue
+        m = _re.fullmatch(r"upsample_(\d+)\.conv\.(kernel|bias)", fk)
+        if m:
+            kind = "weight" if m.group(2) == "kernel" else "bias"
+            sd[f"upsample.{2 * int(m.group(1))}.{kind}"] = (
+                conv_w_inv(v) if kind == "weight" else v
+            )
+            continue
+        m = _re.fullmatch(r"conv_before_upsample\.conv\.(kernel|bias)", fk)
+        if m:
+            kind = "weight" if m.group(1) == "kernel" else "bias"
+            sd[f"conv_before_upsample.0.{kind}"] = (
+                conv_w_inv(v) if kind == "weight" else v
+            )
+            continue
+        m = _re.fullmatch(r"(\w+)\.conv\.(kernel|bias)", fk)
+        if m:
+            kind = "weight" if m.group(2) == "kernel" else "bias"
+            sd[f"{m.group(1)}.{kind}"] = conv_w_inv(v) if kind == "weight" else v
+            continue
+        raise AssertionError(f"unmapped flax key {fk}")
+
+    back = _convert_swin2sr({k: np.asarray(v) for k, v in sd.items()}, net)
+    assert set(back) == set(flat)
+    for k in flat:
+        np.testing.assert_allclose(back[k], np.asarray(flat[k]), atol=0,
+                                   err_msg=k)

@@ -93,13 +93,31 @@ class DataLoader:
         stop = threading.Event()
 
         def producer() -> None:
+            """Keep `num_workers` decode threads saturated ACROSS batch
+            boundaries: per-sample futures are scheduled several batches
+            ahead so collate of batch k overlaps decode of batches k+1..
+            (cv2 decode and numpy crops release the GIL)."""
+            from collections import deque
+
+            window = self.prefetch_batches + 2
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 try:
-                    for batch_idx in batches:
+                    pending: deque = deque()
+                    bi = 0
+                    while bi < len(batches) or pending:
+                        while bi < len(batches) and len(pending) < window:
+                            pending.append(
+                                [pool.submit(self.dataset.__getitem__, i)
+                                 for i in batches[bi]]
+                            )
+                            bi += 1
                         if stop.is_set():
+                            for futs in pending:
+                                for f in futs:
+                                    f.cancel()
                             break
-                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        out_q.put(self.collate_fn(samples))
+                        futs = pending.popleft()
+                        out_q.put(self.collate_fn([f.result() for f in futs]))
                 except Exception as e:  # surface worker errors to the consumer
                     out_q.put(e)
                 finally:

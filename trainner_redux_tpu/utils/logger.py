@@ -142,16 +142,63 @@ class MessageLogger:
                 )
         log_vars.pop("samples_per_sec", None)
 
+        # HBM usage (reference logs CUDA VRAM, logger.py:448-470 / sr_model.py:1277)
+        hbm = _hbm_usage_gb()
+        if hbm is not None:
+            message += f"[hbm: {hbm[0]:.2f}/{hbm[1]:.2f}G] "
+            if self.tb_logger:
+                self.tb_logger.add_scalar("performance/hbm_in_use_gb", hbm[0], current_iter)
+                self.tb_logger.add_scalar("performance/hbm_peak_gb", hbm[1], current_iter)
+
         for k, v in log_vars.items():
             message += f"{k}: {v:.4e} "
             if self.tb_logger:
-                if k.startswith("l_"):
+                if k.startswith(("grad_norm", "grad_")):
+                    self.tb_logger.add_scalar(f"gradients/{k}", v, current_iter)
+                elif k.startswith("l_"):
                     self.tb_logger.add_scalar(f"losses/{k}", v, current_iter)
                 elif k.startswith("m_"):
                     self.tb_logger.add_scalar(f"metrics/{k}", v, current_iter)
+                elif k.startswith(("lw_", "dls_")):
+                    self.tb_logger.add_scalar(f"dynamic_loss_weights/{k}", v, current_iter)
                 else:
                     self.tb_logger.add_scalar(k, v, current_iter)
+
+        # loss-balance ratios (reference logger.py:357-447): the share each
+        # weighted loss term contributes to the generator total
+        total = log_vars.get("l_g_total")
+        if total and abs(total) > 1e-12:
+            parts = {
+                k: v for k, v in log_vars.items()
+                if k.startswith("l_g_") and k != "l_g_total" and isinstance(v, float)
+            }
+            if parts:
+                ratios = {k: v / total for k, v in parts.items()}
+                if self.tb_logger:
+                    for k, r in ratios.items():
+                        self.tb_logger.add_scalar(
+                            f"loss_balance/{k}_ratio", r, current_iter
+                        )
+                dominant = max(ratios, key=lambda k: abs(ratios[k]))
+                if abs(ratios[dominant]) > 0.95 and len(ratios) > 1:
+                    message += f"[balance: {dominant} {ratios[dominant]:.0%}] "
+
         self.logger.info(message)
+
+
+def _hbm_usage_gb() -> tuple[float, float] | None:
+    """(bytes_in_use, peak_bytes_in_use) of device 0, in GiB; None on CPU."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if not stats or "bytes_in_use" not in stats:
+            return None
+        in_use = stats["bytes_in_use"] / 2**30
+        peak = stats.get("peak_bytes_in_use", stats["bytes_in_use"]) / 2**30
+        return in_use, peak
+    except Exception:
+        return None
 
 
 def init_tb_logger(log_dir: str) -> Any:

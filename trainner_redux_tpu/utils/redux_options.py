@@ -54,6 +54,9 @@ class DatasetOptions:
     std: list[float] | None = None
     gt_size: int | None = None
     lq_size: int | None = None
+    # TPU-native extension (not in the reference): cache decoded uint8 source
+    # images in RAM so enlarge-ratio epochs decode each file once.
+    cache_decoded: bool | None = None
     color: Literal["y"] | None = None
     phase: str | None = None
     scale: int | None = None

@@ -1025,3 +1025,85 @@ def _convert_tscunet(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]
         _put_conv(out, fname, "weight", sd[f"m_upsample.0.up.{ti}.weight"])
         _put_conv(out, fname, "bias", sd[f"m_upsample.0.up.{ti}.bias"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Swin2SR (upstream mv-lab/swin2sr checkpoint layout; structural validation —
+# the reference loads this family via the external spandrel package)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("Swin2SR")
+def _convert_swin2sr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    # swinv2 attention stores q_bias/v_bias separately (k bias fixed at 0);
+    # our flax packs them into a single qkv bias
+    qb = {k: v for k, v in sd.items() if k.endswith("attn.q_bias")}
+    for k, v in qb.items():
+        pre = k[: -len(".q_bias")]
+        vb = sd[f"{pre}.v_bias"]
+        m = re.fullmatch(r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\.attn", pre)
+        if m:
+            fpre = f"layers_{m.group(1)}_blocks_{m.group(2)}.attn"
+            out[f"{fpre}.qkv.bias"] = np.concatenate([v, np.zeros_like(v), vb])
+    for k, v in sd.items():
+        if k.endswith((
+            "relative_position_index", "attn_mask", "relative_coords_table",
+            "q_bias", "v_bias",
+        )) or k.startswith(("absolute_pos_embed", "mean")):
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\.(.+)", k)
+        if m:
+            i, j, rest = m.groups()
+            fpre = f"layers_{i}_blocks_{j}"
+            if rest == "attn.logit_scale":
+                out[f"{fpre}.attn.logit_scale"] = v
+                continue
+            rm = re.fullmatch(r"attn\.cpb_mlp\.([02])\.(weight|bias)", rest)
+            if rm:
+                idx = "cpb_fc1" if rm.group(1) == "0" else "cpb_fc2"
+                _put_linear(out, f"{fpre}.attn.{idx}", rm.group(2), v)
+                continue
+            rm = re.fullmatch(r"(norm1|norm2)\.(weight|bias)", rest)
+            if rm:
+                _put_ln(out, f"{fpre}.{rm.group(1)}", rm.group(2), v)
+                continue
+            rm = re.fullmatch(r"(attn\.qkv|attn\.proj)\.(weight|bias)", rest)
+            if rm:
+                _put_linear(out, f"{fpre}.{rm.group(1)}", rm.group(2), v)
+                continue
+            rm = re.fullmatch(r"mlp\.fc([12])\.(weight|bias)", rest)
+            if rm:
+                _put_linear(out, f"{fpre}.fc{rm.group(1)}", rm.group(2), v)
+                continue
+            raise KeyError(f"unmapped Swin2SR block key: {k}")
+        m = re.fullmatch(r"layers\.(\d+)\.conv\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"layers_{m.group(1)}_conv", m.group(2), v)
+            continue
+        m = re.fullmatch(r"patch_embed\.norm\.(weight|bias)", k)
+        if m:
+            _put_ln(out, "patch_norm", m.group(1), v)
+            continue
+        m = re.fullmatch(r"norm\.(weight|bias)", k)
+        if m:
+            _put_ln(out, "norm", m.group(1), v)
+            continue
+        m = re.fullmatch(r"conv_before_upsample\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "conv_before_upsample", m.group(1), v)
+            continue
+        m = re.fullmatch(r"upsample\.(\d+)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"upsample_{int(m.group(1)) // 2}", m.group(2), v)
+            continue
+        m = re.fullmatch(
+            r"(conv_first|conv_after_body|conv_last|conv_up1|conv_up2|conv_hr"
+            r"|conv_bicubic|conv_aux|conv_after_aux\.0)\.(weight|bias)", k,
+        )
+        if m:
+            name = m.group(1).replace(".0", "")
+            _put_conv(out, name, m.group(2), v)
+            continue
+        raise KeyError(f"unmapped Swin2SR key: {k}")
+    return out
