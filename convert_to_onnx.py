@@ -6,9 +6,12 @@ optimizes with ORT/onnxslim. The TPU-native equivalents emitted here:
 - **StableHLO** (`.stablehlo.mlir` + serialized `jax.export` artifact): the
   portable compiler-level format for JAX models (loadable from C++/IREE/
   OpenXLA toolchains — the ONNX analogue of the XLA ecosystem).
-- **TF SavedModel** via jax2tf (convertible to ONNX offline with tf2onnx,
-  which needs internet-installed tooling; in zero-egress environments the
-  SavedModel itself serves TF-Serving/TFLite pipelines).
+- **ONNX** (`.onnx`, opset 13): a real ONNX protobuf emitted directly from
+  the model's jaxpr (trainner_redux_tpu/onnx/) — runs in onnxruntime/
+  chaiNNer, NCHW input/output like the reference's exports; numerically
+  verified in-process against the JAX forward with the bundled numpy
+  evaluator (onnxruntime is not installed here).
+- **TF SavedModel** via jax2tf (TF-Serving/TFLite pipelines).
 - **torch-layout safetensors** for arch families with registered exporters
   (chaiNNer/OpenModelDB interop).
 
@@ -82,6 +85,32 @@ def main(argv: list[str] | None = None) -> None:
     with open(base + ".jaxexport.bin", "wb") as f:
         f.write(exported.serialize())
     logger.info(f"wrote {base}.stablehlo.mlir and .jaxexport.bin")
+
+    # ---- ONNX (jaxpr -> opset-13 protobuf) ----
+    try:
+        from trainner_redux_tpu.onnx.export import export_onnx
+        from trainner_redux_tpu.onnx.runtime import run_model
+
+        def forward_nchw(inp):
+            h = jnp.transpose(inp, (0, 2, 3, 1))
+            y = net.apply({"params": params}, h, train=False)
+            return jnp.transpose(y, (0, 3, 1, 2))
+
+        nchw_shape = (shape[0], shape[3], shape[1], shape[2])
+        sample_nchw = np.random.default_rng(0).random(nchw_shape).astype(np.float32)
+        model_bytes = export_onnx(forward_nchw, sample_nchw, base + ".onnx")
+        logger.info(f"wrote {base}.onnx ({len(model_bytes)} bytes, opset 13)")
+        if onnx_opt is None or onnx_opt.verify:
+            ref_o = np.asarray(forward_nchw(jnp.asarray(sample_nchw)))
+            got_o = run_model(model_bytes, {"input": sample_nchw})[0]
+            err_o = float(np.abs(ref_o - got_o).max())
+            logger.info(f"onnx verification max abs error: {err_o:.3e}")
+            assert err_o < 1e-4, "onnx export verification failed"
+    except NotImplementedError as e:
+        logger.warning(
+            f"ONNX export unavailable for this arch ({e}); "
+            "the StableHLO/SavedModel artifacts below still export."
+        )
 
     # ---- TF SavedModel via jax2tf ----
     try:

@@ -120,24 +120,99 @@ path: {{}}
 """
 
 
+def render_test(name: str, scale: int, video: bool) -> str:
+    """Test/inference config (reference options/_templates/test/)."""
+    ds_type = "singlevideodataset" if video else "singleimagedataset"
+    paired_type = "pairedvideodataset" if video else "pairedimagedataset"
+    clip = "    clip_size: 5\n" if video else ""
+    return f"""{HEADER}# Test template for {name} {scale}x. Copy into configs/test/ and edit paths.
+name: {scale}x_{name}_test
+scale: {scale}
+num_gpu: auto
+is_train: false
+
+datasets:
+  test_1:
+    name: paired test set
+    type: {paired_type}
+    dataroot_gt: datasets/test/hr
+    dataroot_lq: datasets/test/lr
+{clip}  test_2:
+    name: inference only (no GT)
+    type: {ds_type}
+    dataroot_lq: datasets/test/inputs
+{clip}
+network_g:
+  type: {name}
+
+val:
+  val_enabled: true
+  save_img: true
+  metrics_enabled: true
+  metrics:
+    psnr:
+      type: calculate_psnr
+      crop_border: {scale}
+      test_y_channel: true
+    ssim:
+      type: calculate_ssim
+      crop_border: {scale}
+      test_y_channel: true
+
+path:
+  pretrain_network_g: experiments/pretrained_models/{name}.safetensors
+"""
+
+
+def render_onnx(name: str, scale: int) -> str:
+    """ONNX export config (reference options/_templates/onnx/)."""
+    return f"""{HEADER}# ONNX export template for {name} {scale}x. Copy into configs/onnx/ and edit paths.
+name: {scale}x_{name}
+scale: {scale}
+num_gpu: auto
+is_train: false
+
+network_g:
+  type: {name}
+
+path:
+  pretrain_network_g: experiments/pretrained_models/{name}.safetensors
+
+onnx:
+  shape: 1x3x256x256
+  verify: true
+  dtype: fp32
+"""
+
+
 def main() -> None:
     from trainner_redux_tpu.archs.arch_info import ALL_ARCHS, official_settings
 
-    root = os.path.join(os.path.dirname(__file__), "..", "..", "configs", "_templates", "train")
+    base = os.path.join(os.path.dirname(__file__), "..", "..", "configs", "_templates")
     count = 0
     for arch in ALL_ARCHS:
-        family_dir = os.path.join(root, arch["family"])
-        os.makedirs(family_dir, exist_ok=True)
         for name in arch["names"]:
             settings = official_settings(name)
+            scale = max(s for s in arch["scales"])
+            family_train = os.path.join(base, "train", arch["family"])
+            os.makedirs(family_train, exist_ok=True)
             for kind in ("fidelity", "gan") + (("otf",) if not arch["video"] else ()):
-                scale = max(s for s in arch["scales"])
                 text = render(name, scale, kind, settings, arch["video"])
-                path = os.path.join(family_dir, f"{name}_{kind}.yml")
-                with open(path, "w") as f:
+                with open(os.path.join(family_train, f"{name}_{kind}.yml"), "w") as f:
                     f.write(text)
                 count += 1
-    print(f"rendered {count} templates under {os.path.abspath(root)}")
+            family_test = os.path.join(base, "test", arch["family"])
+            os.makedirs(family_test, exist_ok=True)
+            with open(os.path.join(family_test, f"{name}_test.yml"), "w") as f:
+                f.write(render_test(name, scale, arch["video"]))
+            count += 1
+            if not arch["video"]:
+                family_onnx = os.path.join(base, "onnx", arch["family"])
+                os.makedirs(family_onnx, exist_ok=True)
+                with open(os.path.join(family_onnx, f"{name}_onnx.yml"), "w") as f:
+                    f.write(render_onnx(name, scale))
+                count += 1
+    print(f"rendered {count} templates under {os.path.abspath(base)}")
 
 
 if __name__ == "__main__":

@@ -90,7 +90,9 @@ class Conv3XC(nn.Module):
             # fuse 1x1 * 3x3 * 1x1 into one 3x3 kernel (pure function of params)
             w = jnp.einsum("im,hwmn,no->hwio", k1[0, 0], k2, k3[0, 0])
             b = (b1 @ k2.sum((0, 1)) + b2) @ k3[0, 0] + b3
-            w = w.at[1, 1].add(sk_k[0, 0])
+            # center-pad the 1x1 skip kernel into the fused 3x3 (pad instead
+            # of scatter-add: same math, and it keeps the graph ONNX-exportable)
+            w = w + jnp.pad(sk_k, ((1, 1), (1, 1), (0, 0), (0, 0)))
             b = b + sk_b
             out = jax.lax.conv_general_dilated(
                 x.astype(dt),
