@@ -141,6 +141,7 @@ def install_stubs() -> None:
     timm_layers.trunc_normal_ = trunc_normal_
     timm_layers.to_2tuple = to_2tuple
     timm_models.layers = timm_layers
+    timm_models.register_notrace_function = lambda fn: fn
     timm.models = timm_models
     timm_layers2 = types.ModuleType("timm.layers")
     timm_layers2.__path__ = []  # package: some archs import timm.layers.drop

@@ -105,3 +105,63 @@ def test_golden_fast(case):
 @pytest.mark.parametrize("case", ["hat", "fdat", "fdat_tc", "drct", "tscunet"])
 def test_golden_slow(case):
     _run_case(case)
+
+
+def test_dysample_matches_reference_torch():
+    """Direct cross-framework golden for the DySample upsampler (backs
+    SpanPlus/MoSR/PLKSR/FlexNet dysample upsampling paths)."""
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("no reference checkout")
+    _sys.path.insert(0, os.path.join(REPO, "scripts", "parity"))
+    import torch
+    from reference_oracle import import_ref_arch
+
+    ref_util = import_ref_arch("arch_util")
+    torch.manual_seed(0)
+    net_t = ref_util.DySample(in_channels=16, out_ch=3, scale=2, groups=4,
+                              end_convolution=True)
+    net_t.eval()
+    x = torch.rand(2, 16, 12, 10, generator=torch.Generator().manual_seed(1))
+    # the reference forward hardcodes pin_memory=True (CUDA-only); strip it
+    orig_tensor = torch.tensor
+
+    def _no_pin(*a, **k):
+        k.pop("pin_memory", None)
+        return orig_tensor(*a, **k)
+
+    torch.tensor = _no_pin
+    try:
+        with torch.inference_mode():
+            y_t = net_t(x).numpy()
+    finally:
+        torch.tensor = orig_tensor
+
+    from trainner_redux_tpu.archs.arch_util import DySample as FlaxDySample
+
+    sd = {k: v.detach().numpy() for k, v in net_t.state_dict().items()}
+    params = {
+        "offset": {"conv": {
+            "kernel": sd["offset.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["offset.bias"],
+        }},
+        "scope": {"conv": {"kernel": sd["scope.weight"].transpose(2, 3, 1, 0)}},
+        "end_conv": {"conv": {
+            "kernel": sd["end_conv.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["end_conv.bias"],
+        }},
+    }
+    net_f = FlaxDySample(16, 3, scale=2, groups=4)
+    xf = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    # structural check: converted tree must match init exactly
+    init = net_f.init(jax.random.key(0), xf)["params"]
+    assert jax.tree.structure(jax.tree.map(jnp.shape, init)) == jax.tree.structure(
+        jax.tree.map(np.shape, params)
+    )
+    y_f = np.asarray(net_f.apply({"params": jax.tree.map(jnp.asarray, params)}, xf))
+    diff = np.abs(y_t - y_f.transpose(0, 3, 1, 2)).max()
+    assert diff < 2e-5, f"DySample diff {diff}"

@@ -260,15 +260,18 @@ def bilinear_sample(img: jnp.ndarray, coords_y: jnp.ndarray, coords_x: jnp.ndarr
 
 
 class DySample(nn.Module):
-    """Dynamic upsampler (DySample, reference arch_util.py:322): predicts
-    per-pixel sampling offsets and bilinearly resamples the input at
-    scale x resolution. 'lp' (local pixel-shuffle groups) variant."""
+    """Dynamic upsampler (reference arch_util.py:322-408, DySample paper):
+    offsets gated by a sigmoid scope conv, init_pos subpixel anchors, and
+    border-clamped bilinear resampling per channel group. Channel layout of
+    the offset conv matches torch exactly (coord-major, then group, then
+    s x s subpixel), so checkpoints convert 1:1."""
 
     in_channels: int
     out_channels: int
     scale: int = 2
     groups: int = 4
     end_convolution: bool = True
+    end_kernel: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -277,29 +280,33 @@ class DySample(nn.Module):
         n, h, w, c = x.shape
         s, g = self.scale, self.groups
         offset_ch = 2 * g * s * s
-        offset = Conv2d(offset_ch, 1, dtype=self.dtype, name="offset")(x) * 0.25
-        # init_pos equivalent: offsets relative to each subpixel center
-        offset = offset.reshape(n, h, w, g, s * s, 2)
+        off = Conv2d(offset_ch, 1, dtype=self.dtype, name="offset")(x)
+        scope = Conv2d(offset_ch, 1, use_bias=False, dtype=self.dtype, name="scope")(x)
+        off = off * nn.sigmoid(scope) * 0.5
+        # torch channel layout: (coord, group, i, j); coord 0 = x, 1 = y
+        off = off.reshape(n, h, w, 2, g, s, s)
+        # to output resolution: (n, g, h*s, w*s, coord)
+        off = off.transpose(0, 4, 1, 5, 2, 6, 3).reshape(n, g, h * s, w * s, 2)
 
-        # base sampling grid for the upscaled output
-        ys = (jnp.arange(h * s) + 0.5) / s - 0.5  # input-space y per output row
-        xs = (jnp.arange(w * s) + 0.5) / s - 0.5
+        # base grid + init_pos anchors: output px (h*s+i) samples input row
+        # h + anchor[i], anchor = arange((-s+1)/2, (s-1)/2+1)/s
+        anchor = (jnp.arange(s) - (s - 1) / 2.0) / s
+        ys = jnp.repeat(jnp.arange(h, dtype=jnp.float32), s) + jnp.tile(anchor, h)
+        xs = jnp.repeat(jnp.arange(w, dtype=jnp.float32), s) + jnp.tile(anchor, w)
         base_y = jnp.broadcast_to(ys[:, None], (h * s, w * s))
         base_x = jnp.broadcast_to(xs[None, :], (h * s, w * s))
-
-        # rearrange per-group offsets to output resolution
-        off = offset.reshape(n, h, w, g, s, s, 2)
-        off = off.transpose(0, 1, 4, 2, 5, 3, 6).reshape(n, h * s, w * s, g, 2)
 
         cg = c // g
         outs = []
         for gi in range(g):
-            cy = base_y[None] + off[:, :, :, gi, 0] * 1.0
-            cx = base_x[None] + off[:, :, :, gi, 1] * 1.0
+            cx = base_x[None] + off[:, gi, :, :, 0].astype(jnp.float32)
+            cy = base_y[None] + off[:, gi, :, :, 1].astype(jnp.float32)
             outs.append(bilinear_sample(x[..., gi * cg : (gi + 1) * cg], cy, cx))
         out = jnp.concatenate(outs, axis=-1)
         if self.end_convolution:
-            out = Conv2d(self.out_channels, 1, dtype=self.dtype, name="end_conv")(out)
+            out = Conv2d(
+                self.out_channels, self.end_kernel, dtype=self.dtype, name="end_conv"
+            )(out)
         return out
 
 
