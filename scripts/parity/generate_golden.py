@@ -86,6 +86,16 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
         dict(clip_size=5, nb=1, dim=64, scale=2, input_resolution=64),
         (1, 5, 3, 64, 64),
     ),
+    "spanplus": (
+        "spanplus_arch", "SpanPlus",
+        dict(feature_channels=16, upscale=2, blocks=[1], upsampler="ps"),
+        (1, 3, 16, 16),
+    ),
+    "rcan": (
+        "rcan_arch", "RCAN",
+        dict(scale=2, n_resgroups=1, n_resblocks=1, n_feats=8, reduction=4),
+        (1, 3, 16, 16),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

@@ -42,6 +42,10 @@ FLAX_OPTS = {
              "drop_path_rate": 0.0},
     "tscunet": {"type": "tscunet", "scale": 2, "clip_size": 5, "nb": 1,
                 "dim": 64},
+    "spanplus": {"type": "spanplus", "scale": 2, "feature_channels": 16,
+                 "blocks": [1], "upsampler": "ps"},
+    "rcan": {"type": "rcan", "scale": 2, "n_resgroups": 1, "n_resblocks": 1,
+             "n_feats": 8, "reduction": 4},
 }
 
 
@@ -102,7 +106,7 @@ def test_golden_fast(case):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("case", ["hat", "fdat", "fdat_tc", "drct", "tscunet"])
+@pytest.mark.parametrize("case", ["hat", "fdat", "fdat_tc", "drct", "tscunet", "spanplus", "rcan"])
 def test_golden_slow(case):
     _run_case(case)
 

@@ -9,9 +9,31 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from trainner_redux_tpu.archs.arch_util import Conv2d, DySample, Dtype, pixel_shuffle
-from trainner_redux_tpu.archs.span_arch import SPAB, Conv3XC
+from trainner_redux_tpu.archs.arch_util import Conv2d, DySample, Dtype, mish, pixel_shuffle
+from trainner_redux_tpu.archs.span_arch import Conv3XC
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
+
+
+class SPABPlus(nn.Module):
+    """SpanPlus's SPAB variant: Mish activations (reference
+    spanplus_arch.py:130-155; SPAN's SPAB uses SiLU). The inplace Mish means
+    the end block returns mish(out1)."""
+
+    in_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, train: bool = True
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        c = self.in_channels
+        out1 = Conv3XC(c, c, gain=2, dtype=self.dtype, name="c1_r")(x, train)
+        out1_act = mish(out1)
+        out2 = Conv3XC(c, c, gain=2, dtype=self.dtype, name="c2_r")(out1_act, train)
+        out2_act = mish(out2)
+        out3 = Conv3XC(c, c, gain=2, dtype=self.dtype, name="c3_r")(out2_act, train)
+        sim_att = nn.sigmoid(out3) - 0.5
+        return (out3 + x) * sim_att, out1_act
 
 
 class SPABS(nn.Module):
@@ -22,12 +44,13 @@ class SPABS(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         fc = self.feature_channels
-        out_b1, _, _ = SPAB(fc, dtype=self.dtype, name="block_1")(x, train)
+        out_b1, _ = SPABPlus(fc, dtype=self.dtype, name="block_1")(x, train)
         out = out_b1
         for i in range(self.n_blocks):
-            out, _, _ = SPAB(fc, dtype=self.dtype, name=f"block_n_{i}")(out, train)
-        out_end, out_x_2, _ = SPAB(fc, dtype=self.dtype, name="block_end")(out, train)
+            out, _ = SPABPlus(fc, dtype=self.dtype, name=f"block_n_{i}")(out, train)
+        out_end, out_x_2 = SPABPlus(fc, dtype=self.dtype, name="block_end")(out, train)
         out_end = Conv3XC(fc, fc, gain=2, dtype=self.dtype, name="conv_2")(out_end, train)
+        # reference cat order: [x, out_end, out_b1, mish(out1_of_end)]
         cat = jnp.concatenate([x, out_end, out_b1, out_x_2], axis=-1)
         return Conv2d(fc, 1, dtype=self.dtype, name="conv_cat")(cat)
 

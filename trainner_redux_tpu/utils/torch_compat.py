@@ -1107,3 +1107,100 @@ def _convert_swin2sr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]
             continue
         raise KeyError(f"unmapped Swin2SR key: {k}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# SpanPlus (reference spanplus_arch.py; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("SpanPlus")
+def _convert_spanplus(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _convert_conv3xc(sd, "feats.0", "feats_0", out)
+    # stage indices >= 1 are SPAB groups
+    stages = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"feats\.(\d+)\.", k)) and int(m.group(1)) >= 1
+    })
+    for si in stages:
+        tpre, fpre = f"feats.{si}", f"feats_{si}"
+        for c in ("c1_r", "c2_r", "c3_r"):
+            _convert_conv3xc(sd, f"{tpre}.block_1.{c}", f"{fpre}.block_1.{c}", out)
+            _convert_conv3xc(sd, f"{tpre}.block_end.{c}", f"{fpre}.block_end.{c}", out)
+        n_mid = sorted({
+            int(m.group(1)) for k in sd
+            if (m := re.match(rf"{re.escape(tpre)}\.block_n\.(\d+)\.", k))
+        })
+        for j in n_mid:
+            for c in ("c1_r", "c2_r", "c3_r"):
+                _convert_conv3xc(
+                    sd, f"{tpre}.block_n.{j}.{c}", f"{fpre}.block_n_{j}.{c}", out
+                )
+        _convert_conv3xc(sd, f"{tpre}.conv_2", f"{fpre}.conv_2", out)
+        _put_conv(out, f"{fpre}.conv_cat", "weight", sd[f"{tpre}.conv_cat.weight"])
+        _put_conv(out, f"{fpre}.conv_cat", "bias", sd[f"{tpre}.conv_cat.bias"])
+    # upsampler: ps (Sequential conv+PixelShuffle) or dys (DySample)
+    if "upsampler.0.weight" in sd:
+        _put_conv(out, "up_conv", "weight", sd["upsampler.0.weight"])
+        _put_conv(out, "up_conv", "bias", sd["upsampler.0.bias"])
+    elif "upsampler.offset.weight" in sd:
+        _put_conv(out, "dysample.offset", "weight", sd["upsampler.offset.weight"])
+        _put_conv(out, "dysample.offset", "bias", sd["upsampler.offset.bias"])
+        _put_conv(out, "dysample.scope", "weight", sd["upsampler.scope.weight"])
+        _put_conv(out, "dysample.end_conv", "weight", sd["upsampler.end_conv.weight"])
+        _put_conv(out, "dysample.end_conv", "bias", sd["upsampler.end_conv.bias"])
+    elif "upsampler.weight" in sd:  # conv-only 1x variant
+        _put_conv(out, "up_conv", "weight", sd["upsampler.weight"])
+        _put_conv(out, "up_conv", "bias", sd["upsampler.bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RCAN (reference rcan_arch.py; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("RCAN")
+def _convert_rcan(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        m = re.fullmatch(
+            r"body\.(\d+)\.body\.(\d+)\.body\.([02])\.(weight|bias)", k
+        )
+        if m:  # RCAB convs at Sequential indices 0, 2
+            g, blk, idx, kind = m.groups()
+            _put_conv(out, f"group_{g}.block_{blk}.conv{int(idx) // 2}", kind, v)
+            continue
+        m = re.fullmatch(
+            r"body\.(\d+)\.body\.(\d+)\.body\.3\.conv_du\.([02])\.(weight|bias)", k
+        )
+        if m:  # channel attention convs
+            g, blk, idx, kind = m.groups()
+            _put_conv(out, f"group_{g}.block_{blk}.ca.conv_du_{int(idx) // 2}", kind, v)
+            continue
+        m = re.fullmatch(r"body\.(\d+)\.body\.(\d+)\.(weight|bias)", k)
+        if m:  # group tail conv (index n_resblocks)
+            g, _idx, kind = m.groups()
+            _put_conv(out, f"group_{g}.conv_tail", kind, v)
+            continue
+        m = re.fullmatch(r"body\.(\d+)\.(weight|bias)", k)
+        if m:  # trunk tail conv
+            _put_conv(out, "body_tail", m.group(2), v)
+            continue
+        m = re.fullmatch(r"head\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "head", m.group(1), v)
+            continue
+        m = re.fullmatch(r"tail\.0\.(\d+)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"up_{int(m.group(1)) // 2}", m.group(2), v)
+            continue
+        m = re.fullmatch(r"tail\.1\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "tail_conv", m.group(1), v)
+            continue
+        if k.startswith(("sub_mean", "add_mean")):
+            continue  # MeanShift: fixed constants, recomputed in flax
+        raise KeyError(f"unmapped RCAN key: {k}")
+    return out
