@@ -199,3 +199,46 @@ def test_tiled_inference_matches_direct(tiny_dataset, tmp_path):
     # interior agreement (borders of tiles may differ slightly due to padding)
     diff = np.abs(direct - tiled)
     assert np.median(diff) < 2e-2
+
+
+def test_bucketed_eval_matches_per_image(base_model_fixture=None):
+    """Sharded bucketed validation must reproduce per-image inference and
+    actually spread same-bucket images across the mesh's data axis."""
+    import jax
+    import numpy as np
+
+    from trainner_redux_tpu.models import build_model
+    from trainner_redux_tpu.utils.redux_options import (
+        PathOptions,
+        ReduxOptions,
+        TrainOptions,
+    )
+
+    opt = ReduxOptions(
+        name="bucketed_eval", scale=2, num_gpu=len(jax.devices()),
+        path=PathOptions(), network_g={"type": "span_f32"}, manual_seed=0,
+        is_train=True, compute_dtype="float32",
+        mesh={"data": len(jax.devices())},
+        train=TrainOptions(
+            total_iter=2,
+            optim_g={"type": "AdamW", "lr": 1e-4},
+            losses=[{"type": "l1loss", "loss_weight": 1.0}],
+        ),
+    )
+    model = build_model(opt)
+    rng = np.random.default_rng(0)
+    # 5 images in two shape buckets (16x16 and 24x16)
+    samples = [
+        {"lq": rng.random((1, 16, 16, 3)).astype(np.float32), "lq_path": f"a{i}.png"}
+        for i in range(3)
+    ] + [
+        {"lq": rng.random((1, 24, 16, 3)).astype(np.float32), "lq_path": f"b{i}.png"}
+        for i in range(2)
+    ]
+    outs = dict()
+    for s, sr in model._eval_bucketed(samples):
+        outs[s["lq_path"]] = sr
+    assert len(outs) == 5
+    for s in samples:
+        ref = model.test(s["lq"])[0]
+        np.testing.assert_allclose(outs[s["lq_path"]], ref, atol=2e-5)

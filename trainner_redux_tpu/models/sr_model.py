@@ -626,9 +626,18 @@ class SRModel(BaseModel):
             return self.state.ema_params_g
         return self.state.params_g
 
+    _APPLY_CACHE_MAX = 8
+
     def _apply_fn(self, key):
         """Shape-keyed jitted eval apply (pad to multiple of 16 to bound
-        recompiles across validation image sizes)."""
+        recompiles across validation image sizes); LRU-capped so many val
+        sizes cannot grow the cache without bound."""
+        if key in self._apply_cache:
+            fn = self._apply_cache.pop(key)
+            self._apply_cache[key] = fn  # move to most-recent
+            return fn
+        if len(self._apply_cache) >= self._APPLY_CACHE_MAX:
+            self._apply_cache.pop(next(iter(self._apply_cache)))
         if key not in self._apply_cache:
             in_fmt = self.opt.input_pixel_format
             out_fmt = self.opt.output_pixel_format
@@ -718,6 +727,49 @@ class SRModel(BaseModel):
                 )
         return out / np.maximum(weight, 1e-8)
 
+    def _eval_bucketed(self, samples: list[dict]):
+        """Mesh-sharded bucketed evaluation (fixes round-1 weak #8: on an
+        N-chip mesh, validation images of the same padded shape batch up to
+        N and shard over the data axis instead of running rank-0 serial).
+
+        samples: [{'lq': np (1,H,W,C), ...}]; yields (sample, sr np (H',W',C)).
+        """
+        n_dev = int(self.mesh.devices.size)
+        tile = self.opt.val.tile_size if self.opt.val else 0
+        if tile and tile > 0:
+            for s in samples:
+                yield s, self.test(s["lq"])[0]
+            return
+
+        mult = 16
+        buckets: dict[tuple, list[dict]] = {}
+        for s in samples:
+            h, w = s["lq"].shape[-3], s["lq"].shape[-2]
+            key = (h + (mult - h % mult) % mult, w + (mult - w % mult) % mult)
+            buckets.setdefault(key, []).append(s)
+        params = self._infer_params()
+        for (ph, pw), group in buckets.items():
+            fn = self._apply_fn((ph, pw, 4))
+            for i in range(0, len(group), n_dev):
+                chunk = group[i : i + n_dev]
+                padded = []
+                for s in chunk:
+                    lq = np.asarray(s["lq"], np.float32)
+                    lq = lq[None] if lq.ndim == 3 else lq
+                    h, w = lq.shape[1], lq.shape[2]
+                    lq = np.pad(
+                        lq, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)), mode="reflect"
+                    ) if (ph > h or pw > w) else lq
+                    padded.append(lq[0])
+                n_real = len(padded)
+                while len(padded) < n_dev:  # fill the mesh's batch axis
+                    padded.append(padded[-1])
+                batch = self.shard_batch({"lq": np.stack(padded)})["lq"]
+                out = np.asarray(jax.device_get(fn(params, batch)))
+                for s, sr in zip(chunk, out[:n_real]):
+                    h, w = np.asarray(s["lq"]).shape[-3], np.asarray(s["lq"]).shape[-2]
+                    yield s, sr[: h * self.scale, : w * self.scale, :]
+
     def nondist_validation(self, dataloader, current_iter, tb_logger, save_img) -> None:
         opt = self.opt
         val_opt = opt.val
@@ -728,16 +780,16 @@ class SRModel(BaseModel):
             self._init_best_metric_results(dataset_name, val_opt.metrics)
             metric_results = dict.fromkeys(val_opt.metrics, 0.0)
 
+        samples = list(dataloader)
         count = 0
-        for val_data in dataloader:
-            lq = val_data["lq"]
+        for val_data, sr in self._eval_bucketed(samples):
             gt = val_data.get("gt")
             img_name = osp.splitext(osp.basename(
                 val_data["lq_path"] if isinstance(val_data["lq_path"], str)
                 else val_data["lq_path"][0]
             ))[0]
-            sr = self.test(lq)
-            sr_img = tensor2img(sr[0].transpose(2, 0, 1))
+            self.output = sr[None]
+            sr_img = tensor2img(sr.transpose(2, 0, 1))
             count += 1
 
             if save_img and opt.path.visualization:
