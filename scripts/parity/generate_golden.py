@@ -96,6 +96,51 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
         dict(scale=2, n_resgroups=1, n_resblocks=1, n_feats=8, reduction=4),
         (1, 3, 16, 16),
     ),
+    "artcnn": (
+        "artcnn_arch", "ArtCNN",
+        dict(in_ch=3, scale=2, filters=16, n_block=2),
+        (1, 3, 16, 16),
+    ),
+    "moesr": (
+        "moesr_arch", "MoESR2",
+        dict(scale=2, dim=16, n_blocks=1, n_block=1,
+             upsampler="pixelshuffledirect"),
+        (1, 3, 16, 16),
+    ),
+    "moesr_ps": (
+        "moesr_arch", "MoESR2",
+        dict(scale=2, dim=16, n_blocks=1, n_block=1,
+             upsampler="pixelshuffle", upsample_dim=8),
+        (1, 3, 16, 16),
+    ),
+    "moesr_nc": (
+        "moesr_arch", "MoESR2",
+        dict(scale=2, dim=16, n_blocks=1, n_block=1,
+             upsampler="nearest+conv"),
+        (1, 3, 16, 16),
+    ),
+    "mosrv2": (
+        "mosrv2_arch", "MoSRv2",
+        dict(scale=2, n_block=2, dim=16, upsampler="pixelshuffledirect",
+             unshuffle_mod=True, mid_dim=16),
+        (1, 3, 16, 16),
+    ),
+    "mosrv2_rms": (
+        "mosrv2_arch", "MoSRv2",
+        dict(scale=2, n_block=1, dim=16, upsampler="pixelshuffle",
+             unshuffle_mod=False, rms_norm=True, mid_dim=8),
+        (1, 3, 16, 16),
+    ),
+    "sebica": (
+        "sebica_arch", "Sebica",
+        dict(scale=2, N=8),
+        (1, 3, 16, 16),
+    ),
+    "spanf": (
+        "spanf_arch", "SPANF",
+        dict(num_in_ch=3, num_out_ch=3, feature_channels=16, upscale=2),
+        (1, 3, 16, 16),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

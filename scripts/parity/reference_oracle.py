@@ -212,6 +212,13 @@ def install_stubs() -> None:
         msgspec.DecodeError = type("DecodeError", (Exception,), {})
         sys.modules["msgspec"] = msgspec
 
+    # Some reference archs call .cuda() at construction time (e.g. SPANF's
+    # warmup forward, spanf_arch.py:172). The oracle runs on CPU: make
+    # .cuda() a no-op so those modules instantiate.
+    if not torch.cuda.is_available():
+        torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+        torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
 

@@ -46,6 +46,21 @@ FLAX_OPTS = {
                  "blocks": [1], "upsampler": "ps"},
     "rcan": {"type": "rcan", "scale": 2, "n_resgroups": 1, "n_resblocks": 1,
              "n_feats": 8, "reduction": 4},
+    "artcnn": {"type": "artcnn", "scale": 2, "filters": 16, "n_block": 2},
+    "moesr": {"type": "moesr2", "scale": 2, "dim": 16, "n_blocks": 1,
+              "n_block": 1, "upsampler": "pixelshuffledirect"},
+    "moesr_ps": {"type": "moesr2", "scale": 2, "dim": 16, "n_blocks": 1,
+                 "n_block": 1, "upsampler": "pixelshuffle", "upsample_dim": 8},
+    "moesr_nc": {"type": "moesr2", "scale": 2, "dim": 16, "n_blocks": 1,
+                 "n_block": 1, "upsampler": "nearest+conv"},
+    "mosrv2": {"type": "mosrv2", "scale": 2, "n_block": 2, "dim": 16,
+               "upsampler": "pixelshuffledirect", "unshuffle_mod": True,
+               "mid_dim": 16},
+    "mosrv2_rms": {"type": "mosrv2", "scale": 2, "n_block": 1, "dim": 16,
+                   "upsampler": "pixelshuffle", "unshuffle_mod": False,
+                   "rms_norm": True, "mid_dim": 8},
+    "sebica": {"type": "sebica", "scale": 2, "N": 8},
+    "spanf": {"type": "spanf", "scale": 2, "feature_channels": 16},
 }
 
 
@@ -108,6 +123,19 @@ def test_golden_fast(case):
 @pytest.mark.slow
 @pytest.mark.parametrize("case", ["hat", "fdat", "fdat_tc", "drct", "tscunet", "spanplus", "rcan"])
 def test_golden_slow(case):
+    _run_case(case)
+
+
+@pytest.mark.parametrize("case", ["artcnn", "sebica", "spanf"])
+def test_golden_convnets(case):
+    _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "case", ["moesr", "moesr_ps", "moesr_nc", "mosrv2", "mosrv2_rms"]
+)
+def test_golden_mambaout(case):
     _run_case(case)
 
 

@@ -116,48 +116,40 @@ class MSG(nn.Module):
 
 
 class UniUpsample(nn.Module):
-    """Upsample tail matching reference arch_util UniUpsample modes."""
+    """Reference arch_util.py:231-300 UniUpsample (V1).
+
+    conv / pixelshuffledirect / pixelshuffle / nearest+conv are identical to
+    UniUpsampleV3 (golden-validated), so those modes delegate to it — this
+    also fixes two V1 bugs vs the reference (missing LeakyReLU after the
+    pixelshuffle pre-conv; nearest+conv must conv at low resolution BEFORE
+    the nearest upsample). V1 dysample has no mid-dim pre-conv: it applies
+    DySample on in_dim directly (reference arch_util.py:294-295).
+    """
 
     mode: str
     scale: int
     dim: int
     out_ch: int
     mid_dim: int = 64
+    group: int = 4
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        s = self.scale
-        if self.mode == "conv" or s == 1:
-            return Conv2d(self.out_ch, 3, dtype=self.dtype, name="conv")(x)
-        if self.mode == "pixelshuffledirect":
-            y = Conv2d(self.out_ch * s * s, 3, dtype=self.dtype, name="conv")(x)
-            return pixel_shuffle(y, s)
-        if self.mode == "pixelshuffle":
-            y = Conv2d(self.mid_dim, 3, dtype=self.dtype, name="conv_pre")(x)
-            stage, r = 0, s
-            while r > 1:
-                f = 3 if r % 3 == 0 else 2
-                y = Conv2d(self.mid_dim * f * f, 3, dtype=self.dtype, name=f"up_{stage}")(y)
-                y = pixel_shuffle(y, f)
-                r //= f
-                stage += 1
-            return Conv2d(self.out_ch, 3, dtype=self.dtype, name="conv_post")(y)
-        if self.mode == "nearest+conv":
-            y = x
-            r, stage = s, 0
-            while r > 1:
-                y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
-                y = nn.leaky_relu(Conv2d(self.dim, 3, dtype=self.dtype, name=f"conv_up{stage}")(y), 0.2)
-                r //= 2
-                stage += 1
-            y = nn.leaky_relu(Conv2d(self.dim, 3, dtype=self.dtype, name="conv_hr")(y), 0.2)
-            return Conv2d(self.out_ch, 3, dtype=self.dtype, name="conv_last")(y)
-        if self.mode == "dysample":
+        del train
+        if self.mode == "dysample" and self.scale != 1:
             return DySample(
-                self.dim, self.out_ch, scale=s, dtype=self.dtype, name="dysample"
+                x.shape[-1], self.out_ch, self.scale, self.group,
+                dtype=self.dtype, name="c0",
             )(x)
-        raise ValueError(f"unknown upsampler mode {self.mode!r}")
+        from trainner_redux_tpu.archs.arch_util import UniUpsampleV3
+
+        inner = UniUpsampleV3(
+            mode=self.mode, scale=self.scale, out_dim=self.out_ch,
+            mid_dim=self.mid_dim, group=self.group, dtype=self.dtype,
+        )
+        nn.share_scope(self, inner)  # params live directly under this module
+        return inner(x)
 
 
 class MoESR2(nn.Module):

@@ -12,12 +12,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, mish, pixel_unshuffle
-from trainner_redux_tpu.archs.moesr_arch import (
-    ChannelLayerNorm,
-    InceptionDWConv2d,
-    UniUpsample,
+from trainner_redux_tpu.archs.arch_util import (
+    Conv2d,
+    Dtype,
+    UniUpsampleV3,
+    mish,
+    pixel_unshuffle,
 )
+from trainner_redux_tpu.archs.moesr_arch import ChannelLayerNorm, InceptionDWConv2d
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
 
 
@@ -96,10 +98,10 @@ class MoSRv2(nn.Module):
         y = mish(Conv2d(self.dim * 2, 3, dtype=self.dtype, name="refine_0")(y))
         y = mish(Conv2d(self.dim, 3, dtype=self.dtype, name="refine_1")(y))
         y = Conv2d(self.dim, 1, padding=0, dtype=self.dtype, name="refine_2")(y)
-        out = UniUpsample(
-            self.upsampler, scale, self.dim, self.in_ch, self.mid_dim,
-            dtype=self.dtype, name="to_img",
-        )(y, train)
+        out = UniUpsampleV3(
+            mode=self.upsampler, scale=scale, out_dim=self.in_ch,
+            mid_dim=self.mid_dim, dtype=self.dtype, name="to_img",
+        )(y)
         short = jax.image.resize(
             xp, (xp.shape[0], xp.shape[1] * self.scale, xp.shape[2] * self.scale, xp.shape[3]),
             method="linear",

@@ -16,18 +16,6 @@ from trainner_redux_tpu.ops.resize import resize
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
 
 
-def _conv1d_channels(y: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """ECA-style 1D conv across the channel axis; y: (B, C), kernel (k,)."""
-    import jax
-
-    k = kernel.shape[0]
-    pad = (k - 1) // 2
-    yp = jnp.pad(y[:, :, None], ((0, 0), (pad, pad), (0, 0)))
-    return jax.lax.conv_general_dilated(
-        yp, kernel[:, None, None], (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC")
-    )[:, :, 0]
-
-
 class CSA(nn.Module):
     channels: int
     kernel_size: int = 3
@@ -42,16 +30,26 @@ class CSA(nn.Module):
                 jnp.concatenate([avg_out, max_out], axis=-1)
             )
         )
-        y = x.mean(axis=(1, 2))  # (B, C)
+        # Reference sebica_arch.py:44-67: the channel branch degenerates.
+        # y = mean(x, HW) is fed as a 3D (B,1,C) tensor into
+        # AdaptiveAvgPool2d(1), which treats it as an unbatched (C,H,W)
+        # volume and pools the whole (1,C) plane -> one scalar per sample
+        # (the global mean of x). The k=3 Conv1d then sees a length-1
+        # sequence under zero padding, so only its CENTER tap contributes,
+        # and both .flip(dims=[1]) calls act on size-1 dims (no-ops). Net
+        # effect: channel_weight = (sigmoid(kf[1]*s) + sigmoid(kb[1]*s))/2,
+        # a per-sample scalar. Replicated exactly for checkpoint parity.
+        s_mean = x.mean(axis=(1, 2, 3), keepdims=True)
         k_f = self.param(
             "ca_forward", nn.initializers.lecun_normal(), (self.kernel_size, 1), jnp.float32
         )[:, 0]
         k_b = self.param(
             "ca_backward", nn.initializers.lecun_normal(), (self.kernel_size, 1), jnp.float32
         )[:, 0]
-        y_f = nn.sigmoid(_conv1d_channels(y, k_f.astype(y.dtype)))
-        y_b = nn.sigmoid(_conv1d_channels(y[:, ::-1], k_b.astype(y.dtype)))[:, ::-1]
-        cw = ((y_f + y_b) / 2.0)[:, None, None, :]
+        mid = self.kernel_size // 2
+        y_f = nn.sigmoid(k_f[mid].astype(x.dtype) * s_mean)
+        y_b = nn.sigmoid(k_b[mid].astype(x.dtype) * s_mean)
+        cw = (y_f + y_b) / 2.0
         return x * sw * cw
 
 
@@ -60,19 +58,19 @@ class SebicaAttn(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         n = self.channels
         out = Conv2d(n * 2, 1, dtype=self.dtype, name="pre_0")(x)
-        out = nn.relu(BatchNormNoStats(dtype=self.dtype, name="pre_bn0")(out))
+        out = nn.relu(BatchNormNoStats(dtype=self.dtype, name="pre_bn0")(out, train))
         out = Conv2d(n, 3, dtype=self.dtype, name="pre_1")(out)
-        out = nn.relu(BatchNormNoStats(dtype=self.dtype, name="pre_bn1")(out))
-        out = BatchNormNoStats(dtype=self.dtype, name="norm1")(out)
+        out = nn.relu(BatchNormNoStats(dtype=self.dtype, name="pre_bn1")(out, train))
+        out = BatchNormNoStats(dtype=self.dtype, name="norm1")(out, train)
         out = CSA(n, dtype=self.dtype, name="attn")(out)
         ffn = Conv2d(n * 2, 1, dtype=self.dtype, name="ffn_0")(out)
-        ffn = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="ffn_bn0")(ffn), approximate=False)
+        ffn = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="ffn_bn0")(ffn, train), approximate=False)
         ffn = Conv2d(n, 1, dtype=self.dtype, name="ffn_1")(ffn)
-        out = out + BatchNormNoStats(dtype=self.dtype, name="ffn_bn1")(ffn)
-        out = BatchNormNoStats(dtype=self.dtype, name="norm2")(out)
+        out = out + BatchNormNoStats(dtype=self.dtype, name="ffn_bn1")(ffn, train)
+        out = BatchNormNoStats(dtype=self.dtype, name="norm2")(out, train)
         return out + x
 
 
@@ -84,14 +82,13 @@ class Sebica(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        del train
         x = x.astype(self.dtype)
         h, w = x.shape[1], x.shape[2]
         head = Conv2d(self.N, 3, dtype=self.dtype, name="head")(x)
-        head = nn.relu(BatchNormNoStats(dtype=self.dtype, name="head_bn")(head))
+        head = nn.relu(BatchNormNoStats(dtype=self.dtype, name="head_bn")(head, train))
         body = head
         for i in range(self.n_blocks):
-            body = SebicaAttn(self.N, dtype=self.dtype, name=f"body_{i}")(body)
+            body = SebicaAttn(self.N, dtype=self.dtype, name=f"body_{i}")(body, train)
         out = Conv2d(3 * self.scale**2, 1, dtype=self.dtype, name="tail")(body)
         out = pixel_shuffle(out, self.scale)
         base = resize(x, (h * self.scale, w * self.scale), mode="bilinear", antialias=False)
@@ -105,4 +102,4 @@ def sebica(scale: int = 4, N: int = 16, **kw) -> Sebica:
 
 @ARCH_REGISTRY.register(name="sebica_mini")
 def sebica_mini(scale: int = 4, N: int = 8, **kw) -> Sebica:
-    return Sebica(scale=scale, N=N, n_blocks=4, **kw)
+    return Sebica(scale=scale, N=N, n_blocks=6, **kw)

@@ -110,22 +110,27 @@ def resize(
         # only in the downscaled dims, then bicubic (no antialias) resample.
         if oh < h:
             x = jnp.einsum(
-                "oh,nhwc->nowc", jnp.asarray(_lowpass_matrix(h, oh)), x
+                "oh,nhwc->nowc", jnp.asarray(_lowpass_matrix(h, oh)), x,
+                precision="highest",
             )
         if ow < w:
             x = jnp.einsum(
                 "ow,nhwc->nhoc",
                 jnp.asarray(_lowpass_matrix(w, ow)),
                 x,
+                precision="highest",
             )
         return resize(x, (oh, ow), mode="bicubic", antialias=False).clip(0.0, 1.0)
 
+    # precision=highest: these matmuls are tiny vs the conv workload, and the
+    # TPU MXU's default bf16 accumulation costs ~3e-3 abs error — visible in
+    # checkpoint-parity and metric math
     if oh != h:
         mh = jnp.asarray(_resize_matrix(h, oh, mode, antialias), dtype=x.dtype)
-        x = jnp.einsum("oh,nhwc->nowc", mh, x)
+        x = jnp.einsum("oh,nhwc->nowc", mh, x, precision="highest")
     if ow != w:
         mw = jnp.asarray(_resize_matrix(w, ow, mode, antialias), dtype=x.dtype)
-        x = jnp.einsum("ow,nhwc->nhoc", mw, x)
+        x = jnp.einsum("ow,nhwc->nhoc", mw, x, precision="highest")
     return x
 
 

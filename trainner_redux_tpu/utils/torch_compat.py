@@ -1204,3 +1204,185 @@ def _convert_rcan(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
             continue  # MeanShift: fixed constants, recomputed in flax
         raise KeyError(f"unmapped RCAN key: {k}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# ArtCNN (reference artcnn_arch.py:47-70; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("ArtCNN")
+def _convert_artcnn(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    n_block = module.n_block
+    for k, v in sd.items():
+        m = re.fullmatch(r"conv0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "conv0", m.group(1), v)
+            continue
+        m = re.fullmatch(r"res_block\.(\d+)\.conv\.([01])\.0\.(weight|bias)", k)
+        if m:  # ActConv = Sequential(conv, act)
+            i, idx, kind = m.groups()
+            _put_conv(out, f"block_{i}.conv{idx}", kind, v)
+            continue
+        m = re.fullmatch(r"res_block\.(\d+)\.conv\.2\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"block_{m.group(1)}.conv2", m.group(2), v)
+            continue
+        m = re.fullmatch(rf"res_block\.{n_block}\.(weight|bias)", k)
+        if m:  # trailing conv at Sequential index n_block
+            _put_conv(out, "res_conv", m.group(1), v)
+            continue
+        m = re.fullmatch(r"depth_to_space\.upscale\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "up_conv", m.group(1), v)
+            continue
+        raise KeyError(f"unmapped ArtCNN key: {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MoESR2 / MoSRv2 (reference moesr_arch.py / mosrv2_arch.py; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _convert_gated_block(sd: dict, tpre: str, fpre: str, out: dict) -> None:
+    """MambaOut GatedCNNBlock: norm (channel LN or RMS), fc1/fc2 convs,
+    Inception depthwise mixer, per-channel gamma."""
+    if f"{tpre}.norm.scale" in sd:  # MoSRv2 RMSNorm: (dim,1,1) params
+        out[f"{fpre}.norm.scale"] = sd[f"{tpre}.norm.scale"].reshape(-1)
+        out[f"{fpre}.norm.offset"] = sd[f"{tpre}.norm.offset"].reshape(-1)
+    else:
+        out[f"{fpre}.norm.scale"] = sd[f"{tpre}.norm.weight"]
+        out[f"{fpre}.norm.bias"] = sd[f"{tpre}.norm.bias"]
+    for c in ("fc1", "fc2"):
+        _put_conv(out, f"{fpre}.{c}", "weight", sd[f"{tpre}.{c}.weight"])
+        _put_conv(out, f"{fpre}.{c}", "bias", sd[f"{tpre}.{c}.bias"])
+    for c in ("dwconv_hw", "dwconv_w", "dwconv_h"):
+        _put_conv(out, f"{fpre}.conv.{c}", "weight", sd[f"{tpre}.conv.{c}.weight"])
+        _put_conv(out, f"{fpre}.conv.{c}", "bias", sd[f"{tpre}.conv.{c}.bias"])
+    out[f"{fpre}.gamma"] = sd[f"{tpre}.gamma"].reshape(-1)
+
+
+@register_converter("MoESR2")
+def _convert_moesr2(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "in_to_dim", "weight", sd["in_to_dim.weight"])
+    _put_conv(out, "in_to_dim", "bias", sd["in_to_dim.bias"])
+    for bi in range(module.n_blocks):
+        for k in range(module.n_block):
+            _convert_gated_block(
+                sd, f"blocks.{bi}.blocks.{k}", f"blocks_{bi}_g{k}", out
+            )
+        mpre, fpre = f"blocks.{bi}.msg", f"blocks_{bi}_msg"
+        _put_conv(out, f"{fpre}.down_conv", "weight", sd[f"{mpre}.down.0.weight"])
+        _put_conv(out, f"{fpre}.down_conv", "bias", sd[f"{mpre}.down.0.bias"])
+        for k in range(3):
+            _convert_gated_block(sd, f"{mpre}.gated.{k}", f"{fpre}.gated_{k}", out)
+        _put_conv(out, f"{fpre}.up_conv", "weight", sd[f"{mpre}.up.0.weight"])
+        _put_conv(out, f"{fpre}.up_conv", "bias", sd[f"{mpre}.up.0.bias"])
+    mode, meta_scale = uni_upsample_mode(sd, "upscale", module.upsampler)
+    _convert_uni_upsample(
+        sd, "upscale", "upscale", mode, meta_scale or module.scale, out
+    )
+    return out
+
+
+@register_converter("MoSRv2")
+def _convert_mosrv2(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    # gblocks Sequential: plain convs (in_to_dim + 3 refine convs) carry
+    # bare gblocks.{i}.weight keys; GatedCNNBlocks carry nested keys
+    plain = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.fullmatch(r"gblocks\.(\d+)\.(weight|bias)", k))
+    })
+    blocks = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"gblocks\.(\d+)\.norm\.", k))
+    })
+    names = ["in_to_dim", "refine_0", "refine_1", "refine_2"]
+    assert len(plain) == 4, f"MoSRv2: expected 4 plain convs, got {plain}"
+    for idx, name in zip(plain, names):
+        _put_conv(out, name, "weight", sd[f"gblocks.{idx}.weight"])
+        _put_conv(out, name, "bias", sd[f"gblocks.{idx}.bias"])
+    for j, idx in enumerate(blocks):
+        _convert_gated_block(sd, f"gblocks.{idx}", f"gblocks_{j}", out)
+    inner_scale = module.scale
+    if module.unshuffle_mod and module.scale < 3:
+        inner_scale = 4
+    mode, meta_scale = uni_upsample_mode(sd, "to_img", module.upsampler)
+    _convert_uni_upsample(
+        sd, "to_img", "to_img", mode, meta_scale or inner_scale, out
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sebica (reference sebica_arch.py:122-176; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("Sebica")
+def _convert_sebica(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "head", "weight", sd["head.0.weight"])
+    _put_conv(out, "head", "bias", sd["head.0.bias"])
+    _bn_to_flax(out, sd, "head.1", "head_bn")
+    n_body = len({
+        m.group(1) for k in sd if (m := re.match(r"body\.(\d+)\.", k))
+    })
+    for i in range(n_body):
+        t, f = f"body.{i}", f"body_{i}"
+        _put_conv(out, f"{f}.pre_0", "weight", sd[f"{t}.pre_mixer.conv.0.weight"])
+        _put_conv(out, f"{f}.pre_0", "bias", sd[f"{t}.pre_mixer.conv.0.bias"])
+        _bn_to_flax(out, sd, f"{t}.pre_mixer.conv.1", f"{f}.pre_bn0")
+        _put_conv(out, f"{f}.pre_1", "weight", sd[f"{t}.pre_mixer.conv.3.weight"])
+        _put_conv(out, f"{f}.pre_1", "bias", sd[f"{t}.pre_mixer.conv.3.bias"])
+        _bn_to_flax(out, sd, f"{t}.pre_mixer.conv.4", f"{f}.pre_bn1")
+        _bn_to_flax(out, sd, f"{t}.norm1", f"{f}.norm1")
+        _put_conv(
+            out, f"{f}.attn.spatial", "weight",
+            sd[f"{t}.attn.spatial_attention.0.weight"],
+        )
+        # ECA 1D convs: torch (1, 1, k) -> flax (k, 1)
+        out[f"{f}.attn.ca_forward"] = (
+            sd[f"{t}.attn.channel_attention_forward.1.weight"].reshape(-1, 1)
+        )
+        out[f"{f}.attn.ca_backward"] = (
+            sd[f"{t}.attn.channel_attention_backward.1.weight"].reshape(-1, 1)
+        )
+        _put_conv(out, f"{f}.ffn_0", "weight", sd[f"{t}.post_mixer.ffn.0.weight"])
+        _put_conv(out, f"{f}.ffn_0", "bias", sd[f"{t}.post_mixer.ffn.0.bias"])
+        _bn_to_flax(out, sd, f"{t}.post_mixer.ffn.1", f"{f}.ffn_bn0")
+        _put_conv(out, f"{f}.ffn_1", "weight", sd[f"{t}.post_mixer.ffn.3.weight"])
+        _put_conv(out, f"{f}.ffn_1", "bias", sd[f"{t}.post_mixer.ffn.3.bias"])
+        _bn_to_flax(out, sd, f"{t}.post_mixer.ffn.4", f"{f}.ffn_bn1")
+        _bn_to_flax(out, sd, f"{t}.norm2", f"{f}.norm2")
+    _put_conv(out, "tail", "weight", sd["tail.0.weight"])
+    _put_conv(out, "tail", "bias", sd["tail.0.bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SPANF (reference spanf_arch.py:127-205; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("SPANF")
+def _convert_spanf(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    out["conv_near_kernel"] = conv_w(sd["conv_near.weight"])
+    for i in range(1, 6):
+        for c in ("c1_r", "c2_r", "c3_r"):
+            _put_conv(
+                out, f"block_{i}.{c}", "weight", sd[f"block_{i}.{c}.eval_conv.weight"]
+            )
+            _put_conv(
+                out, f"block_{i}.{c}", "bias", sd[f"block_{i}.{c}.eval_conv.bias"]
+            )
+    _put_conv(out, "conv_cat", "weight", sd["conv_cat.weight"])
+    _put_conv(out, "conv_cat", "bias", sd["conv_cat.bias"])
+    _put_conv(out, "conv_2", "weight", sd["conv_2.eval_conv.weight"])
+    _put_conv(out, "conv_2", "bias", sd["conv_2.eval_conv.bias"])
+    return out
