@@ -141,6 +141,42 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
         dict(num_in_ch=3, num_out_ch=3, feature_channels=16, upscale=2),
         (1, 3, 16, 16),
     ),
+    "elan": (
+        "elan_arch", "ELAN",
+        dict(scale=2, m_elan=2, c_elan=30, n_share=0),
+        (1, 3, 16, 16),
+    ),
+    "elan_norm": (
+        "elan_arch", "ELAN",
+        dict(scale=2, m_elan=2, c_elan=30, n_share=1, norm=True),
+        (1, 3, 16, 16),
+    ),
+    "eimn": (
+        "eimn_arch", "EIMN",
+        dict(embed_dims=16, scale=2, num_stages=2),
+        (1, 3, 16, 16),
+    ),
+    "emt": (
+        "emt_arch", "EMT",
+        dict(scale=2, dim=20, n_blocks=1, n_layers=3, num_heads=2, n_GTLs=2,
+             window_list=([8, 4], [4, 8]), shift_list=([4, 2], [2, 4])),
+        (1, 3, 16, 16),
+    ),
+    "lmlt": (
+        "lmlt_arch", "LMLT",
+        dict(dim=16, n_blocks=1, scale=2),
+        (1, 3, 64, 64),
+    ),
+    "man": (
+        "man_arch", "MAN",
+        dict(n_resblocks=2, n_resgroups=1, n_feats=24, scale=2),
+        (1, 3, 16, 16),
+    ),
+    "man_mg": (
+        "man_arch", "MAN",
+        dict(n_resblocks=1, n_resgroups=2, n_feats=24, scale=2),
+        (1, 3, 16, 16),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

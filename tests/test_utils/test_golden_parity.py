@@ -61,6 +61,19 @@ FLAX_OPTS = {
                    "rms_norm": True, "mid_dim": 8},
     "sebica": {"type": "sebica", "scale": 2, "N": 8},
     "spanf": {"type": "spanf", "scale": 2, "feature_channels": 16},
+    "elan": {"type": "elan", "scale": 2, "m_elan": 2, "c_elan": 30,
+             "n_share": 0},
+    "elan_norm": {"type": "elan", "scale": 2, "m_elan": 2, "c_elan": 30,
+                  "n_share": 1, "norm": True},
+    "eimn": {"type": "eimn", "scale": 2, "embed_dims": 16, "num_stages": 2},
+    "emt": {"type": "emt", "scale": 2, "dim": 20, "n_blocks": 1,
+            "n_layers": 3, "num_heads": 2, "n_GTLs": 2,
+            "window_list": [[8, 4], [4, 8]], "shift_list": [[4, 2], [2, 4]]},
+    "lmlt": {"type": "lmlt_base", "scale": 2, "dim": 16, "n_blocks": 1},
+    "man": {"type": "man", "scale": 2, "n_resblocks": 2, "n_resgroups": 1,
+            "n_feats": 24},
+    "man_mg": {"type": "man", "scale": 2, "n_resblocks": 1, "n_resgroups": 2,
+               "n_feats": 24},
 }
 
 
@@ -111,7 +124,11 @@ def _run_case(case: str, atol: float = 2e-4) -> float:
     else:
         y = np.asarray(y).transpose(0, 3, 1, 2)
     diff = float(np.abs(y - y_t).max())
-    assert diff < atol, f"{case}: max abs diff {diff} (atol {atol})"
+    # archs operating in a 0-255 domain (e.g. ELAN norm=True, EMT) carry
+    # proportionally larger fp32 round-off; scale the tolerance by the
+    # output magnitude so it stays ~atol in relative terms
+    tol = atol * max(1.0, float(np.abs(y_t).max()))
+    assert diff < tol, f"{case}: max abs diff {diff} (tol {tol})"
     return diff
 
 
@@ -136,6 +153,14 @@ def test_golden_convnets(case):
     "case", ["moesr", "moesr_ps", "moesr_nc", "mosrv2", "mosrv2_rms"]
 )
 def test_golden_mambaout(case):
+    _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "case", ["elan", "elan_norm", "eimn", "emt", "lmlt", "man", "man_mg"]
+)
+def test_golden_attention_convnets(case):
     _run_case(case)
 
 

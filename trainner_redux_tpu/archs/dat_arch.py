@@ -251,15 +251,15 @@ class AdaptiveSpatialAttention(nn.Module):
 
         # conv branch + AIM
         conv_x = Conv2d(c, 3, feature_group_count=c, dtype=self.dtype, name="dwconv")(v_img)
-        conv_x = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="dw_bn")(conv_x, train))
+        conv_x = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="dw_bn")(conv_x, train), approximate=False)
 
         ch_map = conv_x.mean(axis=(1, 2), keepdims=True)
         ch_map = Conv2d(max(1, c // 8), 1, dtype=self.dtype, name="ci_0")(ch_map)
-        ch_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="ci_bn")(ch_map, train))
+        ch_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="ci_bn")(ch_map, train), approximate=False)
         ch_map = Conv2d(c, 1, dtype=self.dtype, name="ci_1")(ch_map)
 
         sp_map = Conv2d(max(1, c // 16), 1, dtype=self.dtype, name="si_0")(attened)
-        sp_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="si_bn")(sp_map, train))
+        sp_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="si_bn")(sp_map, train), approximate=False)
         sp_map = Conv2d(1, 1, dtype=self.dtype, name="si_1")(sp_map)
 
         attened = attened * nn.sigmoid(ch_map)
@@ -302,15 +302,15 @@ class AdaptiveChannelAttention(nn.Module):
         attened = attened.transpose(0, 3, 1, 2).reshape(b, h, w, c)
 
         conv_x = Conv2d(c, 3, feature_group_count=c, dtype=self.dtype, name="dwconv")(v_img)
-        conv_x = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="dw_bn")(conv_x, train))
+        conv_x = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="dw_bn")(conv_x, train), approximate=False)
 
         ch_map = attened.mean(axis=(1, 2), keepdims=True)
         ch_map = Conv2d(max(1, c // 8), 1, dtype=self.dtype, name="ci_0")(ch_map)
-        ch_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="ci_bn")(ch_map, train))
+        ch_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="ci_bn")(ch_map, train), approximate=False)
         ch_map = Conv2d(c, 1, dtype=self.dtype, name="ci_1")(ch_map)
 
         sp_map = Conv2d(max(1, c // 16), 1, dtype=self.dtype, name="si_0")(conv_x)
-        sp_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="si_bn")(sp_map, train))
+        sp_map = nn.gelu(BatchNormNoStats(dtype=self.dtype, name="si_bn")(sp_map, train), approximate=False)
         sp_map = Conv2d(1, 1, dtype=self.dtype, name="si_1")(sp_map)
 
         attened = attened * nn.sigmoid(sp_map)

@@ -28,7 +28,8 @@ class DFFM(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         rc = int(self.dim * self.act_ratio)
         identity = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        # reference custom channels-first LayerNorm, eps 1e-6 (eimn_arch.py:11-41)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         x_global = _gelu(
             Conv2d(rc, 1, dtype=self.dtype, name="global_reduce")(
                 x.mean(axis=(1, 2), keepdims=True)
@@ -93,12 +94,12 @@ class EIMNBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         ls1 = self.param("layer_scale_1", nn.initializers.constant(1e-2), (self.dim,), jnp.float32)
         ls2 = self.param("layer_scale_2", nn.initializers.constant(1e-2), (self.dim,), jnp.float32)
-        y = BatchNormNoStats(dtype=self.dtype, name="norm1")(x)
+        y = BatchNormNoStats(dtype=self.dtype, name="norm1")(x, train)
         x = x + ls1.astype(x.dtype) * MOLRCM(self.dim, dtype=self.dtype, name="attn")(y)
-        y = BatchNormNoStats(dtype=self.dtype, name="norm2")(x)
+        y = BatchNormNoStats(dtype=self.dtype, name="norm2")(x, train)
         x = x + ls2.astype(x.dtype) * SADFFM(self.dim, self.mlp_ratio, dtype=self.dtype, name="mlp")(y)
         return x
 
@@ -113,7 +114,6 @@ class EIMN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        del train
         x = x.astype(self.dtype)
         feat = Conv2d(self.embed_dims, 3, dtype=self.dtype, name="head")(x)
         identity = feat
@@ -123,7 +123,7 @@ class EIMN(nn.Module):
                 cur = EIMNBlock(
                     self.embed_dims, self.mlp_ratios, dtype=self.dtype,
                     name=f"block{i + 1}_{j}",
-                )(cur)
+                )(cur, train)
             cur = nn.LayerNorm(
                 epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=f"norm{i + 1}"
             )(cur)

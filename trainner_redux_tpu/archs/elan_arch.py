@@ -5,9 +5,9 @@ LFE :110, GMSA :139, ELAB :234, ELAN :310 with elan/elan_light presets):
 channel-group shift convolutions, group multi-scale window self-attention
 (q=v shared attention maps reusable across `n_share` following blocks).
 
-TPU notes: the shift "conv" is expressed as jnp.roll on channel groups + a
-1x1 conv (pure data movement + GEMM) instead of a masked 3x3 conv; the
-window attention is einsum on the MXU.
+TPU notes: the shift "conv" is expressed as zero-padded shifts on channel
+groups + a 1x1 conv (pure data movement + GEMM) instead of a masked 3x3
+conv; the window attention is einsum on the MXU.
 """
 
 from __future__ import annotations
@@ -21,15 +21,26 @@ from trainner_redux_tpu.archs.dat_arch import BatchNormNoStats
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
 
 
+def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Zero-padded spatial shift: out[i,j] = x[i+dy, j+dx] (borders -> 0),
+    matching the reference's fixed 3x3 shift conv (zero conv padding, NOT
+    circular — ShiftConv2d1, elan_arch.py:56-85)."""
+    z = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h, w = x.shape[1], x.shape[2]
+    return jax.lax.dynamic_slice_in_dim(
+        jax.lax.dynamic_slice_in_dim(z, 1 + dy, h, axis=1), 1 + dx, w, axis=2
+    )
+
+
 def _channel_shift(x: jnp.ndarray) -> jnp.ndarray:
     """5-group spatial shift: left/right/up/down/identity (ShiftConv2d1)."""
     c = x.shape[-1]
     g = c // 5
     parts = [
-        jnp.roll(x[..., 0 * g : 1 * g], -1, axis=2),  # left (samples x+1)
-        jnp.roll(x[..., 1 * g : 2 * g], 1, axis=2),   # right
-        jnp.roll(x[..., 2 * g : 3 * g], -1, axis=1),  # up (samples y+1)
-        jnp.roll(x[..., 3 * g : 4 * g], 1, axis=1),   # down
+        _shift2d(x[..., 0 * g : 1 * g], 0, 1),   # left (samples x+1)
+        _shift2d(x[..., 1 * g : 2 * g], 0, -1),  # right
+        _shift2d(x[..., 2 * g : 3 * g], 1, 0),   # up (samples y+1)
+        _shift2d(x[..., 3 * g : 4 * g], -1, 0),  # down
         x[..., 4 * g :],
     ]
     return jnp.concatenate(parts, axis=-1)
@@ -91,11 +102,11 @@ class GMSA(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, prev_atns=None):
+    def __call__(self, x: jnp.ndarray, prev_atns=None, train: bool = True):
         c = self.channels
         factor = 2 if self.calc_attn else 1
         y = Conv2d(c * factor, 1, dtype=self.dtype, name="project_inp")(x)
-        y = BatchNormNoStats(dtype=self.dtype, name="bn")(y)
+        y = BatchNormNoStats(dtype=self.dtype, name="bn")(y, train)
         split = c * factor // 3
         ys, atns = [], []
         for idx, wsize in enumerate(self.window_sizes):
@@ -124,14 +135,14 @@ class ELAB(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         atn = None
         for i in range(1 + self.shared_depth):
             x = LFE(self.channels, self.exp_ratio, dtype=self.dtype, name=f"lfe_{i}")(x) + x
             y, atn = GMSA(
                 self.channels, self.shifts, self.window_sizes, calc_attn=(i == 0),
                 dtype=self.dtype, name=f"gmsa_{i}",
-            )(x, None if i == 0 else atn)
+            )(x, None if i == 0 else atn, train)
             x = y + x
         return x
 
@@ -151,7 +162,6 @@ class ELAN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        del train
         x = x.astype(self.dtype)
         in_h, in_w = x.shape[1], x.shape[2]
         # pad to the LCM-ish multiple of all window sizes
@@ -163,10 +173,9 @@ class ELAN(nn.Module):
         if ph or pw:
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
-        rgb_range = self.rgb_range if self.norm else 1
         if self.norm:
-            mean = jnp.asarray([0.4488, 0.4371, 0.4040], x.dtype) * rgb_range
-            x = x * rgb_range - mean
+            mean = jnp.asarray([0.4488, 0.4371, 0.4040], x.dtype) * self.rgb_range
+            x = x - mean
 
         feat = Conv2d(self.c_elan, 3, dtype=self.dtype, name="head")(x)
         res = feat
@@ -176,14 +185,14 @@ class ELAN(nn.Module):
                 self.c_elan, self.r_expand, 0 if (i + 1) % 2 == 1 else 1,
                 tuple(self.window_sizes), self.n_share, dtype=self.dtype,
                 name=f"body_{i}",
-            )(res)
+            )(res, train)
         res = res + feat
         out = Conv2d(
             self.colors * self.scale**2, 3, dtype=self.dtype, name="tail"
         )(res)
         out = pixel_shuffle(out, self.scale)
         if self.norm:
-            out = (out + mean) / rgb_range
+            out = out + mean
         return out[:, : in_h * self.scale, : in_w * self.scale, :].astype(jnp.float32)
 
 

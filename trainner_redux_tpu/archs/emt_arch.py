@@ -88,10 +88,10 @@ class SWSA(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         b, h, w, c = x.shape
         qkv = Conv2d(c * 2, 1, padding=0, dtype=self.dtype, name="attn_conv")(x)
-        qkv = BatchNormNoStats(dtype=self.dtype, name="attn_bn")(qkv)
+        qkv = BatchNormNoStats(dtype=self.dtype, name="attn_bn")(qkv, train)
         n_win = len(self.window_list)
         per = 2 * c // n_win
         outs = []
@@ -131,9 +131,9 @@ class TokenMixer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         y = _dw_fixed(x, _mixer_mask(x.shape[-1]), "wrap") - x
-        return BatchNormNoStats(dtype=self.dtype, name="norm")(y)
+        return BatchNormNoStats(dtype=self.dtype, name="norm")(y, train)
 
 
 class EMT(nn.Module):
@@ -154,7 +154,9 @@ class EMT(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        mean = jnp.asarray(_DF2K_MEAN, x.dtype)
+        # reference MeanShift hardcodes rgb_range=255 (emt_arch.py:585-586):
+        # sub_mean(x) = x - 255*mean even though inputs are 0-1
+        mean = jnp.asarray(_DF2K_MEAN, x.dtype) * 255.0
         y = x - mean
         head = Conv2d(self.dim, 3, dtype=self.dtype, name="head")(y)
         body = head
@@ -163,14 +165,14 @@ class EMT(nn.Module):
                 if li > self.n_gtls - 1:
                     sa = TokenMixer(self.dim, dtype=self.dtype,
                                     name=f"body_{bi}_sa{li}")
-                    body = body + sa(body)
+                    body = body + sa(body, train)
                 else:
                     sa = SWSA(
                         self.dim, self.num_heads, tuple(map(tuple, self.window_list)),
                         tuple(map(tuple, self.shift_list)) if (li + 1) % 2 == 0 else None,
                         dtype=self.dtype, name=f"body_{bi}_sa{li}",
                     )
-                    body = body + sa(body)
+                    body = body + sa(body, train)
                 body = body + ShiftConvMlp(
                     self.dim, self.dim * self.mlp_ratio, dtype=self.dtype,
                     name=f"body_{bi}_mlp{li}",

@@ -22,7 +22,8 @@ class ChannelLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        # reference man_arch.py:167-197: custom LN, eps 1e-6
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, param_dtype=jnp.float32)(x)
 
 
 def _dw(ch: int, k: int, dilation: int = 1, dtype=jnp.float32, name: str = "dw"):
@@ -96,9 +97,11 @@ class LKAT(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         nf = self.n_feats
-        x = nn.gelu(Conv2d(nf, 1, dtype=self.dtype, name="conv0")(x))
+        x = nn.gelu(Conv2d(nf, 1, dtype=self.dtype, name="conv0")(x), approximate=False)
         att = _dw(nf, 7, 1, self.dtype, "att_0")(x)
-        att = _dw(nf, 9, 4, self.dtype, "att_1")(att)
+        # reference LKAT (man_arch.py:337-347): k=9 with dilation 3 (the
+        # GroupGLKA LKA7 branch uses dilation 4; this tail does not)
+        att = _dw(nf, 9, 3, self.dtype, "att_1")(att)
         att = Conv2d(nf, 1, dtype=self.dtype, name="att_2")(att)
         return Conv2d(nf, 1, dtype=self.dtype, name="conv1")(x * att)
 

@@ -1386,3 +1386,313 @@ def _convert_spanf(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
     _put_conv(out, "conv_2", "weight", sd["conv_2.eval_conv.weight"])
     _put_conv(out, "conv_2", "bias", sd["conv_2.eval_conv.bias"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# ELAN (reference elan_arch.py:310-424; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("ELAN")
+def _convert_elan(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or k.startswith(("sub_mean", "add_mean")):
+            continue
+        m = re.fullmatch(r"head\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "head", m.group(1), v)
+            continue
+        m = re.fullmatch(r"tail\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "tail", m.group(1), v)
+            continue
+        m = re.fullmatch(
+            r"body\.(\d+)\.modules_lfe\.lfe_(\d+)\.conv([01])\.shift_conv"
+            r"\.conv1x1\.(weight|bias)", k,
+        )
+        if m:
+            i, j, c, kind = m.groups()
+            _put_conv(out, f"body_{i}.lfe_{j}.conv{c}.conv1x1", kind, v)
+            continue
+        if re.fullmatch(r"body\.\d+\.modules_lfe\.lfe_\d+\.conv[01]\.shift_conv\.weight", k):
+            continue  # fixed shift mask, synthesized in flax
+        m = re.fullmatch(
+            r"body\.(\d+)\.modules_gmsa\.gmsa_(\d+)\.project_inp\.0\.(weight|bias)", k
+        )
+        if m:
+            _put_conv(out, f"body_{m.group(1)}.gmsa_{m.group(2)}.project_inp", m.group(3), v)
+            continue
+        m = re.fullmatch(
+            r"body\.(\d+)\.modules_gmsa\.gmsa_(\d+)\.project_inp\.1\."
+            r"(weight|bias|running_mean|running_var)", k,
+        )
+        if m:
+            i, j, kind = m.groups()
+            fp = f"body_{i}.gmsa_{j}.bn"
+            tgt = {"weight": "scale", "bias": "bias", "running_mean": "mean",
+                   "running_var": "var"}[kind]
+            out[f"{fp}.{tgt}"] = v
+            continue
+        m = re.fullmatch(
+            r"body\.(\d+)\.modules_gmsa\.gmsa_(\d+)\.project_out\.(weight|bias)", k
+        )
+        if m:
+            _put_conv(out, f"body_{m.group(1)}.gmsa_{m.group(2)}.project_out", m.group(3), v)
+            continue
+        raise KeyError(f"unmapped ELAN key: {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EIMN (reference eimn_arch.py:199-300; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("EIMN")
+def _convert_eimn(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    conv_map = {
+        "attn.proj_value.0": "attn.proj_value", "attn.proj_query.0": "attn.proj_query",
+        "attn.region": "attn.region", "attn.spatial_1": "attn.spatial_1",
+        "attn.spatial_2": "attn.spatial_2", "attn.fusion": "attn.fusion",
+        "attn.out": "attn.out", "mlp.linear_in": "mlp.linear_in",
+        "mlp.SAL": "mlp.sal", "mlp.linear_out": "mlp.linear_out",
+        "mlp.DFFM.global_reduce": "mlp.dffm.global_reduce",
+        "mlp.DFFM.local_reduce": "mlp.dffm.local_reduce",
+        "mlp.DFFM.channel_expand": "mlp.dffm.channel_expand",
+        "mlp.DFFM.spatial_expand": "mlp.dffm.spatial_expand",
+    }
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        m = re.fullmatch(r"head\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "head", m.group(1), v)
+            continue
+        m = re.fullmatch(r"tail\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "tail", m.group(1), v)
+            continue
+        m = re.fullmatch(r"norm(\d+)\.(weight|bias)", k)
+        if m:  # per-stage nn.LayerNorm
+            _put_ln(out, f"norm{m.group(1)}", m.group(2), v)
+            continue
+        m = re.fullmatch(r"block(\d+)\.(\d+)\.(.+)", k)
+        if m:
+            st, j, rest = m.groups()
+            fp = f"block{st}_{j}"
+            m2 = re.fullmatch(r"norm([12])\.(weight|bias|running_mean|running_var)", rest)
+            if m2:
+                tgt = {"weight": "scale", "bias": "bias", "running_mean": "mean",
+                       "running_var": "var"}[m2.group(2)]
+                out[f"{fp}.norm{m2.group(1)}.{tgt}"] = v
+                continue
+            if rest in ("layer_scale_1", "layer_scale_2"):
+                out[f"{fp}.{rest}"] = v
+                continue
+            m2 = re.fullmatch(r"mlp\.DFFM\.norm\.(weight|bias)", rest)
+            if m2:
+                _put_ln(out, f"{fp}.mlp.dffm.norm", m2.group(1), v)
+                continue
+            m2 = re.fullmatch(r"(.+)\.(weight|bias)", rest)
+            if m2 and m2.group(1) in conv_map:
+                _put_conv(out, f"{fp}.{conv_map[m2.group(1)]}", m2.group(2), v)
+                continue
+        raise KeyError(f"unmapped EIMN key: {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EMT (reference emt_arch.py:567-633; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("EMT")
+def _convert_emt(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    bn_map = {"weight": "scale", "bias": "bias", "running_mean": "mean",
+              "running_var": "var"}
+    tail_idx: list[int] = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.fullmatch(r"tail\.(\d+)\.(weight|bias)", k))
+    })
+    for k, v in sd.items():
+        if k.endswith(("num_batches_tracked", ".mask")) or k.startswith(
+            ("sub_mean", "add_mean")
+        ):
+            continue
+        m = re.fullmatch(r"head\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "head", m.group(1), v)
+            continue
+        m = re.fullmatch(r"tail\.(\d+)\.(weight|bias)", k)
+        if m:
+            idx, kind = int(m.group(1)), m.group(2)
+            if module.upsampler == "pixelshuffledirect":
+                _put_conv(out, "tail", kind, v)
+            else:
+                pos = tail_idx.index(idx)
+                name = f"tail_{pos}" if pos < len(tail_idx) - 1 else "tail_last"
+                _put_conv(out, name, kind, v)
+            continue
+        m = re.fullmatch(r"body\.(\d+)\.sa_list\.(\d+)\.(.+)", k)
+        if m:
+            b, l, rest = m.groups()
+            fp = f"body_{b}_sa{l}"
+            m2 = re.fullmatch(r"attn\.0\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.attn_conv", m2.group(1), v)
+                continue
+            m2 = re.fullmatch(r"attn\.1\.(weight|bias|running_mean|running_var)", rest)
+            if m2:
+                out[f"{fp}.attn_bn.{bn_map[m2.group(1)]}"] = v
+                continue
+            m2 = re.fullmatch(r"proj\.0\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.proj", m2.group(1), v)
+                continue
+            m2 = re.fullmatch(r"norm\.(weight|bias|running_mean|running_var)", rest)
+            if m2:  # TokenMixer BatchNorm
+                out[f"{fp}.norm.{bn_map[m2.group(1)]}"] = v
+                continue
+        m = re.fullmatch(r"body\.(\d+)\.mlp_list\.(\d+)\.(fc[12])\.(weight|bias)", k)
+        if m:
+            b, l, fc, kind = m.groups()
+            _put_conv(out, f"body_{b}_mlp{l}.{fc}", kind, v)
+            continue
+        raise KeyError(f"unmapped EMT key: {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LMLT (reference lmlt_arch.py:362-489; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("LMLT")
+def _convert_lmlt(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        m = re.fullmatch(r"to_feat\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "to_feat", m.group(1), v)
+            continue
+        m = re.fullmatch(r"to_img\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "to_img", m.group(1), v)
+            continue
+        m = re.fullmatch(r"feats\.(\d+)\.(.+)", k)
+        if m:
+            i, rest = m.groups()
+            fp = f"feats_{i}"
+            m2 = re.fullmatch(r"norm([12])\.(weight|bias)", rest)
+            if m2:
+                _put_ln(out, f"{fp}.norm{m2.group(1)}", m2.group(2), v)
+                continue
+            m2 = re.fullmatch(r"lhsb\.aggr\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.lhsb.aggr", m2.group(1), v)
+                continue
+            m2 = re.fullmatch(r"lhsb\.mfr\.(\d+)\.(qkv|proj)\.(weight|bias)", rest)
+            if m2:
+                j, lin, kind = m2.groups()
+                _put_linear(out, f"{fp}.lhsb.mfr_{j}.{lin}", kind, v)
+                continue
+            m2 = re.fullmatch(r"lhsb\.mfr\.(\d+)\.get_v\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.lhsb.mfr_{m2.group(1)}.get_v", m2.group(2), v)
+                continue
+            m2 = re.fullmatch(r"ccm\.ccm\.([02])\.(weight|bias)", rest)
+            if m2:
+                idx = "ccm_0" if m2.group(1) == "0" else "ccm_1"
+                _put_conv(out, f"{fp}.{idx}", m2.group(2), v)
+                continue
+        raise KeyError(f"unmapped LMLT key: {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MAN (reference man_arch.py:398-489; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("MAN")
+def _convert_man(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+
+    def put_cln(fpre: str, kind: str, v) -> None:
+        # ChannelLayerNorm wraps an auto-named inner nn.LayerNorm
+        _put_ln(out, f"{fpre}.LayerNorm_0", kind, v)
+
+    lka_seq = {"LKA3": "lka3", "LKA5": "lka5", "LKA7": "lka7"}
+    for k, v in sd.items():
+        if k.startswith(("sub_mean", "add_mean")):
+            continue
+        m = re.fullmatch(r"head\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "head", m.group(1), v)
+            continue
+        m = re.fullmatch(r"tail\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "tail", m.group(1), v)
+            continue
+        m = re.fullmatch(r"body_t\.(weight|bias)", k)
+        if m:  # trunk conv when n_resgroups > 1
+            _put_conv(out, "body_t", m.group(1), v)
+            continue
+        m = re.fullmatch(r"body\.(\d+)\.body\.(\d+)\.(LKA|LFE)\.(.+)", k)
+        if m:
+            g, b, part, rest = m.groups()
+            fp = f"g{g}_lka_{b}" if part == "LKA" else f"g{g}_sgab_{b}"
+            if part == "LKA":
+                m2 = re.fullmatch(r"norm\.(weight|bias)", rest)
+                if m2:
+                    put_cln(f"{fp}.norm", m2.group(1), v)
+                    continue
+                if rest == "scale":
+                    out[f"{fp}.scale"] = v.reshape(-1)
+                    continue
+                m2 = re.fullmatch(r"proj_(first|last)\.0\.(weight|bias)", rest)
+                if m2:
+                    _put_conv(out, f"{fp}.proj_{m2.group(1)}", m2.group(2), v)
+                    continue
+                m2 = re.fullmatch(r"(LKA[357])\.([012])\.(weight|bias)", rest)
+                if m2:
+                    _put_conv(out, f"{fp}.{lka_seq[m2.group(1)]}_{m2.group(2)}", m2.group(3), v)
+                    continue
+                m2 = re.fullmatch(r"(X[357])\.(weight|bias)", rest)
+                if m2:
+                    _put_conv(out, f"{fp}.{m2.group(1).lower()}", m2.group(2), v)
+                    continue
+            else:  # LFE == SGAB
+                m2 = re.fullmatch(r"norm\.(weight|bias)", rest)
+                if m2:
+                    put_cln(f"{fp}.norm", m2.group(1), v)
+                    continue
+                if rest == "scale":
+                    out[f"{fp}.scale"] = v.reshape(-1)
+                    continue
+                m2 = re.fullmatch(r"(Conv1|Conv2|DWConv1)\.(weight|bias)", rest)
+                if m2:
+                    name = {"Conv1": "conv1", "Conv2": "conv2", "DWConv1": "dwconv"}[m2.group(1)]
+                    _put_conv(out, f"{fp}.{name}", m2.group(2), v)
+                    continue
+        m = re.fullmatch(r"body\.(\d+)\.body_t\.(.+)", k)
+        if m:  # LKAT group tail
+            g, rest = m.groups()
+            fp = f"g{g}_tail"
+            m2 = re.fullmatch(r"conv0\.0\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.conv0", m2.group(1), v)
+                continue
+            m2 = re.fullmatch(r"att\.([012])\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.att_{m2.group(1)}", m2.group(2), v)
+                continue
+            m2 = re.fullmatch(r"conv1\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.conv1", m2.group(1), v)
+                continue
+        raise KeyError(f"unmapped MAN key: {k}")
+    return out
