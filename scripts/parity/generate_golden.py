@@ -177,6 +177,52 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
         dict(n_resblocks=1, n_resgroups=2, n_feats=24, scale=2),
         (1, 3, 16, 16),
     ),
+    "realplksr": (
+        "realplksr_arch", "RealPLKSR",
+        dict(dim=16, n_blocks=2, upscaling_factor=2, kernel_size=7),
+        (1, 3, 16, 16),
+    ),
+    "realplksr_gn": (
+        "realplksr_arch", "RealPLKSR",
+        dict(dim=16, n_blocks=2, upscaling_factor=2, kernel_size=7,
+             layer_norm=False, use_ea=False),
+        (1, 3, 16, 16),
+    ),
+    "realplksr_dys": (
+        "realplksr_arch", "RealPLKSR",
+        dict(dim=16, n_blocks=1, upscaling_factor=2, kernel_size=7,
+             upsampler="dysample"),
+        (1, 3, 16, 16),
+    ),
+    "rtmosr": (
+        "rtmosr_arch", "RTMoSR",
+        dict(scale=2, dim=16, ffn_expansion=2, n_blocks=1,
+             unshuffle_mod=False, dccm=True, se=True),
+        (1, 3, 16, 16),
+    ),
+    "rtmosr_ul": (
+        "rtmosr_arch", "RTMoSR",
+        dict(scale=2, dim=16, ffn_expansion=1.5, n_blocks=1,
+             unshuffle_mod=True, dccm=False, se=True),
+        (1, 3, 16, 16),
+    ),
+    "lkfmixer": (
+        "lkfmixer_arch", "LKFMixer",
+        dict(in_channels=3, channels=16, out_channels=3, upscale=2,
+             num_block=1, large_kernel=7, split_factor=0.25),
+        (1, 3, 16, 16),
+    ),
+    "cgnet": (
+        "cgnet_arch", "CascadedGaze",
+        dict(scale=1, width=16, middle_blk_num=1, enc_blk_nums=[1, 1],
+             dec_blk_nums=[1, 1], GCE_CONVS_nums=[3, 2]),
+        (1, 3, 32, 32),
+    ),
+    "detailrefiner": (
+        "detailrefinernet_arch", "DetailRefinerNet",
+        dict(num_features=16, num_groups=2, num_blocks_per_group=1),
+        (1, 3, 16, 16),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

@@ -218,6 +218,15 @@ def install_stubs() -> None:
     if not torch.cuda.is_available():
         torch.nn.Module.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
         torch.Tensor.cuda = lambda self, *a, **k: self  # type: ignore[assignment]
+        # arch_util.DySample builds a pinned tensor (arch_util.py:383-385):
+        # drop pin_memory on hosts without an accelerator
+        _orig_tensor = torch.tensor
+
+        def _tensor_no_pin(*a, **k):
+            k.pop("pin_memory", None)
+            return _orig_tensor(*a, **k)
+
+        torch.tensor = _tensor_no_pin  # type: ignore[assignment]
 
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
@@ -242,4 +251,11 @@ def import_ref_arch(module_name: str):
         pkg.__package__ = "traiNNer.archs"
         sys.modules["traiNNer.archs"] = pkg
         traiNNer.archs = pkg
+        # Rebind the spandrel DySample stub to the reference's own local
+        # DySample (arch_util.py:322 — same layout/params) so archs that
+        # import it (realplksr) can run as oracles.
+        arch_util = importlib.import_module("traiNNer.archs.arch_util")
+        sys.modules[
+            "spandrel.architectures.__arch_helpers.dysample"
+        ].DySample = arch_util.DySample
     return importlib.import_module(f"traiNNer.archs.{module_name}")

@@ -74,6 +74,26 @@ FLAX_OPTS = {
             "n_feats": 24},
     "man_mg": {"type": "man", "scale": 2, "n_resblocks": 1, "n_resgroups": 2,
                "n_feats": 24},
+    "realplksr": {"type": "realplksr", "scale": 2, "dim": 16, "n_blocks": 2,
+                  "kernel_size": 7},
+    "realplksr_gn": {"type": "realplksr", "scale": 2, "dim": 16, "n_blocks": 2,
+                     "kernel_size": 7, "layer_norm": False, "use_ea": False},
+    "realplksr_dys": {"type": "realplksr", "scale": 2, "dim": 16,
+                      "n_blocks": 1, "kernel_size": 7,
+                      "upsampler": "dysample"},
+    "rtmosr": {"type": "rtmosr", "scale": 2, "dim": 16, "ffn_expansion": 2,
+               "n_blocks": 1, "unshuffle_mod": False, "dccm": True,
+               "se": True},
+    "rtmosr_ul": {"type": "rtmosr_ul", "scale": 2, "dim": 16,
+                  "ffn_expansion": 1.5, "n_blocks": 1},
+    "lkfmixer": {"type": "lkfmixer_t", "scale": 2, "channels": 16,
+                 "num_block": 1, "large_kernel": 7},
+    "cgnet": {"type": "cgnet", "scale": 1, "width": 16, "middle_blk_num": 1,
+              "enc_blk_nums": [1, 1], "dec_blk_nums": [1, 1],
+              "GCE_CONVS_nums": [3, 2]},
+    "detailrefiner": {"type": "detailrefinernet", "scale": 1,
+                      "num_features": 16, "num_groups": 2,
+                      "num_blocks_per_group": 1},
 }
 
 
@@ -161,6 +181,20 @@ def test_golden_mambaout(case):
     "case", ["elan", "elan_norm", "eimn", "emt", "lmlt", "man", "man_mg"]
 )
 def test_golden_attention_convnets(case):
+    _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", ["realplksr", "realplksr_gn", "realplksr_dys"])
+def test_golden_realplksr(case):
+    _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "case", ["rtmosr", "rtmosr_ul", "lkfmixer", "cgnet", "detailrefiner"]
+)
+def test_golden_rtmosr(case):
     _run_case(case)
 
 

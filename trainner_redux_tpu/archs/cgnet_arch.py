@@ -25,6 +25,18 @@ def _sg(x: jnp.ndarray) -> jnp.ndarray:
     return x[..., :c] * x[..., c:]
 
 
+def _torch_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') parity: src = floor(dst*in/out).
+    jax.image.resize('nearest') rounds from half-pixel centers, which picks
+    different source pixels for non-integer ratios (the GCE branches emit
+    7->16 style upsamples)."""
+    import numpy as np
+
+    hi = (np.arange(size[0]) * x.shape[1] // size[0]).astype(np.int32)
+    wi = (np.arange(size[1]) * x.shape[2] // size[1]).astype(np.int32)
+    return x[:, hi][:, :, wi]
+
+
 class DWSepConv(nn.Module):
     """Depthwise (k, stride, VALID) + pointwise 1x1."""
 
@@ -73,7 +85,7 @@ class CascadedGazeBlock(nn.Module):
                 DWSepConv(self.c, k, s, dtype=self.dtype, name=f"gce_{gi}")(g),
                 approximate=False,
             )
-            feats.append(jax.image.resize(g, (b, h, w, g.shape[-1]), "nearest"))
+            feats.append(_torch_nearest(g, (h, w)))
         y = jnp.concatenate(feats, axis=-1)
         sca = Conv2d(y.shape[-1], 1, padding=0, dtype=self.dtype, name="sca")(
             jnp.mean(y, axis=(1, 2), keepdims=True)

@@ -96,7 +96,8 @@ class RepConv(nn.Module):
         a = alpha.astype(x.dtype)
         x1 = SeqConv3x3(self.in_ch, self.out_ch, 2, name="conv1")(x, train)
         x2 = Conv2d(self.out_ch, 3, dtype=self.dtype, name="conv2")(x)
-        x3 = Conv3XC(self.in_ch, self.out_ch, dtype=self.dtype, name="conv3")(x, train)
+        # reference rtmosr Conv3XC defaults to gain=2 (rtmosr_arch.py:46)
+        x3 = Conv3XC(self.in_ch, self.out_ch, gain=2, dtype=self.dtype, name="conv3")(x, train)
         return a[0] * x1 + a[1] * x2 + a[2] * x3
 
 

@@ -1696,3 +1696,263 @@ def _convert_man(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
                 continue
         raise KeyError(f"unmapped MAN key: {k}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# RealPLKSR (reference realplksr_arch.py:125-186; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("RealPLKSR")
+def _convert_realplksr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    plain = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.fullmatch(r"feats\.(\d+)\.(weight|bias)", k))
+    })
+    assert len(plain) == 2, f"RealPLKSR: expected head+tail convs, got {plain}"
+    for k, v in sd.items():
+        if k == "to_img.init_pos":
+            continue  # fixed subpixel anchors, synthesized in flax
+        m = re.fullmatch(rf"feats\.{plain[0]}\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "head", m.group(1), v)
+            continue
+        m = re.fullmatch(rf"feats\.{plain[1]}\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "tail", m.group(1), v)
+            continue
+        m = re.fullmatch(r"feats\.(\d+)\.(.+)", k)
+        if m:
+            fp = f"blocks_{int(m.group(1)) - 1}"
+            rest = m.group(2)
+            m2 = re.fullmatch(r"layer_norm\.(weight|bias)", rest)
+            if m2:
+                _put_ln(out, f"{fp}.norm", m2.group(1), v)
+                continue
+            m2 = re.fullmatch(r"norm\.(weight|bias)", rest)
+            if m2:  # GroupNorm path (layer_norm=False)
+                _put_ln(out, f"{fp}.gnorm", m2.group(1), v)
+                continue
+            m2 = re.fullmatch(r"channel_mixer\.([02])\.(weight|bias)", rest)
+            if m2:
+                name = "mixer_0" if m2.group(1) == "0" else "mixer_1"
+                _put_conv(out, f"{fp}.{name}", m2.group(2), v)
+                continue
+            m2 = re.fullmatch(r"lk\.conv\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.lk_conv", m2.group(1), v)
+                continue
+            m2 = re.fullmatch(r"attn\.f\.0\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.ea_conv", m2.group(1), v)
+                continue
+            m2 = re.fullmatch(r"refine\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.refine", m2.group(1), v)
+                continue
+        m = re.fullmatch(r"to_img\.(offset|scope|end_conv)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"to_img.{m.group(1)}", m.group(2), v)
+            continue
+        raise KeyError(f"unmapped RealPLKSR key: {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RTMoSR (reference rtmosr_arch.py:389-492; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _convert_repconv(sd: dict, tpre: str, fpre: str, out: dict) -> None:
+    """RepConv: SeqConv3x3 raw params + plain 3x3 + Conv3XC + alpha blend.
+    The fused conv_3x3_rep / eval_conv copies are derivable and skipped."""
+    out[f"{fpre}.alpha"] = sd[f"{tpre}.alpha"]
+    out[f"{fpre}.conv1.k0"] = conv_w(sd[f"{tpre}.conv1.k0"])
+    out[f"{fpre}.conv1.b0"] = sd[f"{tpre}.conv1.b0"]
+    out[f"{fpre}.conv1.k1"] = conv_w(sd[f"{tpre}.conv1.k1"])
+    out[f"{fpre}.conv1.b1"] = sd[f"{tpre}.conv1.b1"]
+    _put_conv(out, f"{fpre}.conv2", "weight", sd[f"{tpre}.conv2.weight"])
+    _put_conv(out, f"{fpre}.conv2", "bias", sd[f"{tpre}.conv2.bias"])
+    _convert_conv3xc(sd, f"{tpre}.conv3", f"{fpre}.conv3", out)
+
+
+@register_converter("RTMoSR")
+def _convert_rtmosr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    tf = "to_feat.1" if "to_feat.1.alpha" in sd else "to_feat"
+    _convert_repconv(sd, tf, "to_feat", out)
+    _convert_repconv(sd, "to_img.0", "to_img", out)
+    n_blocks = len({
+        m.group(1) for k in sd if (m := re.match(r"body\.(\d+)\.", k))
+    })
+    for i in range(n_blocks):
+        t, f = f"body.{i}", f"body_{i}"
+        out[f"{f}.norm.scale"] = sd[f"{t}.norm.scale"].reshape(-1)
+        out[f"{f}.norm.offset"] = sd[f"{t}.norm.offset"].reshape(-1)
+        _convert_repconv(sd, f"{t}.fc1", f"{f}.fc1", out)
+        if f"{t}.fc2.alpha" in sd:  # dccm=True -> RepConv
+            _convert_repconv(sd, f"{t}.fc2", f"{f}.fc2", out)
+        else:  # plain 1x1 conv
+            _put_conv(out, f"{f}.fc2", "weight", sd[f"{t}.fc2.weight"])
+            _put_conv(out, f"{f}.fc2", "bias", sd[f"{t}.fc2.bias"])
+        _convert_repconv(sd, f"{t}.conv.0.poll.1", f"{f}.conv_pu.poll", out)
+        # OmniShift
+        o = f"{t}.conv.1"
+        fo = f"{f}.conv_shift"
+        out[f"{fo}.k1"] = conv_w(sd[f"{o}.conv1x1.weight"])
+        out[f"{fo}.b1"] = sd[f"{o}.conv1x1.bias"]
+        out[f"{fo}.k3"] = conv_w(sd[f"{o}.conv3x3.weight"])
+        out[f"{fo}.b3"] = sd[f"{o}.conv3x3.bias"]
+        out[f"{fo}.k5"] = conv_w(sd[f"{o}.conv5x5.weight"])
+        out[f"{fo}.b5"] = sd[f"{o}.conv5x5.bias"]
+        for a in ("alpha1", "alpha2", "alpha3", "alpha4"):
+            out[f"{fo}.{a}"] = sd[f"{o}.{a}"].reshape(-1)
+        # CSE (se=True)
+        if f"{t}.conv.2.squeezing.0.weight" in sd:
+            _put_conv(out, f"{f}.conv_se.fc1", "weight", sd[f"{t}.conv.2.squeezing.0.weight"])
+            _put_conv(out, f"{f}.conv_se.fc1", "bias", sd[f"{t}.conv.2.squeezing.0.bias"])
+            _put_conv(out, f"{f}.conv_se.fc2", "weight", sd[f"{t}.conv.2.squeezing.2.weight"])
+            _put_conv(out, f"{f}.conv_se.fc2", "bias", sd[f"{t}.conv.2.squeezing.2.bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LKFMixer (reference lkfmixer_arch.py:249-352; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _convert_plkb(sd: dict, t: str, f: str, out: dict) -> None:
+    _put_conv(out, f"{f}.dw_1xk", "weight", sd[f"{t}.DWConv_1xK.weight"])
+    _put_conv(out, f"{f}.dw_1xk", "bias", sd[f"{t}.DWConv_1xK.bias"])
+    _put_conv(out, f"{f}.dw_kx1", "weight", sd[f"{t}.DWConv_Kx1.weight"])
+    _put_conv(out, f"{f}.dw_kx1", "bias", sd[f"{t}.DWConv_Kx1.bias"])
+    _put_conv(out, f"{f}.conv1", "weight", sd[f"{t}.conv1.weight"])
+    _put_conv(out, f"{f}.conv1", "bias", sd[f"{t}.conv1.bias"])
+
+
+def _convert_ffb(sd: dict, t: str, f: str, out: dict) -> None:
+    _convert_plkb(sd, f"{t}.PLKB", f"{f}.plkb", out)
+    _put_conv(out, f"{f}.dw3", "weight", sd[f"{t}.DWConv3.weight"])
+    _put_conv(out, f"{f}.dw3", "bias", sd[f"{t}.DWConv3.bias"])
+    _put_conv(out, f"{f}.conv1", "weight", sd[f"{t}.conv1.weight"])
+    _put_conv(out, f"{f}.conv1", "bias", sd[f"{t}.conv1.bias"])
+
+
+@register_converter("LKFMixer")
+def _convert_lkfmixer(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for name in ("conv_first", "conv"):
+        _put_conv(out, name, "weight", sd[f"{name}.weight"])
+        _put_conv(out, name, "bias", sd[f"{name}.bias"])
+    _put_conv(out, "upsampler", "weight", sd["upsampler.upsampleOneStep.0.weight"])
+    _put_conv(out, "upsampler", "bias", sd["upsampler.upsampleOneStep.0.bias"])
+    n_blocks = len({
+        m.group(1) for k in sd if (m := re.match(r"layers\.layers\.(\d+)\.", k))
+    })
+    for i in range(n_blocks):
+        t, f = f"layers.layers.{i}", f"layers_{i}"
+        # FDB
+        for c in ("c1_d", "c2_d", "c3_d", "c4", "c5"):
+            _put_conv(out, f"{f}.fdb.{c}", "weight", sd[f"{t}.FDB.{c}.weight"])
+            _put_conv(out, f"{f}.fdb.{c}", "bias", sd[f"{t}.FDB.{c}.bias"])
+        for c in ("c1_r", "c2_r", "c3_r"):
+            _convert_ffb(sd, f"{t}.FDB.{c}", f"{f}.fdb.{c}", out)
+        # SFMB
+        _convert_plkb(sd, f"{t}.SFMB.PLKB", f"{f}.sfmb.plkb", out)
+        _put_conv(out, f"{f}.sfmb.dw3", "weight", sd[f"{t}.SFMB.DWConv_3.weight"])
+        _put_conv(out, f"{f}.sfmb.dw3", "bias", sd[f"{t}.SFMB.DWConv_3.bias"])
+        _put_conv(out, f"{f}.sfmb.conv1_1", "weight", sd[f"{t}.SFMB.conv1_1.weight"])
+        _put_conv(out, f"{f}.sfmb.conv1_1", "bias", sd[f"{t}.SFMB.conv1_1.bias"])
+        _put_conv(out, f"{f}.sfmb.conv1_2", "weight", sd[f"{t}.SFMB.conv1_2.weight"])
+        _put_conv(out, f"{f}.sfmb.conv1_2", "bias", sd[f"{t}.SFMB.conv1_2.bias"])
+        # FSB
+        _convert_plkb(sd, f"{t}.FSB.PLKB", f"{f}.fsb.plkb", out)
+        _put_conv(out, f"{f}.fsb.dw3", "weight", sd[f"{t}.FSB.DWConv_3.weight"])
+        _put_conv(out, f"{f}.fsb.dw3", "bias", sd[f"{t}.FSB.DWConv_3.bias"])
+        _put_conv(out, f"{f}.fsb.conv1_1", "weight", sd[f"{t}.FSB.conv1_1.weight"])
+        _put_conv(out, f"{f}.fsb.conv1_1", "bias", sd[f"{t}.FSB.conv1_1.bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CascadedGaze / CGNet (reference cgnet_arch.py:361-469; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _convert_cg_block(sd: dict, t: str, f: str, out: dict, gce: bool) -> None:
+    for n in ("norm1", "norm2"):
+        out[f"{f}.{n}.scale"] = sd[f"{t}.{n}.weight"]
+        out[f"{f}.{n}.bias"] = sd[f"{t}.{n}.bias"]
+    convs = ["conv1", "conv2", "conv4", "conv5"] + (
+        ["project_out"] if gce else ["conv3"]
+    )
+    for c in convs:
+        _put_conv(out, f"{f}.{c}", "weight", sd[f"{t}.{c}.weight"])
+        _put_conv(out, f"{f}.{c}", "bias", sd[f"{t}.{c}.bias"])
+    _put_conv(out, f"{f}.sca", "weight", sd[f"{t}.sca.1.weight"])
+    _put_conv(out, f"{f}.sca", "bias", sd[f"{t}.sca.1.bias"])
+    out[f"{f}.beta"] = sd[f"{t}.beta"].reshape(-1)
+    out[f"{f}.gamma"] = sd[f"{t}.gamma"].reshape(-1)
+    if gce:
+        k = 0
+        while f"{t}.GCE.depthwise_separable_convs.{k}.depthwise.weight" in sd:
+            gt = f"{t}.GCE.depthwise_separable_convs.{k}"
+            _put_conv(out, f"{f}.gce_{k}.depthwise", "weight", sd[f"{gt}.depthwise.weight"])
+            _put_conv(out, f"{f}.gce_{k}.pointwise", "weight", sd[f"{gt}.pointwise.weight"])
+            k += 1
+
+
+@register_converter("CascadedGaze")
+def _convert_cgnet(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for n in ("intro", "ending"):
+        _put_conv(out, n, "weight", sd[f"{n}.weight"])
+        _put_conv(out, n, "bias", sd[f"{n}.bias"])
+    for li in range(len(module.enc_blk_nums)):
+        nb = module.enc_blk_nums[li]
+        for bi in range(nb):
+            _convert_cg_block(
+                sd, f"encoders.{li}.{bi}", f"enc_{li}_b{bi}", out, gce=True
+            )
+        _put_conv(out, f"down_{li}", "weight", sd[f"downs.{li}.weight"])
+        _put_conv(out, f"down_{li}", "bias", sd[f"downs.{li}.bias"])
+    mi = 0
+    while f"middle_blks.{mi}.conv1.weight" in sd:
+        _convert_cg_block(sd, f"middle_blks.{mi}", f"middle_{mi}", out, gce=False)
+        mi += 1
+    for li in range(len(module.dec_blk_nums)):
+        _put_conv(out, f"up_{li}", "weight", sd[f"ups.{li}.0.weight"])
+        for bi in range(module.dec_blk_nums[li]):
+            _convert_cg_block(
+                sd, f"decoders.{li}.{bi}", f"dec_{li}_b{bi}", out, gce=False
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DetailRefinerNet (reference detailrefinernet_arch.py:45-105; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("DetailRefinerNet")
+def _convert_detailrefiner(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        m = re.fullmatch(r"(initial_conv|fusion_conv|final_conv)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, m.group(1), m.group(2), v)
+            continue
+        m = re.fullmatch(r"groups\.(\d+)\.(\d+)\.(conv[12])\.(weight|bias)", k)
+        if m:
+            g, b, c, kind = m.groups()
+            _put_conv(out, f"groups_{g}_b{b}.{c}", kind, v)
+            continue
+        m = re.fullmatch(r"groups\.(\d+)\.(\d+)\.se\.fc\.([02])\.weight", k)
+        if m:
+            g, b, idx = m.groups()
+            name = "fc1" if idx == "0" else "fc2"
+            _put_linear(out, f"groups_{g}_b{b}.se.{name}", "weight", v)
+            continue
+        raise KeyError(f"unmapped DetailRefinerNet key: {k}")
+    return out
