@@ -223,6 +223,45 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
         dict(num_features=16, num_groups=2, num_blocks_per_group=1),
         (1, 3, 16, 16),
     ),
+    "spanpp": (
+        "spanpp_arch", "SpanC",
+        dict(num_in_ch=3, feature_channels=16, scale_list=(2,),
+             eval_base_scale=2, implicit_dim=8, latent_layers=1),
+        (1, 3, 16, 16),
+    ),
+    "tspan": (
+        "temporal_span_arch", "TemporalSPAN",
+        dict(num_in_ch=3, num_out_ch=3, num_frames=3, feature_channels=16,
+             upscale=2, history_channels=8),
+        (1, 3, 3, 16, 16),
+    ),
+    "tspanv2": (
+        "temporal_span_v2_arch", "TSPANv2",
+        dict(in_nc=3, out_nc=3, clip_size=3, dim=16, num_blocks=6, upscale=2),
+        (1, 3, 3, 64, 64),
+    ),
+    "dis": (
+        "dis_arch", "DIS",
+        dict(num_features=16, num_blocks=2, scale=2),
+        (1, 3, 16, 16),
+    ),
+    "dis_dw4": (
+        "dis_arch", "DIS",
+        dict(num_features=16, num_blocks=2, scale=4, use_depthwise=True),
+        (1, 3, 16, 16),
+    ),
+    "scunet": (
+        "scunet_aaf6aa_arch", "SCUNet_aaf6aa",
+        dict(dim=64, config=[1, 1, 1, 1, 1, 1, 1], scale=1,
+             input_resolution=256),
+        (1, 3, 64, 64),
+    ),
+    "scunet_sr": (
+        "scunet_aaf6aa_arch", "SCUNet_aaf6aa",
+        dict(dim=64, config=[1, 1, 1, 1, 1, 1, 1], scale=2, residual=True,
+             input_resolution=64),
+        (1, 3, 64, 64),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

@@ -94,13 +94,29 @@ FLAX_OPTS = {
     "detailrefiner": {"type": "detailrefinernet", "scale": 1,
                       "num_features": 16, "num_groups": 2,
                       "num_blocks_per_group": 1},
+    "spanpp": {"type": "spanpp", "scale": 2, "feature_channels": 16,
+               "implicit_dim": 8, "latent_layers": 1, "max_scale": 2},
+    "tspan": {"type": "temporalspan", "scale": 2, "num_frames": 3,
+              "feature_channels": 16, "history_channels": 8},
+    "tspanv2": {"type": "temporalspanv2", "scale": 2, "num_frames": 3,
+                "feature_channels": 16, "num_blocks": 6},
+    "dis": {"type": "dis_fast", "scale": 2, "num_features": 16,
+            "num_blocks": 2},
+    "dis_dw4": {"type": "dis_fast", "scale": 4, "num_features": 16,
+                "num_blocks": 2, "use_depthwise": True},
+    "scunet": {"type": "scunet_aaf6aa", "scale": 1, "dim": 64,
+               "config": [1, 1, 1, 1, 1, 1, 1]},
+    "scunet_sr": {"type": "scunet_aaf6aa", "scale": 2, "dim": 64,
+                  "config": [1, 1, 1, 1, 1, 1, 1], "residual": True},
 }
 
 
 def _ensure_fixture(case: str) -> bool:
     """Fixtures are committed when small; big/missing ones regenerate from
     the reference when it is available."""
-    if os.path.exists(os.path.join(GOLDEN, f"{case}.npz")):
+    if os.path.exists(os.path.join(GOLDEN, f"{case}.npz")) and os.path.exists(
+        os.path.join(GOLDEN, f"{case}.safetensors")
+    ):
         return True
     if not os.path.isdir("/root/reference"):
         return False
@@ -192,9 +208,22 @@ def test_golden_realplksr(case):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "case", ["rtmosr", "rtmosr_ul", "lkfmixer", "cgnet", "detailrefiner"]
+    "case", ["rtmosr", "rtmosr_ul", "lkfmixer", "cgnet", "detailrefiner",
+             "spanpp"]
 )
 def test_golden_rtmosr(case):
+    _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", ["tspan", "tspanv2", "dis", "dis_dw4"])
+def test_golden_temporal_span(case):
+    _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", ["scunet", "scunet_sr"])
+def test_golden_scunet(case):
     _run_case(case)
 
 

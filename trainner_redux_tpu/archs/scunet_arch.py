@@ -44,6 +44,11 @@ class SCUNetAAF(nn.Module):
         h0, w0 = x.shape[1], x.shape[2]
         pad_h = (-h0) % 64
         pad_w = (-w0) % 64
+        if not train:
+            # reference adds 64px extra padding per axis in eval
+            # (scunet_aaf6aa_arch.py:633-635)
+            pad_h += 64
+            pad_w += 64
         top, left = (pad_h + 1) // 2, (pad_w + 1) // 2
         x0 = jnp.pad(
             x, ((0, 0), (top, pad_h - top), (left, pad_w - left), (0, 0)), mode="reflect"

@@ -21,15 +21,35 @@ from flax import linen as nn
 
 from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_shuffle
 from trainner_redux_tpu.archs.rtmosr_arch import RepConv
-from trainner_redux_tpu.archs.span_arch import SPAB
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
 
 
+class SPABPP(nn.Module):
+    """SpanC's SPAB: three RepConvs (not Conv3XC) with SiLU, sigmoid
+    similarity attention (reference spanpp_arch.py:219-242). The inplace
+    SiLU means the block returns silu(out1)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True):
+        c = self.channels
+        out1 = RepConv(c, c, dtype=self.dtype, name="c1_r")(x, train)
+        out1_act = nn.silu(out1)
+        out2 = RepConv(c, c, dtype=self.dtype, name="c2_r")(out1_act, train)
+        out3 = RepConv(c, c, dtype=self.dtype, name="c3_r")(nn.silu(out2), train)
+        sim_att = nn.sigmoid(out3) - 0.5
+        return (out3 + x) * sim_att, out1_act
+
+
 def _make_coord(s: int) -> np.ndarray:
-    """Cell-center coordinates in [-1, 1], shape (2, s, s)."""
+    """Cell-center coordinates in [-1, 1], shape (2, s, s); channel 0 is the
+    COLUMN (x) coordinate — the reference flips make_coord's last axis
+    before use (spanpp_arch.py:244-255, 332-340)."""
     seq = (np.arange(s) + 0.5) / s * 2 - 1
     gy, gx = np.meshgrid(seq, seq, indexing="ij")
-    return np.stack([gy, gx], 0).astype(np.float32)
+    return np.stack([gx, gy], 0).astype(np.float32)
 
 
 class IGConv(nn.Module):
@@ -96,12 +116,11 @@ class SpanC(nn.Module):
         b1 = None
         inter = None
         for i in range(1, 7):
-            out = SPAB(fc, dtype=self.dtype, name=f"block_{i}")(b, train)
-            b = out[0]
+            b, out1 = SPABPP(fc, dtype=self.dtype, name=f"block_{i}")(b, train)
             if i == 1:
                 b1 = b
             if i == 6:
-                inter = out[1]
+                inter = out1
         b = RepConv(fc, fc, dtype=self.dtype, name="conv_2")(b, train)
         cat = jnp.concatenate([feat, b, b1, inter], axis=-1)
         y = Conv2d(fc, 1, padding=0, dtype=self.dtype, name="conv_cat")(cat)

@@ -13,8 +13,31 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_shuffle
-from trainner_redux_tpu.archs.span_arch import SPAB, Conv3XC
+from trainner_redux_tpu.archs.plksr_arch import GroupNormTorch
+from trainner_redux_tpu.archs.span_arch import Conv3XC
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
+
+
+class TemporalSPAB(nn.Module):
+    """TemporalSPAN's SPAB variant: GroupNorm(8) after every Conv3XC
+    (reference temporal_span_arch.py:225-266). The inplace SiLU means the
+    returned intermediate is silu(norm1(out1))."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True):
+        c = self.channels
+        out1 = Conv3XC(c, c, gain=2, dtype=self.dtype, name="c1_r")(x, train)
+        out1 = GroupNormTorch(8, dtype=self.dtype, name="norm1")(out1)
+        out1_act = nn.silu(out1)
+        out2 = Conv3XC(c, c, gain=2, dtype=self.dtype, name="c2_r")(out1_act, train)
+        out2 = GroupNormTorch(8, dtype=self.dtype, name="norm2")(out2)
+        out3 = Conv3XC(c, c, gain=2, dtype=self.dtype, name="c3_r")(nn.silu(out2), train)
+        out3 = GroupNormTorch(8, dtype=self.dtype, name="norm3")(out3)
+        sim_att = nn.sigmoid(out3) - 0.5
+        return (out3 + x) * sim_att, out1_act, sim_att
 
 
 class TemporalSPAN(nn.Module):
@@ -64,12 +87,12 @@ class TemporalSPAN(nn.Module):
             fused, train
         )
 
-        out_b1, _, _ = SPAB(fc, dtype=self.dtype, name="block_1")(out_feature, train)
-        out_b2, _, _ = SPAB(fc, dtype=self.dtype, name="block_2")(out_b1, train)
-        out_b3, _, _ = SPAB(fc, dtype=self.dtype, name="block_3")(out_b2, train)
-        out_b4, _, _ = SPAB(fc, dtype=self.dtype, name="block_4")(out_b3, train)
-        out_b5, _, _ = SPAB(fc, dtype=self.dtype, name="block_5")(out_b4, train)
-        out_b6, out_b5_2, _ = SPAB(fc, dtype=self.dtype, name="block_6")(out_b5, train)
+        out_b1, _, _ = TemporalSPAB(fc, dtype=self.dtype, name="block_1")(out_feature, train)
+        out_b2, _, _ = TemporalSPAB(fc, dtype=self.dtype, name="block_2")(out_b1, train)
+        out_b3, _, _ = TemporalSPAB(fc, dtype=self.dtype, name="block_3")(out_b2, train)
+        out_b4, _, _ = TemporalSPAB(fc, dtype=self.dtype, name="block_4")(out_b3, train)
+        out_b5, _, _ = TemporalSPAB(fc, dtype=self.dtype, name="block_5")(out_b4, train)
+        out_b6, out_b5_2, _ = TemporalSPAB(fc, dtype=self.dtype, name="block_6")(out_b5, train)
 
         out_b6 = Conv3XC(fc, fc, gain=2, dtype=self.dtype, name="conv_2")(out_b6, train)
         cat = jnp.concatenate([out_feature, out_b6, out_b1, out_b5_2], axis=-1)

@@ -1956,3 +1956,211 @@ def _convert_detailrefiner(sd: dict[str, np.ndarray], module) -> dict[str, np.nd
             continue
         raise KeyError(f"unmapped DetailRefinerNet key: {k}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# SpanC / SPAN++ (reference spanpp_arch.py:367-433; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("SpanC")
+def _convert_spanc(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _convert_repconv(sd, "conv0", "conv0", out)
+    _convert_repconv(sd, "conv_2", "conv_2", out)
+    for i in range(1, 7):
+        for c in ("c1_r", "c2_r", "c3_r"):
+            _convert_repconv(sd, f"block_{i}.{c}", f"block_{i}.{c}", out)
+    _put_conv(out, "conv_cat", "weight", sd["conv_cat.weight"])
+    _put_conv(out, "conv_cat", "bias", sd["conv_cat.bias"])
+    # IGConv implicit upsampler
+    out["upsampler.freq"] = sd["upsampler.freq"].reshape(sd["upsampler.freq"].shape[:2])
+    out["upsampler.amplitude"] = sd["upsampler.amplitude"].reshape(
+        sd["upsampler.amplitude"].shape[:2]
+    )
+    out["upsampler.phase_w"] = sd["upsampler.phase.weight"].reshape(-1, 1).T
+    out["upsampler.phase_b"] = sd["upsampler.phase.bias"]
+    qk = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.fullmatch(r"upsampler\.query_kernel\.(\d+)\.weight", k))
+    })
+    for pos, idx in enumerate(qk):
+        name = f"qk_{pos}" if pos < len(qk) - 1 else "qk_out"
+        w = sd[f"upsampler.query_kernel.{idx}.weight"]
+        out[f"upsampler.{name}.kernel"] = linear_w(w.reshape(w.shape[:2]))
+        out[f"upsampler.{name}.bias"] = sd[f"upsampler.query_kernel.{idx}.bias"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TemporalSPAN / TSPANv2 (reference temporal_span_arch.py:269-412,
+# temporal_span_v2_arch.py:333-518; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("TemporalSPAN")
+def _convert_temporalspan(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _convert_conv3xc(sd, "center_conv", "center_conv", out)
+    hi = 0
+    while f"history_convs.{hi}.sk.weight" in sd:
+        _convert_conv3xc(sd, f"history_convs.{hi}", f"history_convs_{hi}", out)
+        hi += 1
+    _convert_conv3xc(sd, "fusion_conv.0", "fusion_conv_0", out)
+    _convert_conv3xc(sd, "fusion_conv.1", "fusion_conv_1", out)
+    _convert_conv3xc(sd, "conv_2", "conv_2", out)
+    for i in range(1, 7):
+        for c in ("c1_r", "c2_r", "c3_r"):
+            _convert_conv3xc(sd, f"block_{i}.{c}", f"block_{i}.{c}", out)
+        for n in ("norm1", "norm2", "norm3"):
+            out[f"block_{i}.{n}.scale"] = sd[f"block_{i}.{n}.weight"]
+            out[f"block_{i}.{n}.bias"] = sd[f"block_{i}.{n}.bias"]
+    _put_conv(out, "conv_cat", "weight", sd["conv_cat.weight"])
+    _put_conv(out, "conv_cat", "bias", sd["conv_cat.bias"])
+    _put_conv(out, "upsampler_conv", "weight", sd["upsampler.0.weight"])
+    _put_conv(out, "upsampler_conv", "bias", sd["upsampler.0.bias"])
+    return out
+
+
+@register_converter("TSPANv2")
+def _convert_tspanv2(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "m_head", "weight", sd["m_head.weight"])
+    if "m_res.weight" in sd:
+        _put_conv(out, "m_res", "weight", sd["m_res.weight"])
+    _put_conv(out, "m_upsample", "weight", sd["m_upsample.0.weight"])
+    _put_conv(out, "m_upsample", "bias", sd["m_upsample.0.bias"])
+    _put_conv(out, "m_tail", "weight", sd["m_tail.weight"])
+    li = 0
+    while f"m_layers.{li}.conv_cat.weight" in sd:
+        t, f = f"m_layers.{li}", f"m_layers_{li}"
+        _convert_conv3xc(sd, f"{t}.m_head", f"{f}.m_head", out)
+        _convert_conv3xc(sd, f"{t}.conv_post", f"{f}.conv_post", out)
+        bi = 0
+        while f"{t}.blocks.{bi}.c1_r.sk.weight" in sd:
+            for c in ("c1_r", "c2_r", "c3_r"):
+                _convert_conv3xc(sd, f"{t}.blocks.{bi}.{c}", f"{f}.blocks_{bi}.{c}", out)
+            bi += 1
+        _put_conv(out, f"{f}.conv_cat", "weight", sd[f"{t}.conv_cat.weight"])
+        _put_conv(out, f"{f}.conv_cat", "bias", sd[f"{t}.conv_cat.bias"])
+        _put_conv(out, f"{f}.m_tail", "weight", sd[f"{t}.m_tail.0.weight"])
+        li += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DIS (reference dis_arch.py:74-214; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("DIS")
+def _convert_dis(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        m = re.fullmatch(r"(head|fusion|tail)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, m.group(1), m.group(2), v)
+            continue
+        if k == "head_act.weight":
+            out["head_act.weight"] = v
+            continue
+        m = re.fullmatch(r"body\.(\d+)\.(conv1|conv2)\.weight", k)
+        if m:
+            _put_conv(out, f"body_{m.group(1)}.{m.group(2)}", "weight", v)
+            continue
+        m = re.fullmatch(r"body\.(\d+)\.dw_conv\.(depthwise|pointwise)\.weight", k)
+        if m:
+            _put_conv(out, f"body_{m.group(1)}.{m.group(2)}", "weight", v)
+            continue
+        m = re.fullmatch(r"body\.(\d+)\.act\.weight", k)
+        if m:
+            out[f"body_{m.group(1)}.act.weight"] = v
+            continue
+        # upsampler: single stage (conv/act) or Sequential of two stages
+        m = re.fullmatch(r"upsampler\.conv\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "up_0", m.group(1), v)
+            continue
+        if k == "upsampler.act.weight":
+            out["up_act_0.weight"] = v
+            continue
+        m = re.fullmatch(r"upsampler\.(\d+)\.conv\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"up_{m.group(1)}", m.group(2), v)
+            continue
+        m = re.fullmatch(r"upsampler\.(\d+)\.act\.weight", k)
+        if m:
+            out[f"up_act_{m.group(1)}.weight"] = v
+            continue
+        raise KeyError(f"unmapped DIS key: {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SCUNet_aaf6aa (reference scunet_aaf6aa_arch.py:388-666; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("SCUNetAAF")
+def _convert_scunet_aaf(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "m_head", "weight", sd["m_head.0.weight"])
+    _put_conv(out, "m_tail", "weight", sd["m_tail.0.weight"])
+    if "m_res.0.weight" in sd:
+        _put_conv(out, "m_res", "weight", sd["m_res.0.weight"])
+
+    def stage_blocks(tpre: str) -> list[int]:
+        return sorted({
+            int(m.group(1)) for k in sd
+            if (m := re.match(rf"{re.escape(tpre)}\.(\d+)\.conv1_1\.", k))
+        })
+
+    for si, stage in enumerate(("m_down1", "m_down2", "m_down3"), start=1):
+        blocks = stage_blocks(stage)
+        for j in blocks:
+            _put_scunet_block(out, sd, f"{stage}.{j}", f"down{si}_{j}")
+        dj = len(blocks)  # strided 2x2 conv at the end of the Sequential
+        _put_conv(out, f"down{si}_conv", "weight", sd[f"{stage}.{dj}.weight"])
+    for j in stage_blocks("m_body"):
+        _put_scunet_block(out, sd, f"m_body.{j}", f"body_{j}")
+    for si in (3, 2, 1):
+        stage = f"m_up{si}"
+        if f"{stage}.0.up.1.weight" in sd:  # Upconv (scale > 1)
+            _put_conv(out, f"up{si}_conv_c0", "weight", sd[f"{stage}.0.up.1.weight"])
+            _put_conv(out, f"up{si}_conv_c0", "bias", sd[f"{stage}.0.up.1.bias"])
+            _put_conv(out, f"up{si}_conv_c1", "weight", sd[f"{stage}.0.up.3.weight"])
+            _put_conv(out, f"up{si}_conv_c1", "bias", sd[f"{stage}.0.up.3.bias"])
+        else:  # ConvTranspose2d(k=2, s=2) == 1x1 conv + pixel shuffle
+            w = sd[f"{stage}.0.weight"]  # (I, O, 2, 2)
+            i_ch, o_ch = w.shape[0], w.shape[1]
+            out[f"up{si}_conv_deconv.conv.kernel"] = (
+                w.reshape(i_ch, o_ch * 4)[None, None]
+            )
+        for j in stage_blocks(stage):
+            _put_scunet_block(out, sd, f"{stage}.{j}", f"up{si}_{j - 1}")
+    # RRDBUpsample tail (scale > 1)
+    if "m_upsample.0.up.0.rdb1.conv1.weight" in sd:
+        bi = 0
+        while f"m_upsample.0.up.{bi}.rdb1.conv1.weight" in sd:
+            for rdb in ("rdb1", "rdb2", "rdb3"):
+                for cv in ("conv1", "conv2", "conv3", "conv4", "conv5"):
+                    t = f"m_upsample.0.up.{bi}.{rdb}.{cv}"
+                    _put_conv(out, f"m_upsample_rrdb{bi}.{rdb}.{cv}", "weight",
+                              sd[f"{t}.weight"])
+                    _put_conv(out, f"m_upsample_rrdb{bi}.{rdb}.{cv}", "bias",
+                              sd[f"{t}.bias"])
+            bi += 1
+        # conv indices: Upsample at bi + 3k, conv at bi + 3k + 1
+        conv_ids = sorted({
+            int(m.group(1)) for k in sd
+            if (m := re.fullmatch(r"m_upsample\.0\.up\.(\d+)\.weight", k))
+        })
+        s = module.scale
+        for pos, idx in enumerate(conv_ids):
+            if pos < len(conv_ids) - 1:
+                name = f"m_upsample_c{s >> pos}"
+            else:
+                name = "m_upsample_out"
+            _put_conv(out, name, "weight", sd[f"m_upsample.0.up.{idx}.weight"])
+            _put_conv(out, name, "bias", sd[f"m_upsample.0.up.{idx}.bias"])
+    return out
