@@ -262,6 +262,31 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
              input_resolution=64),
         (1, 3, 64, 64),
     ),
+    "patchgan": (
+        "patchgan_arch", "PatchGANDiscriminatorSN",
+        dict(input_nc=3, ndf=16, n_layers=3),
+        (1, 3, 32, 32),
+    ),
+    "ms_patchgan": (
+        "patchgan_arch", "MultiscalePatchGANDiscriminatorSN",
+        dict(input_nc=3, ndf=16, n_layers=2, num_d=2),
+        (1, 3, 32, 32),
+    ),
+    "dunet": (
+        "dunet_arch", "DUnet",
+        dict(num_in_ch=3, num_feat=16),
+        (1, 3, 32, 32),
+    ),
+    "hyperionsr": (
+        "hyperionsr_arch", "HyperionSR",
+        dict(scale=2, num_feat=16, num_groups=2, num_blocks=1),
+        (1, 3, 16, 16),
+    ),
+    "elysiumsr": (
+        "elysiumsr_arch", "ElysiumSR",
+        dict(scale=2, num_feat=16, num_blocks=2, drop_path_rate=0.0),
+        (1, 3, 16, 16),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

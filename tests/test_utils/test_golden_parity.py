@@ -108,6 +108,10 @@ FLAX_OPTS = {
                "config": [1, 1, 1, 1, 1, 1, 1]},
     "scunet_sr": {"type": "scunet_aaf6aa", "scale": 2, "dim": 64,
                   "config": [1, 1, 1, 1, 1, 1, 1], "residual": True},
+    "hyperionsr": {"type": "hyperionsr", "scale": 2, "num_feat": 16,
+                   "num_groups": 2, "num_blocks": 1},
+    "elysiumsr": {"type": "elysiumsr", "scale": 2, "num_feat": 16,
+                  "num_blocks": 2},
 }
 
 
@@ -179,7 +183,9 @@ def test_golden_slow(case):
     _run_case(case)
 
 
-@pytest.mark.parametrize("case", ["artcnn", "sebica", "spanf"])
+@pytest.mark.parametrize(
+    "case", ["artcnn", "sebica", "spanf", "hyperionsr", "elysiumsr"]
+)
 def test_golden_convnets(case):
     _run_case(case)
 
@@ -285,3 +291,50 @@ def test_dysample_matches_reference_torch():
     y_f = np.asarray(net_f.apply({"params": jax.tree.map(jnp.asarray, params)}, xf))
     diff = np.abs(y_t - y_f.transpose(0, 3, 1, 2)).max()
     assert diff < 2e-5, f"DySample diff {diff}"
+
+
+# discriminator fixtures carry auxiliary collections (spectral-norm u/v,
+# BatchNorm running stats) and output patch maps / scalars, so they get
+# their own runner
+DISC_OPTS = {
+    "vggdisc": {"type": "vggstylediscriminator", "num_in_ch": 3,
+                "num_feat": 16, "input_size": 128},
+    "unetdisc": {"type": "unetdiscriminatorsn", "num_in_ch": 3,
+                 "num_feat": 16},
+    "patchgan": {"type": "patchgandiscriminatorsn", "input_nc": 3, "ndf": 16,
+                 "n_layers": 3},
+    "ms_patchgan": {"type": "multiscalepatchgandiscriminatorsn",
+                    "input_nc": 3, "ndf": 16, "n_layers": 2, "num_d": 2},
+    "dunet": {"type": "dunet", "num_in_ch": 3, "num_feat": 16},
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", sorted(DISC_OPTS))
+def test_golden_discriminators(case):
+    import jax
+    import jax.numpy as jnp
+
+    from trainner_redux_tpu.archs import build_network
+    from trainner_redux_tpu.utils.torch_compat import (
+        load_torch_checkpoint_collections,
+    )
+
+    if not _ensure_fixture(case):
+        pytest.skip(f"golden fixture for {case} unavailable")
+    data = np.load(os.path.join(GOLDEN, f"{case}.npz"))
+    x_t, y_t = data["x"], data["y"]
+
+    opts = dict(DISC_OPTS[case])
+    net = build_network(opts)
+    x = jnp.asarray(x_t.transpose(0, 2, 3, 1))
+    variables = load_torch_checkpoint_collections(
+        os.path.join(GOLDEN, f"{case}.safetensors"), net
+    )
+    y = net.apply(variables, x, train=False)
+    y = np.asarray(y)
+    if y.ndim == 4:
+        y = y.transpose(0, 3, 1, 2)
+    diff = float(np.abs(y - y_t).max())
+    tol = 2e-4 * max(1.0, float(np.abs(y_t).max()))
+    assert diff < tol, f"{case}: max abs diff {diff} (tol {tol})"

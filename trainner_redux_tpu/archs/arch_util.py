@@ -211,13 +211,28 @@ class SNConv2d(nn.Module):
         def l2n(v):
             return v / (jnp.linalg.norm(v) + 1e-12)
 
-        u = jax.lax.stop_gradient(u_var.value)
-        v = l2n(jax.lax.stop_gradient(w_mat).T @ u)
-        u_new = l2n(jax.lax.stop_gradient(w_mat) @ v)
-        sigma = u_new @ w_mat @ v  # grad flows through w_mat only (torch parity)
+        # v is persisted alongside u (torch stores both `_u` and `_v`; eval
+        # computes sigma from the FROZEN pair with no power iteration)
+        v_var = self.variable(
+            "spectral",
+            "v",
+            lambda: l2n(
+                jax.lax.stop_gradient(w_mat).T @ jax.lax.stop_gradient(u_var.value)
+            ),
+        )
 
-        if train and not self.is_initializing() and self.is_mutable_collection("spectral"):
-            u_var.value = u_new
+        if train:
+            u = jax.lax.stop_gradient(u_var.value)
+            v = l2n(jax.lax.stop_gradient(w_mat).T @ u)
+            u_new = l2n(jax.lax.stop_gradient(w_mat) @ v)
+            sigma = u_new @ w_mat @ v  # grad flows through w_mat only (torch parity)
+            if not self.is_initializing() and self.is_mutable_collection("spectral"):
+                u_var.value = u_new
+                v_var.value = v
+        else:
+            u = jax.lax.stop_gradient(u_var.value)
+            v = jax.lax.stop_gradient(v_var.value)
+            sigma = u @ w_mat @ v
 
         w_sn = (kernel / sigma).astype(self.dtype)
         pad = (ks[0] - 1) // 2 if self.padding is None else self.padding

@@ -80,10 +80,7 @@ def linear_w(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
-def load_torch_checkpoint(path: str, module, params_template: Any) -> Any:
-    """Convert a torch checkpoint into a flax param tree for `module`."""
-    from trainner_redux_tpu.models.base_model import BaseModel
-
+def _convert_flat(path: str, module) -> dict[str, np.ndarray]:
     sd = load_torch_state_dict(path)
     arch_name = type(module).__name__.lower()
     conv = _CONVERTERS.get(arch_name)
@@ -92,8 +89,36 @@ def load_torch_checkpoint(path: str, module, params_template: Any) -> Any:
             f"No torch checkpoint converter registered for arch '{arch_name}'. "
             f"Available: {sorted(_CONVERTERS)}"
         )
-    flat = conv(sd, module)
+    return conv(sd, module)
+
+
+def load_torch_checkpoint(path: str, module, params_template: Any) -> Any:
+    """Convert a torch checkpoint into a flax param tree for `module`.
+    Non-param collections (spectral-norm u/v, BN batch stats) are dropped;
+    use load_torch_checkpoint_collections to keep them."""
+    from trainner_redux_tpu.models.base_model import BaseModel
+
+    flat = {
+        k: v for k, v in _convert_flat(path, module).items()
+        if not k.startswith("__")
+    }
     return BaseModel.unflatten_params(flat)
+
+
+def load_torch_checkpoint_collections(path: str, module) -> dict[str, Any]:
+    """Full conversion: returns {'params': tree, <collection>: tree, ...}.
+    Converters mark auxiliary variables with '__<collection>__.' key
+    prefixes (e.g. '__spectral__.conv1.u', '__batch_stats__.bn0.mean')."""
+    from trainner_redux_tpu.models.base_model import BaseModel
+
+    cols: dict[str, dict[str, np.ndarray]] = {"params": {}}
+    for k, v in _convert_flat(path, module).items():
+        if k.startswith("__"):
+            col, rest = k[2:].split("__.", 1)
+            cols.setdefault(col, {})[rest] = v
+        else:
+            cols["params"][k] = v
+    return {c: BaseModel.unflatten_params(f) for c, f in cols.items()}
 
 
 def export_torch_state_dict(params_flat: dict[str, np.ndarray], arch_name: str) -> dict:
@@ -2163,4 +2188,198 @@ def _convert_scunet_aaf(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarr
                 name = "m_upsample_out"
             _put_conv(out, name, "weight", sd[f"m_upsample.0.up.{idx}.weight"])
             _put_conv(out, name, "bias", sd[f"m_upsample.0.up.{idx}.bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spectral-norm conv helper + discriminators
+# (reference discriminator_arch.py, patchgan_arch.py, dunet_arch.py;
+# golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _put_snconv(out: dict, sd: dict, tpre: str, fpre: str) -> None:
+    """Map a torch spectral_norm-wrapped Conv2d to flax SNConv2d.
+
+    Handles both torch APIs: legacy utils.spectral_norm (weight_orig /
+    weight_u / weight_v) and parametrizations.spectral_norm
+    (parametrizations.weight.original / ._u / ._v). The stored v is indexed
+    over torch's (in, kh, kw) flattening; SNConv2d flattens (kh, kw, in).
+    """
+    if f"{tpre}.parametrizations.weight.original" in sd:
+        w = sd[f"{tpre}.parametrizations.weight.original"]
+        # the _SpectralNorm submodule sits at parametrizations.weight.0
+        pu = f"{tpre}.parametrizations.weight.0._u"
+        u = sd.get(pu, sd.get(f"{tpre}.parametrizations.weight._u"))
+        v = sd.get(
+            f"{tpre}.parametrizations.weight.0._v",
+            sd.get(f"{tpre}.parametrizations.weight._v"),
+        )
+    elif f"{tpre}.weight_orig" in sd:
+        w = sd[f"{tpre}.weight_orig"]
+        u = sd[f"{tpre}.weight_u"]
+        v = sd[f"{tpre}.weight_v"]
+    else:  # plain conv (spectral norm absent)
+        w, u, v = sd[f"{tpre}.weight"], None, None
+    o, i, kh, kw = w.shape
+    out[f"{fpre}.kernel"] = conv_w(w)
+    if u is not None:
+        out[f"__spectral__.{fpre}.u"] = u
+        out[f"__spectral__.{fpre}.v"] = np.ascontiguousarray(
+            v.reshape(i, kh, kw).transpose(1, 2, 0).reshape(-1)
+        )
+    if f"{tpre}.bias" in sd:
+        out[f"{fpre}.bias"] = sd[f"{tpre}.bias"]
+
+
+def _put_bn_stats(out: dict, sd: dict, tpre: str, fpre: str) -> None:
+    """torch BatchNorm2d -> flax nn.BatchNorm (params + batch_stats)."""
+    out[f"{fpre}.scale"] = sd[f"{tpre}.weight"]
+    out[f"{fpre}.bias"] = sd[f"{tpre}.bias"]
+    out[f"__batch_stats__.{fpre}.mean"] = sd[f"{tpre}.running_mean"]
+    out[f"__batch_stats__.{fpre}.var"] = sd[f"{tpre}.running_var"]
+
+
+@register_converter("VGGStyleDiscriminator")
+def _convert_vggdisc(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k in list(sd):
+        m = re.fullmatch(r"(conv\d_\d)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, m.group(1), m.group(2), sd[k])
+    stages = ["bn0_1"] + [
+        f"bn{i}_{j}" for i in range(1, 6) for j in (0, 1)
+    ]
+    for bn in stages:
+        if f"{bn}.weight" in sd:
+            _put_bn_stats(out, sd, bn, bn)
+    _put_linear(out, "linear1", "weight", sd["linear1.weight"])
+    _put_linear(out, "linear1", "bias", sd["linear1.bias"])
+    _put_linear(out, "linear2", "weight", sd["linear2.weight"])
+    _put_linear(out, "linear2", "bias", sd["linear2.bias"])
+    return out
+
+
+@register_converter("UNetDiscriminatorSN")
+def _convert_unetdisc(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "conv0", "weight", sd["conv0.weight"])
+    _put_conv(out, "conv0", "bias", sd["conv0.bias"])
+    for i in range(1, 9):
+        _put_snconv(out, sd, f"conv{i}", f"conv{i}")
+    _put_conv(out, "conv9", "weight", sd["conv9.weight"])
+    _put_conv(out, "conv9", "bias", sd["conv9.bias"])
+    return out
+
+
+@register_converter("PatchGANDiscriminatorSN")
+def _convert_patchgan(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    conv_ids = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"model\.(\d+)\.weight", k))
+    })
+    for pos, idx in enumerate(conv_ids):
+        _put_snconv(out, sd, f"model.{idx}", f"conv{pos}")
+    return out
+
+
+@register_converter("MultiscalePatchGANDiscriminatorSN")
+def _convert_ms_patchgan(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    scales = sorted({
+        int(m.group(1)) for k in sd if (m := re.match(r"layers\.(\d+)\.", k))
+    })
+    for si in scales:
+        conv_ids = sorted({
+            int(m.group(1)) for k in sd
+            if (m := re.match(rf"layers\.{si}\.(\d+)\.weight", k))
+        })
+        for pos, idx in enumerate(conv_ids):
+            _put_snconv(out, sd, f"layers.{si}.{idx}", f"layers_{si}.conv{pos}")
+    return out
+
+
+@register_converter("DUnet")
+def _convert_dunet(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "in_to_dim", "weight", sd["in_to_dim.weight"])
+    _put_conv(out, "in_to_dim", "bias", sd["in_to_dim.bias"])
+    for i in (1, 2, 3):
+        _put_snconv(out, sd, f"e_x{i}.0", f"e_x{i}.conv")
+        t, f = f"up{i}.0", f"up{i}.dysample"
+        _put_conv(out, f"{f}.offset", "weight", sd[f"{t}.offset.weight"])
+        _put_conv(out, f"{f}.offset", "bias", sd[f"{t}.offset.bias"])
+        _put_conv(out, f"{f}.scope", "weight", sd[f"{t}.scope.weight"])
+        _put_snconv(out, sd, f"up{i}.1", f"up{i}.conv")
+    _put_snconv(out, sd, "end_conv.0", "end_conv0")
+    _put_snconv(out, sd, "end_conv.2", "end_conv1")
+    _put_conv(out, "end_conv2", "weight", sd["end_conv.4.weight"])
+    _put_conv(out, "end_conv2", "bias", sd["end_conv.4.bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HyperionSR / ElysiumSR (reference hyperionsr_arch.py:173-202,
+# elysiumsr_arch.py:162-206; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("HyperionSR")
+def _convert_hyperionsr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    # registered size variants wrap the net under a `model.` prefix
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    for k, v in sd.items():
+        m = re.fullmatch(r"(conv_in|fusion|conv_out)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, m.group(1), m.group(2), v)
+            continue
+        m = re.fullmatch(r"upsampler\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "upsampler", m.group(1), v)
+            continue
+        m = re.fullmatch(r"body\.(\d+)\.blocks\.(\d+)\.(.+)", k)
+        if m:
+            g, b, rest = m.groups()
+            fp = f"body_{g}_b{b}"
+            m2 = re.fullmatch(r"(norm[12])\.(weight|bias)", rest)
+            if m2:
+                _put_ln(out, f"{fp}.{m2.group(1)}", m2.group(2), v)
+                continue
+            m2 = re.fullmatch(r"attn\.spatial_gate\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.spatial_gate", m2.group(1), v)
+                continue
+            m2 = re.fullmatch(r"ca\.conv_du\.([02])\.(weight|bias)", rest)
+            if m2:
+                name = "du_0" if m2.group(1) == "0" else "du_1"
+                _put_conv(out, f"{fp}.ca.{name}", m2.group(2), v)
+                continue
+            m2 = re.fullmatch(r"ffn\.(project_in|project_out)\.(weight|bias)", rest)
+            if m2:
+                _put_conv(out, f"{fp}.{m2.group(1)}", m2.group(2), v)
+                continue
+        raise KeyError(f"unmapped HyperionSR key: {k}")
+    return out
+
+
+@register_converter("ElysiumSR")
+def _convert_elysiumsr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    for k, v in sd.items():
+        m = re.fullmatch(r"(conv_in|conv_fuse|conv_out)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, m.group(1), m.group(2), v)
+            continue
+        m = re.fullmatch(r"upsampler\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "upsampler", m.group(1), v)
+            continue
+        m = re.fullmatch(r"blocks\.(\d+)\.(conv[12])\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"blocks_{m.group(1)}.{m.group(2)}", m.group(3), v)
+            continue
+        raise KeyError(f"unmapped ElysiumSR key: {k}")
     return out
