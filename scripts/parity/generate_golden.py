@@ -287,6 +287,21 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
         dict(scale=2, num_feat=16, num_blocks=2, drop_path_rate=0.0),
         (1, 3, 16, 16),
     ),
+    "metagan2": (
+        "metagan2_arch", "MetaGan2",
+        dict(in_ch=3, dims=(16, 16), blocks=(1, 1), downs=(4, 2)),
+        (1, 3, 32, 32),
+    ),
+    "metagan3": (
+        "metagan3_arch", "MetaGAN3",
+        dict(in_ch=3, dims=(16, 16, 16), blocks=(1, 1, 1)),
+        (1, 3, 64, 64),
+    ),
+    "munet": (
+        "munet_arch", "MUNet",
+        dict(num_in_ch=3, num_feat=16, ch_mult=(1, 2)),
+        (1, 3, 64, 64),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

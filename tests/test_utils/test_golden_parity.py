@@ -306,6 +306,12 @@ DISC_OPTS = {
     "ms_patchgan": {"type": "multiscalepatchgandiscriminatorsn",
                     "input_nc": 3, "ndf": 16, "n_layers": 2, "num_d": 2},
     "dunet": {"type": "dunet", "num_in_ch": 3, "num_feat": 16},
+    "metagan2": {"type": "metagan2", "dims": [16, 16], "blocks": [1, 1],
+                 "downs": [4, 2]},
+    "metagan3": {"type": "metagan3", "dims": [16, 16, 16],
+                 "blocks": [1, 1, 1]},
+    "munet": {"type": "munet", "num_in_ch": 3, "num_feat": 16,
+              "ch_mult": [1, 2]},
 }
 
 
@@ -333,7 +339,9 @@ def test_golden_discriminators(case):
     )
     y = net.apply(variables, x, train=False)
     y = np.asarray(y)
-    if y.ndim == 4:
+    # MetaGan2 is channels-last in torch too; only transpose when the raw
+    # shapes disagree
+    if y.ndim == 4 and y.shape != y_t.shape:
         y = y.transpose(0, 3, 1, 2)
     diff = float(np.abs(y - y_t).max())
     tol = 2e-4 * max(1.0, float(np.abs(y_t).max()))

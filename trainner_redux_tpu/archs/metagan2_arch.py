@@ -88,7 +88,9 @@ class MetaStage(nn.Module):
             x = SNConv2d(self.out_dim, 3, stride=2, padding=1, dtype=self.dtype, name="stem2")(x, train)
             x = RMSNorm(dtype=self.dtype, name="stem_norm")(x)
         else:
-            x = RMSNorm(dtype=self.dtype, name="down_norm")(x)
+            # reference DownsampleNormFirst uses nn.RMSNorm(dim) with
+            # eps=None -> torch.finfo(float32).eps
+            x = RMSNorm(epsilon=1.1920929e-07, dtype=self.dtype, name="down_norm")(x)
             x = SNConv2d(self.out_dim, 3, stride=2, padding=1, dtype=self.dtype, name="down")(x, train)
         for i in range(self.blocks):
             x = GatedCNNBlock(self.out_dim, dtype=self.dtype, name=f"block_{i}")(x, train)

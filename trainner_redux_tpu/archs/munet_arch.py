@@ -25,26 +25,82 @@ _MAGIC = np.asarray([1, 4, 6, 4, 1], np.float32) / 16.0
 _MAGIC_SHARP = np.asarray([-1, 0, 9, 16, 9, 0, -1], np.float32) / 32.0
 
 
-def _sep_conv_fixed(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """Fixed-weight separable depthwise filter (h then v), zero-pad SAME."""
+def _dw_sep(x: jnp.ndarray, kh: jnp.ndarray, kv: jnp.ndarray) -> jnp.ndarray:
+    """Separable depthwise filter (h then v), zero-pad SAME.
+    kh: (1, k, 1, C) HWIO; kv: (k, 1, 1, C)."""
     c = x.shape[-1]
-    k = len(kernel)
-    p = k // 2
-    kh = jnp.asarray(kernel, x.dtype).reshape(1, k, 1, 1) * jnp.ones((1, 1, 1, c), x.dtype)
-    kv = jnp.asarray(kernel, x.dtype).reshape(k, 1, 1, 1) * jnp.ones((1, 1, 1, c), x.dtype)
+    ph, pv = kh.shape[1] // 2, kv.shape[0] // 2
     dn = ("NHWC", "HWIO", "NHWC")
-    y = lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (p, p)], dimension_numbers=dn,
-                                 feature_group_count=c)
-    return lax.conv_general_dilated(y, kv, (1, 1), [(p, p), (0, 0)], dimension_numbers=dn,
-                                    feature_group_count=c)
+    y = lax.conv_general_dilated(x, kh.astype(x.dtype), (1, 1), [(0, 0), (ph, ph)],
+                                 dimension_numbers=dn, feature_group_count=c)
+    return lax.conv_general_dilated(y, kv.astype(x.dtype), (1, 1), [(pv, pv), (0, 0)],
+                                    dimension_numbers=dn, feature_group_count=c)
 
 
 def _magic_upsample(x: jnp.ndarray, scale: int, alpha: float = 1.0) -> jnp.ndarray:
+    """Fixed-constant MagicKernelSharp2021 upsample (used by ParagonSR's
+    generator-side upsampler, whose kernels really are frozen constants)."""
+    c = x.shape[-1]
+
+    def mk(kernel, horiz):
+        shape = (1, len(kernel), 1, c) if horiz else (len(kernel), 1, 1, c)
+        return jnp.asarray(
+            np.asarray(kernel, np.float32).reshape(
+                (1, -1, 1, 1) if horiz else (-1, 1, 1, 1)
+            )
+            * np.ones(shape, np.float32)
+        )
+
     if alpha > 0.0:
-        x = x + alpha * (_sep_conv_fixed(x, _MAGIC_SHARP) - x)
+        x = x + alpha * (
+            _dw_sep(x, mk(_MAGIC_SHARP, True), mk(_MAGIC_SHARP, False)) - x
+        )
     if scale != 1:
         x = jnp.repeat(jnp.repeat(x, scale, axis=1), scale, axis=2)
-    return _sep_conv_fixed(x, _MAGIC)
+    return _dw_sep(x, mk(_MAGIC, True), mk(_MAGIC, False))
+
+
+class MagicUpsample(nn.Module):
+    """MagicKernelSharp2021Upsample with LEARNABLE-shaped kernel params.
+
+    The kernels are nominally fixed magic constants, but the reference's
+    MUNet._init_weights pass re-initializes EVERY nn.Conv2d — including
+    these requires_grad=False convs — with kaiming noise
+    (munet_arch.py:331-338), so real checkpoints carry arbitrary per-channel
+    kernels here. We store them as params (init = the magic constants,
+    which is what the upstream author intended) and the converter loads the
+    checkpoint values.
+    """
+
+    channels: int
+    alpha: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, scale: int) -> jnp.ndarray:
+        c = self.channels
+
+        def kinit(kernel, horiz):
+            shape = (1, len(kernel), 1, c) if horiz else (len(kernel), 1, 1, c)
+
+            def f(_key):
+                base = np.asarray(kernel, np.float32)
+                return jnp.asarray(
+                    base.reshape((1, -1, 1, 1) if horiz else (-1, 1, 1, 1))
+                    * np.ones(shape, np.float32)
+                )
+
+            return f
+
+        sh_h = self.param("sharpen_h", kinit(_MAGIC_SHARP, True))
+        sh_v = self.param("sharpen_v", kinit(_MAGIC_SHARP, False))
+        rs_h = self.param("resample_h", kinit(_MAGIC, True))
+        rs_v = self.param("resample_v", kinit(_MAGIC, False))
+        if self.alpha > 0.0:
+            x = x + self.alpha * (_dw_sep(x, sh_h, sh_v) - x)
+        if scale != 1:
+            x = jnp.repeat(jnp.repeat(x, scale, axis=1), scale, axis=2)
+        return _dw_sep(x, rs_h, rs_v)
 
 
 class UpBlock(nn.Module):
@@ -55,7 +111,7 @@ class UpBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool) -> jnp.ndarray:
         scale = skip.shape[1] // x.shape[1]
-        x = _magic_upsample(x, scale)
+        x = MagicUpsample(x.shape[-1], dtype=self.dtype, name="magic_upsample")(x, scale)
         x = SNConv2d(self.skip_feat, 3, use_bias=False, dtype=self.dtype,
                      name="post_upsample_conv")(x, train)
         if x.shape[1:3] != skip.shape[1:3]:

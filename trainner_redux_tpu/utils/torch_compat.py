@@ -2383,3 +2383,147 @@ def _convert_elysiumsr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarra
             continue
         raise KeyError(f"unmapped ElysiumSR key: {k}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# MetaGan2 / MetaGAN3 (reference metagan2_arch.py:186-260,
+# metagan3_arch.py:164-193; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _put_snlinear(out: dict, sd: dict, tpre: str, fpre: str) -> None:
+    """spectral_norm(nn.Linear) -> SNConv2d 1x1 (same W_mat, v is (in,))."""
+    if f"{tpre}.parametrizations.weight.original" in sd:
+        w = sd[f"{tpre}.parametrizations.weight.original"]
+        u = sd.get(f"{tpre}.parametrizations.weight.0._u",
+                   sd.get(f"{tpre}.parametrizations.weight._u"))
+        v = sd.get(f"{tpre}.parametrizations.weight.0._v",
+                   sd.get(f"{tpre}.parametrizations.weight._v"))
+    else:
+        w = sd[f"{tpre}.weight_orig"]
+        u = sd[f"{tpre}.weight_u"]
+        v = sd[f"{tpre}.weight_v"]
+    out[f"{fpre}.kernel"] = w.T[None, None]  # (1, 1, in, out)
+    out[f"__spectral__.{fpre}.u"] = u
+    out[f"__spectral__.{fpre}.v"] = v
+    if f"{tpre}.bias" in sd:
+        out[f"{fpre}.bias"] = sd[f"{tpre}.bias"]
+
+
+def _put_inception_dw(out: dict, sd: dict, tpre: str, fpre: str,
+                      names=("dwconv_hw", "dwconv_w", "dwconv_h")) -> None:
+    for n in names:
+        _put_conv(out, f"{fpre}.{n}", "weight", sd[f"{tpre}.{n}.weight"])
+        _put_conv(out, f"{fpre}.{n}", "bias", sd[f"{tpre}.{n}.bias"])
+
+
+@register_converter("MetaGan2")
+def _convert_metagan2(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for i, down in enumerate(module.downs):
+        t, f = f"stages.{i}", f"stages_{i}"
+        if down == 4:  # Stem
+            _put_snconv(out, sd, f"{t}.down.conv1", f"{f}.stem1")
+            _put_snconv(out, sd, f"{t}.down.conv2", f"{f}.stem2")
+            out[f"{f}.stem_norm.scale"] = sd[f"{t}.down.norm2.weight"]
+        else:
+            out[f"{f}.down_norm.scale"] = sd[f"{t}.down.norm.weight"]
+            _put_snconv(out, sd, f"{t}.down.conv", f"{f}.down")
+        j = 0
+        while f"{t}.blocks.{j}.gamma" in sd:
+            b, fb = f"{t}.blocks.{j}", f"{f}.block_{j}"
+            out[f"{fb}.norm.scale"] = sd[f"{b}.norm.weight"]
+            _put_snlinear(out, sd, f"{b}.fc1", f"{fb}.fc1")
+            _put_snlinear(out, sd, f"{b}.fc2", f"{fb}.fc2")
+            # DConv wraps InceptionDWConv2d with flax names dw_hw/dw_w/dw_h
+            for tn, fn in (("dwconv_hw", "dw_hw"), ("dwconv_w", "dw_w"),
+                           ("dwconv_h", "dw_h")):
+                _put_conv(out, f"{fb}.conv.{fn}", "weight",
+                          sd[f"{b}.conv.conv.{tn}.weight"])
+                _put_conv(out, f"{fb}.conv.{fn}", "bias",
+                          sd[f"{b}.conv.conv.{tn}.bias"])
+            out[f"{fb}.gamma"] = sd[f"{b}.gamma"]
+            j += 1
+    _put_snlinear(out, sd, "head.0", "head_fc1")
+    _put_linear(out, "head_fc2", "weight", sd["head.2.weight"])
+    _put_linear(out, "head_fc2", "bias", sd["head.2.bias"])
+    return out
+
+
+@register_converter("MetaGAN3")
+def _convert_metagan3(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_snconv(out, sd, "stem.conv1", "stem_conv1")
+    _put_snconv(out, sd, "stem.conv2", "stem_conv2")
+    _put_ln(out, "stem_norm", "weight", sd["stem.norm.weight"])
+    _put_ln(out, "stem_norm", "bias", sd["stem.norm.bias"])
+    for si in range(len(module.blocks) - 1):
+        t, f = f"stages.{si}", f"stage{si}"
+        _put_snconv(out, sd, f"{t}.down", f"{f}_down")
+        bi = 0
+        while f"{t}.blocks.{bi}.fusion.weight" in sd:
+            b, fb = f"{t}.blocks.{bi}", f"{f}_b{bi}"
+            _put_ln(out, f"{fb}.local.norm", "weight", sd[f"{b}.local.norm.weight"])
+            _put_ln(out, f"{fb}.local.norm", "bias", sd[f"{b}.local.norm.bias"])
+            _put_snconv(out, sd, f"{b}.local.conv1", f"{fb}.local.conv1")
+            _put_snconv(out, sd, f"{b}.local.conv2", f"{fb}.local.conv2")
+            _put_inception_dw(out, sd, f"{b}.local.depthwise",
+                              f"{fb}.local.depthwise")
+            for c in ("conv2", "conv4", "conv8", "fuse"):
+                _put_conv(out, f"{fb}.global_context.{c}", "weight",
+                          sd[f"{b}.global_context.{c}.weight"])
+                _put_conv(out, f"{fb}.global_context.{c}", "bias",
+                          sd[f"{b}.global_context.{c}.bias"])
+            _put_conv(out, f"{fb}.shift.fuse", "weight", sd[f"{b}.shift.fuse.weight"])
+            _put_conv(out, f"{fb}.shift.fuse", "bias", sd[f"{b}.shift.fuse.bias"])
+            _put_conv(out, f"{fb}.fusion", "weight", sd[f"{b}.fusion.weight"])
+            _put_conv(out, f"{fb}.fusion", "bias", sd[f"{b}.fusion.bias"])
+            bi += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MUNet (reference munet_arch.py:253-404; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("MUNet")
+def _convert_munet(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_snconv(out, sd, "in_conv", "in_conv")
+    for i in range(len(module.ch_mult)):
+        _put_snconv(out, sd, f"down_blocks.{i}.0", f"down_{i}")
+    _put_snconv(out, sd, "mid_conv.0", "mid_0")
+    _put_snconv(out, sd, "mid_conv.2", "mid_1")
+    for n in ("query", "key", "value"):
+        _put_snconv(out, sd, f"self_attn.{n}", f"self_attn.{n}")
+    out["self_attn.gamma"] = sd["self_attn.gamma"]
+    for i in range(len(module.ch_mult)):
+        # the reference's init pass overwrote the "fixed" magic kernels with
+        # kaiming noise, so checkpoints carry real values here — load them
+        mu = f"up_blocks.{i}.magic_upsample"
+        fu = f"up_{i}.magic_upsample"
+        # torch conv_h weight (C,1,1,k) -> (1,k,1,C); conv_v (C,1,k,1) -> (k,1,1,C)
+        out[f"{fu}.sharpen_h"] = conv_w(sd[f"{mu}.sharpen.conv_h.weight"])
+        out[f"{fu}.sharpen_v"] = conv_w(sd[f"{mu}.sharpen.conv_v.weight"])
+        out[f"{fu}.resample_h"] = conv_w(sd[f"{mu}.resample_conv.conv_h.weight"])
+        out[f"{fu}.resample_v"] = conv_w(sd[f"{mu}.resample_conv.conv_v.weight"])
+        _put_snconv(out, sd, f"up_blocks.{i}.post_upsample_conv",
+                    f"up_{i}.post_upsample_conv")
+        _put_snconv(out, sd, f"up_blocks.{i}.fusion_conv.0", f"up_{i}.fusion_conv")
+    _put_snconv(out, sd, "grad_conv.0", "grad_0")
+    _put_snconv(out, sd, "grad_conv.2", "grad_1")
+    _put_snconv(out, sd, "freq_proc.0", "freq_0")
+    _put_snconv(out, sd, "freq_proc.2", "freq_1")
+    _put_snconv(out, sd, "patch_reduce.0", "patch_reduce")
+    _put_snconv(out, sd, "patch_upsample.0", "patch_upsample")
+    _put_snconv(out, sd, "attention_fusion.attention_conv.0",
+                "attention_fusion.attn_0")
+    _put_snconv(out, sd, "attention_fusion.attention_conv.2",
+                "attention_fusion.attn_1")
+    _put_snconv(out, sd, "attention_fusion.fusion_conv.0",
+                "attention_fusion.fusion_0")
+    _put_snconv(out, sd, "attention_fusion.fusion_conv.2",
+                "attention_fusion.fusion_1")
+    _put_snconv(out, sd, "out_conv", "out_conv")
+    return out
