@@ -302,6 +302,42 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
         dict(num_in_ch=3, num_feat=16, ch_mult=(1, 2)),
         (1, 3, 64, 64),
     ),
+    "gaterv3": (
+        "gaterv3_arch", "GateRV3",
+        dict(dim=16, enc_blocks=(1, 1), dec_blocks=(1, 1), num_latent=1,
+             sisr_blocks=1, scale=2),
+        (1, 3, 16, 16),
+    ),
+    "gaterv3_att": (
+        "gaterv3_arch", "GateRV3",
+        dict(dim=16, enc_blocks=(1, 1), dec_blocks=(1, 1), num_latent=1,
+             sisr_blocks=1, scale=2, attention=True, flash=True),
+        (1, 3, 16, 16),
+    ),
+    "lawfft": (
+        "lawfft_arch", "LAWFFT",
+        dict(dim=16, n_rblock=1, n_mblock=2, scale=2, window_size=8),
+        (1, 3, 16, 16),
+    ),
+    "lawfft_us": (
+        "lawfft_arch", "LAWFFT",
+        dict(dim=16, n_rblock=1, n_mblock=2, scale=2, window_size=8,
+             unshuffle_mod=True, upsampler="pixelshuffledirect"),
+        (1, 3, 16, 16),
+    ),
+    "escreal": (
+        "escreal_arch", "ESCRealM",
+        dict(dim=16, pdim=4, kernel_size=13, n_blocks=1, conv_blocks=1,
+             window_size=8, num_heads=2, scale=2, attn_type="Naive"),
+        (1, 3, 16, 16),
+    ),
+    "escreal_us": (
+        "escreal_arch", "ESCRealM",
+        dict(dim=16, pdim=4, kernel_size=13, n_blocks=1, conv_blocks=1,
+             window_size=8, num_heads=2, scale=2, attn_type="Naive",
+             unshuffle_mod=True, upsampler="pixelshuffle"),
+        (1, 3, 16, 16),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

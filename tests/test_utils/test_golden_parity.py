@@ -112,6 +112,24 @@ FLAX_OPTS = {
                    "num_groups": 2, "num_blocks": 1},
     "elysiumsr": {"type": "elysiumsr", "scale": 2, "num_feat": 16,
                   "num_blocks": 2},
+    "gaterv3": {"type": "gaterv3", "scale": 2, "dim": 16,
+                "enc_blocks": [1, 1], "dec_blocks": [1, 1], "num_latent": 1,
+                "sisr_blocks": 1},
+    "gaterv3_att": {"type": "gaterv3", "scale": 2, "dim": 16,
+                    "enc_blocks": [1, 1], "dec_blocks": [1, 1],
+                    "num_latent": 1, "sisr_blocks": 1, "attention": True},
+    "lawfft": {"type": "lawfft", "scale": 2, "dim": 16, "n_rblock": 1,
+               "n_mblock": 2, "window_size": 8},
+    "lawfft_us": {"type": "lawfft", "scale": 2, "dim": 16, "n_rblock": 1,
+                  "n_mblock": 2, "window_size": 8, "unshuffle_mod": True,
+                  "upsampler": "pixelshuffledirect"},
+    "escreal": {"type": "escrealm", "scale": 2, "dim": 16, "pdim": 4,
+                "kernel_size": 13, "n_blocks": 1, "conv_blocks": 1,
+                "window_size": 8, "num_heads": 2},
+    "escreal_us": {"type": "escrealm", "scale": 2, "dim": 16, "pdim": 4,
+                   "kernel_size": 13, "n_blocks": 1, "conv_blocks": 1,
+                   "window_size": 8, "num_heads": 2, "unshuffle_mod": True,
+                   "upsampler": "pixelshuffle"},
 }
 
 
@@ -231,6 +249,27 @@ def test_golden_temporal_span(case):
 @pytest.mark.parametrize("case", ["scunet", "scunet_sr"])
 def test_golden_scunet(case):
     _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", ["gaterv3", "gaterv3_att"])
+def test_golden_gaterv3(case):
+    _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", ["escreal", "escreal_us"])
+def test_golden_escreal(case):
+    _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", ["lawfft", "lawfft_us"])
+def test_golden_lawfft(case):
+    # FSAS layer-normalizes the FFT cross-correlation, whose magnitude at
+    # random init is ~1e-2 — LN's division by a near-zero std amplifies
+    # fp32 round-off ~30x, so these fixtures carry a looser tolerance.
+    _run_case(case, atol=3e-3)
 
 
 def test_dysample_matches_reference_torch():

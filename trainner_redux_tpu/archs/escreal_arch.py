@@ -18,9 +18,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 import numpy as np
 
-from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_unshuffle
-from trainner_redux_tpu.archs.moesr_arch import ChannelLayerNorm, UniUpsample
-from trainner_redux_tpu.archs.realcugan_arch import TorchDeconv
+from trainner_redux_tpu.archs.arch_util import (
+    Conv2d,
+    Dtype,
+    UniUpsampleV3,
+    pixel_unshuffle,
+)
+from trainner_redux_tpu.archs.moesr_arch import ChannelLayerNorm
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
 
 
@@ -79,7 +83,8 @@ class ConvolutionalAttention(nn.Module):
         wz = self.param("dwc_proj_w", nn.initializers.zeros, (p // 2, p * 9), jnp.float32)
         bz = self.param("dwc_proj_b", nn.initializers.zeros, (p * 9,), jnp.float32)
         z = jnp.einsum("bhwc,co->bhwo", z, wz.astype(z.dtype)) + bz.astype(z.dtype)
-        dyn = z.reshape(x.shape[0], 3, 3, 1, p)
+        # torch reshapes (b, p*9) -> (b*p, 1, 3, 3): channel-major p, then kh/kw
+        dyn = z.reshape(x.shape[0], p, 3, 3).transpose(0, 2, 3, 1)[:, :, :, None, :]
 
         def one(xi, ki):
             return lax.conv_general_dilated(
@@ -196,7 +201,9 @@ class ESCRealM(nn.Module):
         feat = Conv2d(self.dim, 3, dtype=self.dtype, name="proj")(xin)
 
         sk = Conv2d(self.dim * 2, 1, padding=0, dtype=self.dtype, name="skip_0")(xin)
-        sk = Conv2d(self.dim * 2, 7, feature_group_count=self.dim * 2,
+        # reference dw conv uses padding_mode="reflect" (escreal_arch.py:474-478)
+        sk = jnp.pad(sk, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        sk = Conv2d(self.dim * 2, 7, padding=0, feature_group_count=self.dim * 2,
                     dtype=self.dtype, name="skip_dw")(sk)
         sk = nn.leaky_relu(sk, 0.2)
         sk = Conv2d(self.dim, 1, padding=0, dtype=self.dtype, name="skip_1")(sk)
@@ -214,19 +221,10 @@ class ESCRealM(nn.Module):
             )(feat, plk)
         feat = Conv2d(self.dim, 3, dtype=self.dtype, name="last")(feat) + skip + sk
 
-        if self.upsampler == "transpose+conv":
-            r, stage = scale, 0
-            y = feat
-            while r > 1:
-                y = TorchDeconv(self.dim, 4, 2, 1, dtype=self.dtype,
-                                name=f"up_deconv{stage}")(y)
-                y = nn.leaky_relu(y, 0.2)
-                r //= 2
-                stage += 1
-            out = Conv2d(3, 3, dtype=self.dtype, name="up_last")(y)
-        else:
-            out = UniUpsample(self.upsampler, scale, self.dim, 3, self.mid_dim,
-                              dtype=self.dtype, name="to_img")(feat, train)
+        out = UniUpsampleV3(
+            mode=self.upsampler, scale=scale, out_dim=3, mid_dim=self.mid_dim,
+            group=4, dtype=self.dtype, name="to_img",
+        )(feat)
         return out[:, : h0 * self.scale, : w0 * self.scale, :].astype(jnp.float32)
 
 

@@ -26,8 +26,29 @@ from trainner_redux_tpu.archs.arch_util import (
 )
 from trainner_redux_tpu.archs.moesr_arch import InceptionDWConv2d, UniUpsample
 from trainner_redux_tpu.archs.mosrv2_arch import ChannelRMSNorm
-from trainner_redux_tpu.archs.span_arch import SPAB, Conv3XC
+from trainner_redux_tpu.archs.span_arch import Conv3XC
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
+
+
+class GSPAB(nn.Module):
+    """GateRV3's SPAB: bias-free Conv3XC branches (gaterv3_arch.py:129-160);
+    the inplace SiLU means the returned intermediate is silu(out1)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True):
+        c = self.channels
+        out1 = Conv3XC(c, c, gain=2, use_bias=False, dtype=self.dtype,
+                       name="c1_r")(x, train)
+        out1_act = nn.silu(out1)
+        out2 = Conv3XC(c, c, gain=2, use_bias=False, dtype=self.dtype,
+                       name="c2_r")(out1_act, train)
+        out3 = Conv3XC(c, c, gain=2, use_bias=False, dtype=self.dtype,
+                       name="c3_r")(nn.silu(out2), train)
+        sim_att = nn.sigmoid(out3) - 0.5
+        return (out3 + x) * sim_att, out1_act
 
 
 class SpatialAttention(nn.Module):
@@ -129,12 +150,11 @@ class GateRV3(nn.Module):
         feat = Conv2d(self.dim, 3, dtype=self.dtype, name="in_to_dim")(inp)
 
         # SPAN SISR branch at full resolution
-        sisr = SPAB(self.dim, dtype=self.dtype, name="span_block0")(feat, train)[0]
+        sisr = GSPAB(self.dim, dtype=self.dtype, name="span_block0")(feat, train)[0]
         sisr_short = sisr
         for i in range(self.sisr_blocks):
-            sisr = SPAB(self.dim, dtype=self.dtype, name=f"span_n_b_{i}")(sisr, train)[0]
-        end_out = SPAB(self.dim, dtype=self.dtype, name="span_end")(sisr, train)
-        sisr, sisr_out = end_out[0], end_out[1]
+            sisr = GSPAB(self.dim, dtype=self.dtype, name=f"span_n_b_{i}")(sisr, train)[0]
+        sisr, sisr_out = GSPAB(self.dim, dtype=self.dtype, name="span_end")(sisr, train)
         sisr = Conv3XC(self.dim, self.dim, dtype=self.dtype, name="sisr_end_conv")(sisr, train)
         sisr = Conv2d(self.dim, 1, padding=0, dtype=self.dtype, name="sisr_cat_conv")(
             jnp.concatenate([feat, sisr, sisr_short, sisr_out], axis=-1)

@@ -32,36 +32,42 @@ class Conv3XC(nn.Module):
     gain: int = 1
     stride: int = 1
     relu: bool = False
+    use_bias: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         g = self.gain
+        zero = jnp.zeros(())
         k1 = self.param(
             "conv0_kernel",
             nn.initializers.lecun_normal(),
             (1, 1, self.c_in, self.c_in * g),
             jnp.float32,
         )
-        b1 = self.param("conv0_bias", nn.initializers.zeros, (self.c_in * g,), jnp.float32)
+        b1 = (self.param("conv0_bias", nn.initializers.zeros, (self.c_in * g,), jnp.float32)
+              if self.use_bias else jnp.zeros((self.c_in * g,), jnp.float32))
         k2 = self.param(
             "conv1_kernel",
             nn.initializers.lecun_normal(),
             (3, 3, self.c_in * g, self.c_out * g),
             jnp.float32,
         )
-        b2 = self.param("conv1_bias", nn.initializers.zeros, (self.c_out * g,), jnp.float32)
+        b2 = (self.param("conv1_bias", nn.initializers.zeros, (self.c_out * g,), jnp.float32)
+              if self.use_bias else jnp.zeros((self.c_out * g,), jnp.float32))
         k3 = self.param(
             "conv2_kernel",
             nn.initializers.lecun_normal(),
             (1, 1, self.c_out * g, self.c_out),
             jnp.float32,
         )
-        b3 = self.param("conv2_bias", nn.initializers.zeros, (self.c_out,), jnp.float32)
+        b3 = (self.param("conv2_bias", nn.initializers.zeros, (self.c_out,), jnp.float32)
+              if self.use_bias else jnp.zeros((self.c_out,), jnp.float32))
         sk_k = self.param(
             "sk_kernel", nn.initializers.lecun_normal(), (1, 1, self.c_in, self.c_out), jnp.float32
         )
-        sk_b = self.param("sk_bias", nn.initializers.zeros, (self.c_out,), jnp.float32)
+        sk_b = (self.param("sk_bias", nn.initializers.zeros, (self.c_out,), jnp.float32)
+                if self.use_bias else jnp.zeros((self.c_out,), jnp.float32))
 
         dt = self.dtype
         dn = ("NHWC", "HWIO", "NHWC")

@@ -2527,3 +2527,225 @@ def _convert_munet(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
                 "attention_fusion.fusion_1")
     _put_snconv(out, sd, "out_conv", "out_conv")
     return out
+
+
+# ---------------------------------------------------------------------------
+# GateRV3 (reference gaterv3_arch.py:391-503; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _convert_gater_gcnn(sd: dict, t: str, f: str, out: dict) -> None:
+    """GateRV3 GatedCNNBlock: RMSNorm + 1x1 fc1/fc2 + token mixer
+    (InceptionDW or flash Attention; the Attention `temperature` only feeds
+    the non-flash path and has no flax counterpart)."""
+    out[f"{f}.norm.scale"] = sd[f"{t}.norm.scale"].reshape(-1)
+    out[f"{f}.norm.offset"] = sd[f"{t}.norm.offset"].reshape(-1)
+    for c in ("fc1", "fc2"):
+        _put_conv(out, f"{f}.{c}", "weight", sd[f"{t}.{c}.weight"])
+        _put_conv(out, f"{f}.{c}", "bias", sd[f"{t}.{c}.bias"])
+    if f"{t}.token_mix.dwconv_hw.weight" in sd:
+        _put_inception_dw(out, sd, f"{t}.token_mix", f"{f}.token_mix")
+    else:  # Attention
+        _put_conv(out, f"{f}.token_mix.qkv", "weight", sd[f"{t}.token_mix.qkv.weight"])
+        _put_conv(out, f"{f}.token_mix.qkv_dwconv", "weight",
+                  sd[f"{t}.token_mix.qkv_dwconv.weight"])
+        _put_conv(out, f"{f}.token_mix.qkv_dwconv", "bias",
+                  sd[f"{t}.token_mix.qkv_dwconv.bias"])
+        _put_conv(out, f"{f}.token_mix.project_out", "weight",
+                  sd[f"{t}.token_mix.project_out.weight"])
+
+
+def _convert_metagated(sd: dict, t: str, f: str, out: dict) -> None:
+    out[f"{f}.local_norm.scale"] = sd[f"{t}.local.0.scale"].reshape(-1)
+    out[f"{f}.local_norm.offset"] = sd[f"{t}.local.0.offset"].reshape(-1)
+    _put_conv(out, f"{f}.local_fc", "weight", sd[f"{t}.local.1.weight"])
+    _put_conv(out, f"{f}.local_fc", "bias", sd[f"{t}.local.1.bias"])
+    _put_conv(out, f"{f}.local_dw", "weight", sd[f"{t}.local.2.weight"])
+    _put_conv(out, f"{f}.local_dw", "bias", sd[f"{t}.local.2.bias"])
+    _put_conv(out, f"{f}.sca", "weight", sd[f"{t}.sca.1.weight"])
+    _put_conv(out, f"{f}.sca", "bias", sd[f"{t}.sca.1.bias"])
+    out[f"{f}.gamma0"] = sd[f"{t}.gamma0"].reshape(-1)
+    out[f"{f}.gamma1"] = sd[f"{t}.gamma1"].reshape(-1)
+    _convert_gater_gcnn(sd, f"{t}.glob", f"{f}.glob", out)
+
+
+@register_converter("GateRV3")
+def _convert_gaterv3(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "in_to_dim", "weight", sd["in_to_dim.weight"])
+    _put_conv(out, "in_to_dim", "bias", sd["in_to_dim.bias"])
+    _convert_conv3xc(sd, "span_block0.c1_r", "span_block0.c1_r", out)
+    _convert_conv3xc(sd, "span_block0.c2_r", "span_block0.c2_r", out)
+    _convert_conv3xc(sd, "span_block0.c3_r", "span_block0.c3_r", out)
+    i = 0
+    while f"span_n_b.{i}.c1_r.sk.weight" in sd:
+        for c in ("c1_r", "c2_r", "c3_r"):
+            _convert_conv3xc(sd, f"span_n_b.{i}.{c}", f"span_n_b_{i}.{c}", out)
+        i += 1
+    for c in ("c1_r", "c2_r", "c3_r"):
+        _convert_conv3xc(sd, f"span_end.{c}", f"span_end.{c}", out)
+    _convert_conv3xc(sd, "sisr_end_conv", "sisr_end_conv", out)
+    _put_conv(out, "sisr_cat_conv", "weight", sd["sisr_cat_conv.weight"])
+    _put_conv(out, "sisr_cat_conv", "bias", sd["sisr_cat_conv.bias"])
+    for li in range(len(module.enc_blocks)):
+        j = 0
+        while f"gater_encode.{li}.gated.{j}.gamma0" in sd:
+            _convert_metagated(
+                sd, f"gater_encode.{li}.gated.{j}", f"enc_{li}_g{j}", out
+            )
+            j += 1
+        _put_conv(out, f"enc_{li}_down", "weight",
+                  sd[f"gater_encode.{li}.scale.0.weight"])
+    i = 0
+    while f"latent.{i}.norm.scale" in sd:
+        _convert_gater_gcnn(sd, f"latent.{i}", f"latent_{i}", out)
+        i += 1
+    for li in range(len(module.dec_blocks)):
+        _put_conv(out, f"dec_{li}_up", "weight", sd[f"decode.{li}.scale.0.weight"])
+        _put_conv(out, f"dec_{li}_shor", "weight", sd[f"decode.{li}.shor.weight"])
+        _put_conv(out, f"dec_{li}_shor", "bias", sd[f"decode.{li}.shor.bias"])
+        j = 0
+        while f"decode.{li}.gated.{j}.gamma0" in sd:
+            _convert_metagated(sd, f"decode.{li}.gated.{j}", f"dec_{li}_g{j}", out)
+            j += 1
+    out["gamma"] = sd["gamma"].reshape(-1)
+    if module.scale != 1:
+        mode, meta_scale = uni_upsample_mode(sd, "dim_to_in", module.upsample)
+        _convert_uni_upsample(
+            sd, "dim_to_in", "dim_to_in", mode, meta_scale or module.scale, out
+        )
+    else:
+        _put_conv(out, "dim_to_in", "weight", sd["dim_to_in.weight"])
+        _put_conv(out, "dim_to_in", "bias", sd["dim_to_in.bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LAWFFT (reference lawfft_arch.py:229-301; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _put_dynamic_local(out: dict, sd: dict, t: str, f: str) -> None:
+    _put_conv(out, f"{f}.gen1", "weight", sd[f"{t}.kernel_gen.1.weight"])
+    _put_conv(out, f"{f}.gen1", "bias", sd[f"{t}.kernel_gen.1.bias"])
+    _put_conv(out, f"{f}.gen2", "weight", sd[f"{t}.kernel_gen.3.weight"])
+    _put_conv(out, f"{f}.gen2", "bias", sd[f"{t}.kernel_gen.3.bias"])
+
+
+@register_converter("LAWFFT")
+def _convert_lawfft(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if "in_to_dim.1.weight" in sd:  # unshuffle Sequential
+        _put_conv(out, "in_to_dim", "weight", sd["in_to_dim.1.weight"])
+        _put_conv(out, "in_to_dim", "bias", sd["in_to_dim.1.bias"])
+    else:
+        _put_conv(out, "in_to_dim", "weight", sd["in_to_dim.weight"])
+        _put_conv(out, "in_to_dim", "bias", sd["in_to_dim.bias"])
+    ri = 0
+    while f"body.{ri}.residual.0.token_mix.0.weight" in sd:
+        mi = 0
+        while f"body.{ri}.residual.{mi}.token_mix.0.weight" in sd:
+            t = f"body.{ri}.residual.{mi}"
+            f = f"body_{ri}_m{mi}"
+            _put_ln(out, f"{f}.tm_norm", "weight", sd[f"{t}.token_mix.0.weight"])
+            _put_ln(out, f"{f}.tm_norm", "bias", sd[f"{t}.token_mix.0.bias"])
+            sf = f"{t}.token_mix.1"
+            _put_dynamic_local(out, sd, f"{sf}.local.0", f"{f}.local_0")
+            _put_dynamic_local(out, sd, f"{sf}.local.1", f"{f}.local_1")
+            for c in ("to_hidden", "to_hidden_dw", "project_out"):
+                _put_conv(out, f"{f}.att.{c}", "weight", sd[f"{sf}.att.{c}.weight"])
+                _put_conv(out, f"{f}.att.{c}", "bias", sd[f"{sf}.att.{c}.bias"])
+            _put_ln(out, f"{f}.att.norm", "weight", sd[f"{sf}.att.norm.weight"])
+            _put_ln(out, f"{f}.att.norm", "bias", sd[f"{sf}.att.norm.bias"])
+            _put_conv(out, f"{f}.tm_last", "weight", sd[f"{sf}.last.weight"])
+            _put_conv(out, f"{f}.tm_last", "bias", sd[f"{sf}.last.bias"])
+            _put_ln(out, f"{f}.cm_norm", "weight", sd[f"{t}.channel_mix1.0.weight"])
+            _put_ln(out, f"{f}.cm_norm", "bias", sd[f"{t}.channel_mix1.0.bias"])
+            for tn, fn in (("project_in", "ffn_in"), ("dwconv", "ffn_dw"),
+                           ("project_out", "ffn_out")):
+                _put_conv(out, f"{f}.{fn}", "weight",
+                          sd[f"{t}.channel_mix1.1.{tn}.weight"])
+                _put_conv(out, f"{f}.{fn}", "bias",
+                          sd[f"{t}.channel_mix1.1.{tn}.bias"])
+            mi += 1
+        _put_dynamic_local(out, sd, f"body.{ri}.residual.{mi}", f"body_{ri}_dl")
+        ri += 1
+    inner_scale = module.scale
+    if module.unshuffle_mod and module.scale < 3:
+        inner_scale = 4
+    mode, meta_scale = uni_upsample_mode(sd, "upscale", module.upsampler)
+    _convert_uni_upsample(
+        sd, "upscale", "upscale", mode, meta_scale or inner_scale, out
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ESCRealM (reference escreal_arch.py:421-570; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _put_convffn(out: dict, sd: dict, t: str, f: str) -> None:
+    for c in ("proj", "dwc", "aggr"):
+        _put_conv(out, f"{f}.{c}", "weight", sd[f"{t}.{c}.weight"])
+        _put_conv(out, f"{f}.{c}", "bias", sd[f"{t}.{c}.bias"])
+
+
+@register_converter("ESCRealM")
+def _convert_escreal(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if "proj.1.weight" in sd:  # unshuffle Sequential
+        _put_conv(out, "proj", "weight", sd["proj.1.weight"])
+        _put_conv(out, "proj", "bias", sd["proj.1.bias"])
+        skip_idx = (1, 2, 4)
+    else:
+        _put_conv(out, "proj", "weight", sd["proj.weight"])
+        _put_conv(out, "proj", "bias", sd["proj.bias"])
+        skip_idx = (0, 1, 3)
+    for idx, name in zip(skip_idx, ("skip_0", "skip_dw", "skip_1")):
+        _put_conv(out, name, "weight", sd[f"skip.{idx}.weight"])
+        _put_conv(out, name, "bias", sd[f"skip.{idx}.bias"])
+    out["plk_filter"] = conv_w(sd["plk_filter"])
+    bi = 0
+    while f"blocks.{bi}.ln_proj.weight" in sd:
+        t, f = f"blocks.{bi}", f"blocks_{bi}"
+        for ln in ("ln_proj", "ln_attn", "ln_out"):
+            _put_ln(out, f"{f}.{ln}", "weight", sd[f"{t}.{ln}.weight"])
+            _put_ln(out, f"{f}.{ln}", "bias", sd[f"{t}.{ln}.bias"])
+        _put_convffn(out, sd, f"{t}.proj", f"{f}.proj")
+        for c in ("to_qkv", "to_out"):
+            _put_conv(out, f"{f}.attn.{c}", "weight", sd[f"{t}.attn.{c}.weight"])
+            _put_conv(out, f"{f}.attn.{c}", "bias", sd[f"{t}.attn.{c}.bias"])
+        out[f"{f}.attn.relative_position_bias"] = sd[
+            f"{t}.attn.relative_position_bias"
+        ]
+        ci = 0
+        while f"{t}.lns.{ci}.weight" in sd:
+            _put_ln(out, f"{f}.lns_{ci}", "weight", sd[f"{t}.lns.{ci}.weight"])
+            _put_ln(out, f"{f}.lns_{ci}", "bias", sd[f"{t}.lns.{ci}.bias"])
+            _put_convffn(out, sd, f"{t}.convffns.{ci}", f"{f}.convffns_{ci}")
+            pc = f"{t}.pconvs.{ci}"
+            fp = f"{f}.pconvs_{ci}"
+            _put_conv(out, f"{fp}_plk.dwc_proj_0", "weight",
+                      sd[f"{pc}.plk.dwc_proj.1.weight"])
+            _put_conv(out, f"{fp}_plk.dwc_proj_0", "bias",
+                      sd[f"{pc}.plk.dwc_proj.1.bias"])
+            w3 = sd[f"{pc}.plk.dwc_proj.3.weight"]
+            out[f"{fp}_plk.dwc_proj_w"] = w3[:, :, 0, 0].T
+            out[f"{fp}_plk.dwc_proj_b"] = sd[f"{pc}.plk.dwc_proj.3.bias"]
+            _put_conv(out, f"{fp}_aggr", "weight", sd[f"{pc}.aggr.weight"])
+            _put_conv(out, f"{fp}_aggr", "bias", sd[f"{pc}.aggr.bias"])
+            ci += 1
+        _put_conv(out, f"{f}.conv_out", "weight", sd[f"{t}.conv_out.weight"])
+        _put_conv(out, f"{f}.conv_out", "bias", sd[f"{t}.conv_out.bias"])
+        bi += 1
+    _put_conv(out, "last", "weight", sd["last.weight"])
+    _put_conv(out, "last", "bias", sd["last.bias"])
+    inner_scale = module.scale
+    if module.unshuffle_mod and module.scale < 3:
+        inner_scale = 4
+    mode, meta_scale = uni_upsample_mode(sd, "to_img", module.upsampler)
+    _convert_uni_upsample(
+        sd, "to_img", "to_img", mode, meta_scale or inner_scale, out
+    )
+    return out
