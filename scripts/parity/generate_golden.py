@@ -338,6 +338,22 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
              unshuffle_mod=True, upsampler="pixelshuffle"),
         (1, 3, 16, 16),
     ),
+    "gfisrv2": (
+        "gfisrv2_arch", "GFISRV2",
+        dict(dim=16, n_blocks=2, scale=2, upsampler="pixelshuffledirect"),
+        (1, 3, 16, 16),
+    ),
+    "gfisrv2_us": (
+        "gfisrv2_arch", "GFISRV2",
+        dict(dim=16, n_blocks=2, scale=2, upsampler="pixelshuffle",
+             pixel_unshuffle=True, mid_dim=8),
+        (1, 3, 16, 16),
+    ),
+    "paragonsr": (
+        "paragonsr_arch", "ParagonSR",
+        dict(scale=2, num_feat=16, num_groups=1, num_blocks=1),
+        (1, 3, 16, 16),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

@@ -130,6 +130,13 @@ FLAX_OPTS = {
                    "kernel_size": 13, "n_blocks": 1, "conv_blocks": 1,
                    "window_size": 8, "num_heads": 2, "unshuffle_mod": True,
                    "upsampler": "pixelshuffle"},
+    "gfisrv2": {"type": "gfisrv2", "scale": 2, "dim": 16, "n_blocks": 2,
+                "upsampler": "pixelshuffledirect"},
+    "gfisrv2_us": {"type": "gfisrv2", "scale": 2, "dim": 16, "n_blocks": 2,
+                   "upsampler": "pixelshuffle", "pixel_unshuffle": True,
+                   "mid_dim": 8},
+    "paragonsr": {"type": "paragonsr", "scale": 2, "num_feat": 16,
+                  "num_groups": 1, "num_blocks": 1},
 }
 
 
@@ -258,7 +265,9 @@ def test_golden_gaterv3(case):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("case", ["escreal", "escreal_us"])
+@pytest.mark.parametrize(
+    "case", ["escreal", "escreal_us", "gfisrv2", "gfisrv2_us", "paragonsr"]
+)
 def test_golden_escreal(case):
     _run_case(case)
 

@@ -12,8 +12,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_unshuffle
-from trainner_redux_tpu.archs.moesr_arch import UniUpsample
+from trainner_redux_tpu.archs.arch_util import (
+    Conv2d,
+    Dtype,
+    UniUpsampleV3,
+    pixel_unshuffle,
+)
 from trainner_redux_tpu.archs.mosrv2_arch import ChannelRMSNorm
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
 
@@ -32,7 +36,10 @@ class FourierUnit(nn.Module):
                        name="fpe")(y)
         y = Conv2d(2 * self.ch, 1, padding=0, dtype=self.dtype, name="fdc")(y)
         y = nn.gelu(y, approximate=False)
-        re, im = y[..., : self.ch], y[..., self.ch :]
+        # the reference re-views the fdc output as (b, c, 2, h, wf)
+        # (gfisrv2_arch.py:585): re/im are INTERLEAVED per channel here,
+        # unlike the block layout on the way in
+        re, im = y[..., 0::2], y[..., 1::2]
         out = jnp.fft.irfft2((re + 1j * im).astype(jnp.complex64), s=(h, w), axes=(1, 2))
         return ChannelRMSNorm(self.ch, name="post_norm")(out.astype(x.dtype))
 
@@ -134,8 +141,10 @@ class GFISRV2(nn.Module):
         feat = nn.silu(Conv2d(self.dim * 2, 3, dtype=self.dtype, name="refine_0")(feat))
         feat = Conv2d(self.dim, 3, dtype=self.dtype, name="refine_1")(feat)
         y = feat + y
-        out = UniUpsample(self.upsampler, scale, self.dim, self.out_nc, self.mid_dim,
-                          dtype=self.dtype, name="upscale")(y, train)
+        out = UniUpsampleV3(
+            mode=self.upsampler, scale=scale, out_dim=self.out_nc,
+            mid_dim=self.mid_dim, dtype=self.dtype, name="upscale",
+        )(y)
         return out[:, : h0 * self.scale, : w0 * self.scale, :].astype(jnp.float32)
 
 

@@ -2749,3 +2749,101 @@ def _convert_escreal(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]
         sd, "to_img", "to_img", mode, meta_scale or inner_scale, out
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# GFISRV2 (reference gfisrv2_arch.py:689-745; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("GFISRV2")
+def _convert_gfisrv2(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if "in_to_dim.1.weight" in sd:
+        _put_conv(out, "in_to_dim", "weight", sd["in_to_dim.1.weight"])
+        _put_conv(out, "in_to_dim", "bias", sd["in_to_dim.1.bias"])
+    else:
+        _put_conv(out, "in_to_dim", "weight", sd["in_to_dim.weight"])
+        _put_conv(out, "in_to_dim", "bias", sd["in_to_dim.bias"])
+    n_blocks = module.n_blocks
+    # branch key names in torch follow the rotated ROLE (pconv/dwconv_*),
+    # flax names follow the physical SLOT (branch_0..3); slot j holds role j
+    role_names = ("pconv", "dwconv_hw", "dwconv_w", "dwconv_h")
+    for bi in range(n_blocks):
+        t, f = f"gfisr_body.{bi}", f"body_{bi}"
+        out[f"{f}.norm.scale"] = sd[f"{t}.norm.scale"].reshape(-1)
+        out[f"{f}.norm.offset"] = sd[f"{t}.norm.offset"].reshape(-1)
+        out[f"{f}.gamma"] = sd[f"{t}.gamma"].reshape(-1)
+        for c in ("fc1", "fc2"):
+            _put_conv(out, f"{f}.{c}", "weight", sd[f"{t}.{c}.weight"])
+            _put_conv(out, f"{f}.{c}", "bias", sd[f"{t}.{c}.bias"])
+        for slot in range(4):
+            kind = (bi + slot) % 4
+            trole = role_names[slot]
+            fp = f"{f}.conv.branch_{slot}"
+            if kind == 0:  # FourierUnit
+                tp = f"{t}.conv.{trole}"
+                out[f"{fp}.rn.scale"] = sd[f"{tp}.rn.scale"].reshape(-1)
+                out[f"{fp}.rn.offset"] = sd[f"{tp}.rn.offset"].reshape(-1)
+                out[f"{fp}.post_norm.scale"] = sd[f"{tp}.post_norm.scale"].reshape(-1)
+                out[f"{fp}.post_norm.offset"] = sd[f"{tp}.post_norm.offset"].reshape(-1)
+                for c in ("fdc", "fpe"):
+                    _put_conv(out, f"{fp}.{c}", "weight", sd[f"{tp}.{c}.weight"])
+                    _put_conv(out, f"{fp}.{c}", "bias", sd[f"{tp}.{c}.bias"])
+            else:
+                _put_conv(out, fp, "weight", sd[f"{t}.conv.{trole}.weight"])
+                _put_conv(out, fp, "bias", sd[f"{t}.conv.{trole}.bias"])
+        # (the convs list registers each branch under its role name only)
+    # refinement tail convs at Sequential indices n_blocks, n_blocks+2
+    _put_conv(out, "refine_0", "weight", sd[f"gfisr_body.{n_blocks}.weight"])
+    _put_conv(out, "refine_0", "bias", sd[f"gfisr_body.{n_blocks}.bias"])
+    _put_conv(out, "refine_1", "weight", sd[f"gfisr_body.{n_blocks + 2}.weight"])
+    _put_conv(out, "refine_1", "bias", sd[f"gfisr_body.{n_blocks + 2}.bias"])
+    inner_scale = module.scale
+    if module.pixel_unshuffle_mod and module.scale in (1, 2):
+        inner_scale = 4
+    mode, meta_scale = uni_upsample_mode(sd, "upscale", module.upsampler)
+    _convert_uni_upsample(
+        sd, "upscale", "upscale", mode, meta_scale or inner_scale, out
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ParagonSR (reference paragonsr_arch.py:245-421; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("ParagonSR")
+def _convert_paragonsr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for n in ("conv_in", "conv_fuse", "conv_out"):
+        _put_conv(out, n, "weight", sd[f"{n}.weight"])
+        _put_conv(out, n, "bias", sd[f"{n}.bias"])
+    _put_conv(out, "upsampler", "weight", sd["upsampler.0.weight"])
+    _put_conv(out, "upsampler", "bias", sd["upsampler.0.bias"])
+    for gi in range(module.num_groups):
+        for bi in range(module.num_blocks):
+            t = f"body.{gi}.blocks.{bi}"
+            f = f"body_{gi}_b{bi}"
+            for n in ("norm1", "norm2"):
+                _put_ln(out, f"{f}.{n}", "weight", sd[f"{t}.{n}.weight"])
+                _put_ln(out, f"{f}.{n}", "bias", sd[f"{t}.{n}.bias"])
+            out[f"{f}.ls1_gamma"] = sd[f"{t}.ls1.gamma"]
+            out[f"{f}.ls2_gamma"] = sd[f"{t}.ls2.gamma"]
+            _put_inception_dw(out, sd, f"{t}.context", f"{f}.context")
+            tr, fr = f"{t}.transformer", f"{f}.transformer"
+            for c in ("project_in_g", "project_in_i", "project_out"):
+                _put_conv(out, f"{fr}.{c}", "weight", sd[f"{tr}.{c}.weight"])
+                _put_conv(out, f"{fr}.{c}", "bias", sd[f"{tr}.{c}.bias"])
+            sm = f"{tr}.spatial_mixer"
+            fm = f"{fr}.spatial_mixer"
+            out[f"{fm}.conv3x3_kernel"] = conv_w(sd[f"{sm}.conv3x3.weight"])
+            out[f"{fm}.conv3x3_bias"] = sd[f"{sm}.conv3x3.bias"]
+            out[f"{fm}.conv1x1_kernel"] = conv_w(sd[f"{sm}.conv1x1.weight"])
+            out[f"{fm}.conv1x1_bias"] = sd[f"{sm}.conv1x1.bias"]
+            out[f"{fm}.dw_conv3x3_kernel"] = conv_w(sd[f"{sm}.dw_conv3x3.weight"])
+            out[f"{fm}.dw_conv3x3_bias"] = sd[f"{sm}.dw_conv3x3.bias"]
+    # magic_upsampler kernels are genuinely fixed constants here (no init
+    # pass touches them in ParagonSR) — synthesized in flax
+    return out
