@@ -354,6 +354,18 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
         dict(scale=2, num_feat=16, num_groups=1, num_blocks=1),
         (1, 3, 16, 16),
     ),
+    "flexnet": (
+        "flexnet_arch", "FlexNet",
+        dict(dim=16, num_blocks=(1, 1), scale=2, pipeline_type="linear",
+             window_size=8),
+        (1, 3, 16, 16),
+    ),
+    "metaflexnet": (
+        "flexnet_arch", "FlexNet",
+        dict(dim=16, num_blocks=(1, 1, 1, 1), scale=2, pipeline_type="meta",
+             window_size=8, upsampler="nearest+conv"),
+        (1, 3, 64, 64),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

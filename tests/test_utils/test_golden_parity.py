@@ -137,6 +137,11 @@ FLAX_OPTS = {
                    "mid_dim": 8},
     "paragonsr": {"type": "paragonsr", "scale": 2, "num_feat": 16,
                   "num_groups": 1, "num_blocks": 1},
+    "flexnet": {"type": "flexnet", "scale": 2, "dim": 16,
+                "num_blocks": [1, 1], "window_size": 8},
+    "metaflexnet": {"type": "metaflexnet", "scale": 2, "dim": 16,
+                    "num_blocks": [1, 1, 1, 1], "window_size": 8,
+                    "upsampler": "nearest+conv"},
 }
 
 
@@ -266,7 +271,8 @@ def test_golden_gaterv3(case):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "case", ["escreal", "escreal_us", "gfisrv2", "gfisrv2_us", "paragonsr"]
+    "case", ["escreal", "escreal_us", "gfisrv2", "gfisrv2_us", "paragonsr",
+             "flexnet", "metaflexnet"]
 )
 def test_golden_escreal(case):
     _run_case(case)

@@ -24,8 +24,47 @@ from trainner_redux_tpu.archs.arch_util import (
     pixel_unshuffle,
 )
 from trainner_redux_tpu.archs.lmlt_arch import DownsampleViT
-from trainner_redux_tpu.archs.rtmosr_arch import OmniShift
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
+
+
+class OmniShiftFlex(nn.Module):
+    """FlexNet's OmniShift (flexnet_arch.py:75-155): bias-free depthwise
+    1x1/3x3/5x5 branches blended by a single 4-vector alpha (randn init);
+    one fused depthwise 5x5 at eval."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        import jax.lax as lax
+
+        d = self.dim
+        init = nn.initializers.lecun_normal()
+        k1 = self.param("k1", init, (1, 1, 1, d), jnp.float32)
+        k3 = self.param("k3", init, (3, 3, 1, d), jnp.float32)
+        k5 = self.param("k5", init, (5, 5, 1, d), jnp.float32)
+        alpha = self.param(
+            "alpha", nn.initializers.normal(1.0), (4,), jnp.float32
+        )
+
+        def dw(inp, w, pad):
+            return lax.conv_general_dilated(
+                inp, w.astype(inp.dtype), (1, 1), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=d,
+            )
+
+        a = alpha.astype(x.dtype)
+        if train:
+            return a[0] * x + a[1] * dw(x, k1, 0) + a[2] * dw(x, k3, 1) + a[3] * dw(x, k5, 2)
+        ident = jnp.zeros((5, 5, 1, d)).at[2, 2, 0].set(1.0)
+        fused = (
+            alpha[0] * ident
+            + alpha[1] * jnp.pad(k1, ((2, 2), (2, 2), (0, 0), (0, 0)))
+            + alpha[2] * jnp.pad(k3, ((1, 1), (1, 1), (0, 0), (0, 0)))
+            + alpha[3] * k5
+        )
+        return dw(x, fused, 2)
 
 
 class RMSNormScale(nn.Module):
@@ -62,7 +101,7 @@ class FlexAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = OmniShift(self.dim, name="omni_shift")(x, train)
+        x = OmniShiftFlex(self.dim, name="omni_shift")(x, train)
         return DownsampleViT(
             self.dim, self.window_size, dtype=self.dtype, name="vit"
         )(x)
@@ -77,7 +116,7 @@ class ChannelMix(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         hidden = int(self.hidden_rate * self.dim)
-        x = OmniShift(self.dim, name="omni_shift")(x, train)
+        x = OmniShiftFlex(self.dim, name="omni_shift")(x, train)
         k = nn.Dense(hidden, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                      name="key")(x)
         k = jnp.square(nn.relu(k))

@@ -2847,3 +2847,99 @@ def _convert_paragonsr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarra
     # magic_upsampler kernels are genuinely fixed constants here (no init
     # pass touches them in ParagonSR) — synthesized in flax
     return out
+
+
+# ---------------------------------------------------------------------------
+# FlexNet / MetaFlexNet (reference flexnet_arch.py:612-743; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+def _put_convblock(out: dict, sd: dict, t: str, f: str) -> None:
+    _put_conv(out, f"{f}.b0", "weight", sd[f"{t}.block.0.weight"])
+    _put_conv(out, f"{f}.b0", "bias", sd[f"{t}.block.0.bias"])
+    _put_conv(out, f"{f}.b1", "weight", sd[f"{t}.block.2.weight"])
+    _put_conv(out, f"{f}.b1", "bias", sd[f"{t}.block.2.bias"])
+    _put_conv(out, f"{f}.conv11", "weight", sd[f"{t}.conv11.weight"])
+    _put_conv(out, f"{f}.conv11", "bias", sd[f"{t}.conv11.bias"])
+
+
+def _put_omnishift_flex(out: dict, sd: dict, t: str, f: str) -> None:
+    out[f"{f}.k1"] = conv_w(sd[f"{t}.conv1x1.weight"])
+    out[f"{f}.k3"] = conv_w(sd[f"{t}.conv3x3.weight"])
+    out[f"{f}.k5"] = conv_w(sd[f"{t}.conv5x5.weight"])
+    out[f"{f}.alpha"] = sd[f"{t}.alpha"]
+    # conv5x5_reparam is derivable and skipped
+
+
+def _put_flex_tblock(out: dict, sd: dict, t: str, f: str) -> None:
+    _put_ln(out, f"{f}.rn1", "weight", sd[f"{t}.rn1.weight"])
+    _put_ln(out, f"{f}.rn2", "weight", sd[f"{t}.rn2.weight"])
+    out[f"{f}.gamma1"] = sd[f"{t}.gamma1"]
+    out[f"{f}.gamma2"] = sd[f"{t}.gamma2"]
+    _put_omnishift_flex(out, sd, f"{t}.att.omni_shift", f"{f}.att.omni_shift")
+    _put_linear(out, f"{f}.att.vit.qkv", "weight", sd[f"{t}.att.qkv.weight"])
+    _put_linear(out, f"{f}.att.vit.qkv", "bias", sd[f"{t}.att.qkv.bias"])
+    _put_linear(out, f"{f}.att.vit.proj", "weight", sd[f"{t}.att.proj.weight"])
+    _put_linear(out, f"{f}.att.vit.proj", "bias", sd[f"{t}.att.proj.bias"])
+    _put_conv(out, f"{f}.att.vit.get_v", "weight", sd[f"{t}.att.get_v.weight"])
+    _put_conv(out, f"{f}.att.vit.get_v", "bias", sd[f"{t}.att.get_v.bias"])
+    _put_omnishift_flex(out, sd, f"{t}.ffn.omni_shift", f"{f}.ffn.omni_shift")
+    for lin in ("key", "value", "receptance"):
+        _put_linear(out, f"{f}.ffn.{lin}", "weight", sd[f"{t}.ffn.{lin}.weight"])
+    if f"{t}.ffn.key_norm.weight" in sd:
+        _put_ln(out, f"{f}.ffn.key_norm", "weight", sd[f"{t}.ffn.key_norm.weight"])
+
+
+def _put_flex_stage(out: dict, sd: dict, t: str, f: str) -> None:
+    j = 0
+    while f"{t}.t_blocks.{j}.gamma1" in sd:
+        _put_flex_tblock(out, sd, f"{t}.t_blocks.{j}", f"{f}.t_{j}")
+        j += 1
+    _put_convblock(out, sd, f"{t}.conv", f"{f}.conv")
+
+
+@register_converter("FlexNet")
+def _convert_flexnet(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_convblock(out, sd, "short_cut", "short_cut")
+    _put_conv(out, "in_to_feat", "weight", sd["in_to_feat.weight"])
+    _put_conv(out, "in_to_feat", "bias", sd["in_to_feat.bias"])
+    if module.pipeline_type == "linear":
+        si = 0
+        while f"pipeline.att.{si}.conv.conv11.weight" in sd:
+            _put_flex_stage(out, sd, f"pipeline.att.{si}", f"att_{si}")
+            si += 1
+    else:
+        for tn, fn in (("enc0.0", "enc0"), ("enc1.0", "enc1"), ("enc2.0", "enc2"),
+                       ("enc3.0", "enc3"), ("dec0.0", "dec0"), ("dec1.0", "dec1"),
+                       ("dec2.0", "dec2")):
+            _put_flex_stage(out, sd, f"pipeline.{tn}", fn)
+        for i in (1, 2, 3):
+            _put_conv(out, f"down{i}", "weight",
+                      sd[f"pipeline.down{i}.body.0.weight"])
+            _put_conv(out, f"up{i}", "weight", sd[f"pipeline.up{i}.body.0.weight"])
+    if module.upsampler == "pixelshuffle":
+        _put_conv(out, "to_img", "weight", sd["to_img.0.weight"])
+        _put_conv(out, "to_img", "bias", sd["to_img.0.bias"])
+    elif module.upsampler == "dysample":
+        for c in ("offset", "end_conv"):
+            _put_conv(out, f"to_img.{c}", "weight", sd[f"to_img.{c}.weight"])
+            _put_conv(out, f"to_img.{c}", "bias", sd[f"to_img.{c}.bias"])
+        _put_conv(out, "to_img.scope", "weight", sd["to_img.scope.weight"])
+    else:  # nearest+conv
+        _put_conv(out, "to_img_pre", "weight", sd["to_img.0.weight"])
+        _put_conv(out, "to_img_pre", "bias", sd["to_img.0.bias"])
+        conv_ids = sorted({
+            int(m.group(1)) for k in sd
+            if (m := re.fullmatch(r"to_img\.1\.(\d+)\.weight", k))
+        })
+        for pos, idx in enumerate(conv_ids):
+            if pos < len(conv_ids) - 2:
+                name = f"to_img_up{pos}"
+            elif pos == len(conv_ids) - 2:
+                name = "to_img_hr"
+            else:
+                name = "to_img_last"
+            _put_conv(out, name, "weight", sd[f"to_img.1.{idx}.weight"])
+            _put_conv(out, name, "bias", sd[f"to_img.1.{idx}.bias"])
+    return out
