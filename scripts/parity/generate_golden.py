@@ -366,6 +366,27 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
              window_size=8, upsampler="nearest+conv"),
         (1, 3, 64, 64),
     ),
+    "hit_sir": (
+        "hit_sir_arch", "HiT_SIR",
+        dict(upscale=2, embed_dim=16, depths=(2,), num_heads=(2,),
+             base_win_size=(4, 4), hier_win_ratios=[0.5, 1],
+             upsampler="pixelshuffledirect"),
+        (1, 3, 16, 16),
+    ),
+    "hit_srf": (
+        "hit_srf_arch", "HiT_SRF",
+        dict(upscale=2, embed_dim=16, depths=(2,), num_heads=(2,),
+             base_win_size=(4, 4), hier_win_ratios=[0.5, 1],
+             upsampler="pixelshuffle"),
+        (1, 3, 16, 16),
+    ),
+    "hit_sng": (
+        "hit_sng_arch", "HiT_SNG",
+        dict(upscale=2, embed_dim=18, depths=(2,), num_heads=(3,),
+             base_win_size=(4, 4), hier_win_ratios=[0.5, 1],
+             upsampler="pixelshuffledirect"),
+        (1, 3, 16, 16),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

@@ -31,10 +31,28 @@ def install_stubs() -> None:
     tv.utils = tv_utils
     tv_transforms = types.ModuleType("torchvision.transforms")
     tv_transforms.Normalize = lambda *a, **k: (lambda x: x)
+    tv_functional = types.ModuleType("torchvision.transforms.functional")
+
+    def _tvf_pad(img, padding, fill=0, padding_mode="constant"):
+        # hit_sng uses TF.pad with a 4-list (left, top, right, bottom)
+        import torch.nn.functional as F
+
+        if isinstance(padding, (list, tuple)) and len(padding) == 4:
+            le, top, ri, bo = padding
+        elif isinstance(padding, (list, tuple)) and len(padding) == 2:
+            le, top = padding
+            ri, bo = padding
+        else:
+            le = top = ri = bo = padding
+        return F.pad(img, (le, ri, top, bo), mode="constant", value=fill)
+
+    tv_functional.pad = _tvf_pad
+    tv_transforms.functional = tv_functional
     tv.transforms = tv_transforms
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.utils", tv_utils)
     sys.modules.setdefault("torchvision.transforms", tv_transforms)
+    sys.modules.setdefault("torchvision.transforms.functional", tv_functional)
 
     # --- spandrel.util(.timm) ---
     spandrel = types.ModuleType("spandrel")
@@ -148,6 +166,12 @@ def install_stubs() -> None:
     timm_layers2.DropPath = DropPath
     timm_layers2.trunc_normal_ = trunc_normal_
     timm_layers2.to_2tuple = to_2tuple
+
+    def _assert(cond, msg=""):
+        assert cond, msg
+
+    timm_layers2._assert = _assert
+    timm_layers._assert = _assert
     timm_drop = types.ModuleType("timm.layers.drop")
     timm_drop.DropPath = DropPath
 

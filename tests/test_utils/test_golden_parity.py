@@ -142,6 +142,17 @@ FLAX_OPTS = {
     "metaflexnet": {"type": "metaflexnet", "scale": 2, "dim": 16,
                     "num_blocks": [1, 1, 1, 1], "window_size": 8,
                     "upsampler": "nearest+conv"},
+    "hit_sir": {"type": "hit_sir", "scale": 2, "embed_dim": 16,
+                "depths": [2], "num_heads": [2], "base_win_size": [4, 4],
+                "hier_win_ratios": [0.5, 1],
+                "upsampler": "pixelshuffledirect"},
+    "hit_srf": {"type": "hit_srf", "scale": 2, "embed_dim": 16,
+                "depths": [2], "num_heads": [2], "base_win_size": [4, 4],
+                "hier_win_ratios": [0.5, 1], "upsampler": "pixelshuffle"},
+    "hit_sng": {"type": "hit_sng", "scale": 2, "embed_dim": 18,
+                "depths": [2], "num_heads": [3], "base_win_size": [4, 4],
+                "hier_win_ratios": [0.5, 1],
+                "upsampler": "pixelshuffledirect"},
 }
 
 
@@ -275,6 +286,12 @@ def test_golden_gaterv3(case):
              "flexnet", "metaflexnet"]
 )
 def test_golden_escreal(case):
+    _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", ["hit_sir", "hit_srf", "hit_sng"])
+def test_golden_hit(case):
     _run_case(case)
 
 

@@ -2943,3 +2943,100 @@ def _convert_flexnet(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]
             _put_conv(out, name, "weight", sd[f"to_img.1.{idx}.weight"])
             _put_conv(out, name, "bias", sd[f"to_img.1.{idx}.bias"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# HiT family (reference hit_sir/sng/srf_arch.py; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("HiT")
+def _convert_hit(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "conv_first", "weight", sd["conv_first.weight"])
+    _put_conv(out, "conv_first", "bias", sd["conv_first.bias"])
+    _put_ln(out, "patch_norm", "weight", sd["patch_embed.norm.weight"])
+    _put_ln(out, "patch_norm", "bias", sd["patch_embed.norm.bias"])
+    _put_ln(out, "norm", "weight", sd["norm.weight"])
+    _put_ln(out, "norm", "bias", sd["norm.bias"])
+    _put_conv(out, "conv_after_body", "weight", sd["conv_after_body.weight"])
+    _put_conv(out, "conv_after_body", "bias", sd["conv_after_body.bias"])
+    for li in range(len(module.depths)):
+        _put_conv(out, f"layers_{li}_conv", "weight", sd[f"layers.{li}.conv.weight"])
+        _put_conv(out, f"layers_{li}_conv", "bias", sd[f"layers.{li}.conv.bias"])
+        bi = 0
+        while f"layers.{li}.residual_group.blocks.{bi}.norm1.weight" in sd:
+            t = f"layers.{li}.residual_group.blocks.{bi}"
+            f = f"layers_{li}_b{bi}"
+            for n in ("norm1", "norm2"):
+                _put_ln(out, f"{f}.{n}", "weight", sd[f"{t}.{n}.weight"])
+                _put_ln(out, f"{f}.{n}", "bias", sd[f"{t}.{n}.bias"])
+            c = f"{t}.correlation"
+            fc = f"{f}.correlation"
+            for idx, name in ((0, "conv0"), (2, "conv1"), (4, "conv2")):
+                _put_conv(out, f"{fc}.qv.{name}", "weight", sd[f"{c}.qv.conv.{idx}.weight"])
+                _put_conv(out, f"{fc}.qv.{name}", "bias", sd[f"{c}.qv.conv.{idx}.bias"])
+            _put_conv(out, f"{fc}.qv.linear", "weight", sd[f"{c}.qv.linear.weight"])
+            _put_conv(out, f"{fc}.qv.linear", "bias", sd[f"{c}.qv.linear.bias"])
+            _put_linear(out, f"{fc}.spatial_linear", "weight", sd[f"{c}.spatial_linear.weight"])
+            _put_linear(out, f"{fc}.spatial_linear", "bias", sd[f"{c}.spatial_linear.bias"])
+            _put_linear(out, f"{fc}.proj", "weight", sd[f"{c}.proj.weight"])
+            _put_linear(out, f"{fc}.proj", "bias", sd[f"{c}.proj.bias"])
+            _put_linear(out, f"{fc}.pos.pos_proj", "weight", sd[f"{c}.pos.pos_proj.weight"])
+            _put_linear(out, f"{fc}.pos.pos_proj", "bias", sd[f"{c}.pos.pos_proj.bias"])
+            for pn, (ln_name, fc_name) in (
+                ("pos1", ("pos1_ln", "pos1_fc")),
+                ("pos2", ("pos2_ln", "pos2_fc")),
+                ("pos3", ("pos3_ln", "pos3_fc")),
+            ):
+                _put_ln(out, f"{fc}.pos.{ln_name}", "weight", sd[f"{c}.pos.{pn}.0.weight"])
+                _put_ln(out, f"{fc}.pos.{ln_name}", "bias", sd[f"{c}.pos.{pn}.0.bias"])
+                _put_linear(out, f"{fc}.pos.{fc_name}", "weight", sd[f"{c}.pos.{pn}.2.weight"])
+                _put_linear(out, f"{fc}.pos.{fc_name}", "bias", sd[f"{c}.pos.{pn}.2.bias"])
+            if f"{c}.ngram_window_partition.ngram_context.merge.weight" in sd:
+                ng = f"{c}.ngram_window_partition.ngram_context"
+                fg = f"{fc}.ngram_context"
+                out[f"{fg}.unigram_kernel"] = conv_w(sd[f"{ng}.unigram_embed.weight"])
+                out[f"{fg}.unigram_bias"] = sd[f"{ng}.unigram_embed.bias"]
+                _put_conv(out, f"{fg}.merge", "weight", sd[f"{ng}.merge.weight"])
+                _put_conv(out, f"{fg}.merge", "bias", sd[f"{ng}.merge.bias"])
+                na = f"{ng}.ngram_attn"
+                fa = f"{fg}.ngram_attn"
+                _put_linear(out, f"{fa}.qkv", "weight", sd[f"{na}.qkv.weight"])
+                _put_linear(out, f"{fa}.qkv", "bias", sd[f"{na}.qkv.bias"])
+                _put_linear(out, f"{fa}.proj", "weight", sd[f"{na}.proj.weight"])
+                _put_linear(out, f"{fa}.proj", "bias", sd[f"{na}.proj.bias"])
+                out[f"{fa}.relative_position_bias_table"] = sd[
+                    f"{na}.relative_position_bias_table"
+                ]
+            _put_linear(out, f"{f}.mlp_fc1", "weight", sd[f"{t}.mlp.fc1.weight"])
+            _put_linear(out, f"{f}.mlp_fc1", "bias", sd[f"{t}.mlp.fc1.bias"])
+            _put_linear(out, f"{f}.mlp_fc2", "weight", sd[f"{t}.mlp.fc2.weight"])
+            _put_linear(out, f"{f}.mlp_fc2", "bias", sd[f"{t}.mlp.fc2.bias"])
+            if f"{t}.mlp.dwconv.depthwise_conv.0.weight" in sd:  # SRF ConvFFN
+                _put_conv(out, f"{f}.mlp_dw", "weight",
+                          sd[f"{t}.mlp.dwconv.depthwise_conv.0.weight"])
+                _put_conv(out, f"{f}.mlp_dw", "bias",
+                          sd[f"{t}.mlp.dwconv.depthwise_conv.0.bias"])
+            bi += 1
+    if module.upsampler == "pixelshuffledirect":
+        _put_conv(out, "upsample", "weight", sd["upsample.0.weight"])
+        _put_conv(out, "upsample", "bias", sd["upsample.0.bias"])
+    elif module.upsampler == "pixelshuffle":
+        _put_conv(out, "conv_before_upsample", "weight",
+                  sd["conv_before_upsample.0.weight"])
+        _put_conv(out, "conv_before_upsample", "bias",
+                  sd["conv_before_upsample.0.bias"])
+        up_ids = sorted({
+            int(m.group(1)) for k in sd
+            if (m := re.fullmatch(r"upsample\.(\d+)\.weight", k))
+        })
+        for pos, idx in enumerate(up_ids):
+            _put_conv(out, f"upsample_{pos}", "weight", sd[f"upsample.{idx}.weight"])
+            _put_conv(out, f"upsample_{pos}", "bias", sd[f"upsample.{idx}.bias"])
+        _put_conv(out, "conv_last", "weight", sd["conv_last.weight"])
+        _put_conv(out, "conv_last", "bias", sd["conv_last.bias"])
+    else:
+        _put_conv(out, "conv_last", "weight", sd["conv_last.weight"])
+        _put_conv(out, "conv_last", "bias", sd["conv_last.bias"])
+    return out
