@@ -387,6 +387,13 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
              upsampler="pixelshuffledirect"),
         (1, 3, 16, 16),
     ),
+    "srformerv2": (
+        "srformerv2_arch", "SRFormerv2",
+        dict(upscale=2, embed_dim=16, depths=[2], num_heads=[2],
+             window_size=12, squeeze_dim=8, img_size=12, mlp_ratio=2,
+             upsampler="pixelshuffledirect"),
+        (1, 3, 12, 12),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

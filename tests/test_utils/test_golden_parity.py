@@ -153,6 +153,10 @@ FLAX_OPTS = {
                 "depths": [2], "num_heads": [3], "base_win_size": [4, 4],
                 "hier_win_ratios": [0.5, 1],
                 "upsampler": "pixelshuffledirect"},
+    "srformerv2": {"type": "srformerv2", "scale": 2, "embed_dim": 16,
+                   "depths": [2], "num_heads": [2], "window_size": 12,
+                   "squeeze_dim": 8, "img_size": 12,
+                   "upsampler": "pixelshuffledirect"},
 }
 
 
@@ -290,7 +294,7 @@ def test_golden_escreal(case):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("case", ["hit_sir", "hit_srf", "hit_sng"])
+@pytest.mark.parametrize("case", ["hit_sir", "hit_srf", "hit_sng", "srformerv2"])
 def test_golden_hit(case):
     _run_case(case)
 

@@ -108,6 +108,89 @@ class PSAv2(nn.Module):
                         name="proj")(out)
 
 
+@functools.lru_cache(maxsize=64)
+def _swin_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray | None:
+    if shift == 0:
+        return None
+    img = np.zeros((h, w), np.float32)
+    cnt = 0
+    sl = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+    for a in sl:
+        for b in sl:
+            img[a, b] = cnt
+            cnt += 1
+    m = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    attn = m[:, :, None] - m[:, None, :]
+    return np.where(attn != 0, -100.0, 0.0).astype(np.float32)
+
+
+class SwinBlockV2(nn.Module):
+    """Plain Swin block (window 12, Mlp FFN) inserted at layer positions
+    0/3/6 in the reference's BasicLayer (srformerv2_arch.py:996-1015)."""
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float = 2.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        ws, shift = self.window_size, self.shift_size
+        nh = self.num_heads
+        hd = c // nh
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="norm1")(x)
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        win = y.reshape(b, h // ws, ws, w // ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        win = win.reshape(-1, ws * ws, c)
+        qkv = nn.Dense(c * 3, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(win)
+        bw_, n, _ = win.shape
+        qkv = qkv.reshape(bw_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        table = self.param(
+            "relative_position_bias_table", nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, nh), jnp.float32,
+        )
+        coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"), 0)
+        cf = coords.reshape(2, -1)
+        rel = (cf[:, :, None] - cf[:, None, :]).transpose(1, 2, 0)
+        rel[:, :, 0] += ws - 1
+        rel[:, :, 1] += ws - 1
+        rel[:, :, 0] *= 2 * ws - 1
+        idx = rel.sum(-1)
+        bias = table[jnp.asarray(idx.reshape(-1))].reshape(n, n, nh).transpose(2, 0, 1)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd**-0.5), k,
+                          preferred_element_type=jnp.float32)
+        attn = attn + bias[None].astype(attn.dtype)
+        mask = _swin_mask(h, w, ws, shift)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bw_ // nw, nw, nh, n, n) + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(bw_, nh, n, n)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(bw_, n, c)
+        out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+        y = out.reshape(b, h // ws, w // ws, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(b, h, w, c)
+        if shift:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        x = shortcut + y
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        z = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(z)
+        z = nn.gelu(z, approximate=False)
+        z = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(z)
+        return x + z
+
+
 class PSABlockV2(nn.Module):
     dim: int
     num_heads: int
@@ -121,7 +204,9 @@ class PSABlockV2(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         ws = self.window_size
-        shift = self.shift_size if min(h, w) > ws else 0
+        # the reference does NOT clamp the shift for small inputs (the usual
+        # Swin clamp is commented out in PSA_Block, srformerv2_arch.py:703-707)
+        shift = self.shift_size
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm1")(x)
@@ -162,6 +247,7 @@ class SRFormerV2(nn.Module):
     img_range: float = 1.0
     upsampler: str = "pixelshuffle"
     num_feat: int = 64
+    img_size: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -175,15 +261,31 @@ class SRFormerV2(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_first")(x)
-        body = feat
+        # patch_norm=True: LayerNorm after patch embedding
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="patch_norm")(feat)
+        # the reference's BasicLayer interleaves plain window-12 Swin blocks
+        # at positions 0/3/6 among the PSA blocks (srformerv2_arch.py:996-1015);
+        # the Swin window clamps to the configured img_size when smaller
+        swin_ws = 12 if self.img_size > 12 else self.img_size
         for li, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             group_in = body
-            for bi in range(depth):
-                body = PSABlockV2(
-                    self.embed_dim, heads, self.window_size,
-                    0 if bi % 2 == 0 else self.window_size // 2, self.squeeze_dim,
-                    self.mlp_ratio, dtype=self.dtype, name=f"layers_{li}_b{bi}",
-                )(body)
+            kinds: list = [("psa", 0 if i % 2 == 0 else self.window_size // 2)
+                           for i in range(depth)]
+            for pos in (0, 3, 6):
+                kinds.insert(min(pos, len(kinds)), ("swin", 0))
+            for bi, (kind, shift) in enumerate(kinds):
+                if kind == "psa":
+                    body = PSABlockV2(
+                        self.embed_dim, heads, self.window_size, shift,
+                        self.squeeze_dim, self.mlp_ratio, dtype=self.dtype,
+                        name=f"layers_{li}_b{bi}",
+                    )(body)
+                else:
+                    body = SwinBlockV2(
+                        self.embed_dim, heads, swin_ws, shift, self.mlp_ratio,
+                        dtype=self.dtype, name=f"layers_{li}_b{bi}",
+                    )(body)
             body = Conv2d(self.embed_dim, 3, dtype=self.dtype, name=f"layers_{li}_conv")(body)
             body = body + group_in
         body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
@@ -212,7 +314,7 @@ class SRFormerV2(nn.Module):
 
 
 def _srformerv2_factory(scale: int = 4, **kwargs):
-    for k in ("img_size", "resi_connection", "use_checkpoint"):
+    for k in ("resi_connection", "use_checkpoint"):
         kwargs.pop(k, None)
     for k in ("depths", "num_heads"):
         if k in kwargs:

@@ -3040,3 +3040,77 @@ def _convert_hit(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
         _put_conv(out, "conv_last", "weight", sd["conv_last.weight"])
         _put_conv(out, "conv_last", "bias", sd["conv_last.bias"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# SRFormerV2 (reference srformerv2_arch.py:1325-1638; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("SRFormerV2")
+def _convert_srformerv2(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "conv_first", "weight", sd["conv_first.weight"])
+    _put_conv(out, "conv_first", "bias", sd["conv_first.bias"])
+    _put_ln(out, "patch_norm", "weight", sd["patch_embed.norm.weight"])
+    _put_ln(out, "patch_norm", "bias", sd["patch_embed.norm.bias"])
+    _put_ln(out, "norm", "weight", sd["norm.weight"])
+    _put_ln(out, "norm", "bias", sd["norm.bias"])
+    _put_conv(out, "conv_after_body", "weight", sd["conv_after_body.weight"])
+    _put_conv(out, "conv_after_body", "bias", sd["conv_after_body.bias"])
+    for li in range(len(module.depths)):
+        _put_conv(out, f"layers_{li}_conv", "weight", sd[f"layers.{li}.conv.weight"])
+        _put_conv(out, f"layers_{li}_conv", "bias", sd[f"layers.{li}.conv.bias"])
+        bi = 0
+        while f"layers.{li}.residual_group.blocks.{bi}.norm1.weight" in sd:
+            t = f"layers.{li}.residual_group.blocks.{bi}"
+            f = f"layers_{li}_b{bi}"
+            for n in ("norm1", "norm2"):
+                _put_ln(out, f"{f}.{n}", "weight", sd[f"{t}.{n}.weight"])
+                _put_ln(out, f"{f}.{n}", "bias", sd[f"{t}.{n}.bias"])
+            _put_linear(out, f"{f}.mlp_fc1", "weight", sd[f"{t}.mlp.fc1.weight"])
+            _put_linear(out, f"{f}.mlp_fc1", "bias", sd[f"{t}.mlp.fc1.bias"])
+            _put_linear(out, f"{f}.mlp_fc2", "weight", sd[f"{t}.mlp.fc2.weight"])
+            _put_linear(out, f"{f}.mlp_fc2", "bias", sd[f"{t}.mlp.fc2.bias"])
+            out[f"{f}.relative_position_bias_table"] = sd[
+                f"{t}.attn.relative_position_bias_table"
+            ]
+            if f"{t}.attn.q.weight" in sd:  # PSA block
+                for lin in ("q", "kv", "proj"):
+                    _put_linear(out, f"{f}.attn.{lin}", "weight",
+                                sd[f"{t}.attn.{lin}.weight"])
+                    _put_linear(out, f"{f}.attn.{lin}", "bias",
+                                sd[f"{t}.attn.{lin}.bias"])
+                # the table lives inside the attn submodule for PSA
+                out.pop(f"{f}.relative_position_bias_table")
+                out[f"{f}.attn.relative_position_bias_table"] = sd[
+                    f"{t}.attn.relative_position_bias_table"
+                ]
+                _put_conv(out, f"{f}.mlp_dw", "weight",
+                          sd[f"{t}.mlp.dwconv.depthwise_conv.0.weight"])
+                _put_conv(out, f"{f}.mlp_dw", "bias",
+                          sd[f"{t}.mlp.dwconv.depthwise_conv.0.bias"])
+            else:  # plain Swin block
+                _put_linear(out, f"{f}.qkv", "weight", sd[f"{t}.attn.qkv.weight"])
+                _put_linear(out, f"{f}.qkv", "bias", sd[f"{t}.attn.qkv.bias"])
+                _put_linear(out, f"{f}.proj", "weight", sd[f"{t}.attn.proj.weight"])
+                _put_linear(out, f"{f}.proj", "bias", sd[f"{t}.attn.proj.bias"])
+            bi += 1
+    if module.upsampler == "pixelshuffledirect":
+        _put_conv(out, "upsample", "weight", sd["upsample.0.weight"])
+        _put_conv(out, "upsample", "bias", sd["upsample.0.bias"])
+    else:
+        _put_conv(out, "conv_before_upsample", "weight",
+                  sd["conv_before_upsample.0.weight"])
+        _put_conv(out, "conv_before_upsample", "bias",
+                  sd["conv_before_upsample.0.bias"])
+        up_ids = sorted({
+            int(m.group(1)) for k in sd
+            if (m := re.fullmatch(r"upsample\.(\d+)\.weight", k))
+        })
+        for pos, idx in enumerate(up_ids):
+            _put_conv(out, f"upsample_{pos}", "weight", sd[f"upsample.{idx}.weight"])
+            _put_conv(out, f"upsample_{pos}", "bias", sd[f"upsample.{idx}.bias"])
+        _put_conv(out, "conv_last", "weight", sd["conv_last.weight"])
+        _put_conv(out, "conv_last", "bias", sd["conv_last.bias"])
+    return out
