@@ -394,6 +394,38 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
              upsampler="pixelshuffledirect"),
         (1, 3, 12, 12),
     ),
+    "dwt": (
+        "dwt_arch", "DWT",
+        dict(upscale=2, embed_dim=16, depths=[2, 2, 2], num_heads=[2, 2, 2],
+             window_size=4, img_size=16,
+             layer_kinds=[[0, -1], [0, 2], [0, 1]], mlp_ratio=2.0,
+             upsampler="pixelshuffle"),
+        (1, 3, 16, 16),
+    ),
+    "psr2_realtime": (
+        "paragonsr2_arch", "ParagonSR2",
+        dict(scale=2, num_feat=16, num_groups=1, num_blocks=2,
+             variant="realtime"),
+        (1, 3, 16, 16),
+    ),
+    "psr2_stream": (
+        "paragonsr2_arch", "ParagonSR2",
+        dict(scale=2, num_feat=16, num_groups=1, num_blocks=2,
+             variant="stream"),
+        (1, 3, 16, 16),
+    ),
+    "psr2_photo": (
+        "paragonsr2_arch", "ParagonSR2",
+        dict(scale=2, num_feat=16, num_groups=1, num_blocks=2,
+             variant="photo", window_size=8, attention_mode="sdpa"),
+        (1, 3, 16, 16),
+    ),
+    "psr2_pro": (
+        "paragonsr2_arch", "ParagonSR2",
+        dict(scale=2, num_feat=16, num_groups=1, num_blocks=2,
+             variant="pro", window_size=8, attention_mode="sdpa"),
+        (1, 3, 16, 16),
+    ),
     # discriminators (GAN parity)
     "unetdisc": (
         "discriminator_arch", "UNetDiscriminatorSN",

@@ -155,8 +155,23 @@ FLAX_OPTS = {
                 "upsampler": "pixelshuffledirect"},
     "srformerv2": {"type": "srformerv2", "scale": 2, "embed_dim": 16,
                    "depths": [2], "num_heads": [2], "window_size": 12,
-                   "squeeze_dim": 8, "img_size": 12,
+                   "squeeze_dim": 8, "img_size": 12, "mlp_ratio": 2,
                    "upsampler": "pixelshuffledirect"},
+    "dwt": {"type": "dwt", "scale": 2, "embed_dim": 16,
+            "depths": [2, 2, 2], "num_heads": [2, 2, 2], "window_size": 4,
+            "img_size": 16, "layer_kinds": [[0, -1], [0, 2], [0, 1]],
+            "mlp_ratio": 2.0, "upsampler": "pixelshuffle"},
+    "psr2_realtime": {"type": "paragonsr2", "scale": 2, "num_feat": 16,
+                      "num_groups": 1, "num_blocks": 2,
+                      "variant": "realtime"},
+    "psr2_stream": {"type": "paragonsr2", "scale": 2, "num_feat": 16,
+                    "num_groups": 1, "num_blocks": 2, "variant": "stream"},
+    "psr2_photo": {"type": "paragonsr2", "scale": 2, "num_feat": 16,
+                   "num_groups": 1, "num_blocks": 2, "variant": "photo",
+                   "window_size": 8},
+    "psr2_pro": {"type": "paragonsr2", "scale": 2, "num_feat": 16,
+                 "num_groups": 1, "num_blocks": 2, "variant": "pro",
+                 "window_size": 8},
 }
 
 
@@ -294,8 +309,18 @@ def test_golden_escreal(case):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("case", ["hit_sir", "hit_srf", "hit_sng", "srformerv2"])
+@pytest.mark.parametrize(
+    "case", ["hit_sir", "hit_srf", "hit_sng", "srformerv2", "dwt"]
+)
 def test_golden_hit(case):
+    _run_case(case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "case", ["psr2_realtime", "psr2_stream", "psr2_photo", "psr2_pro"]
+)
+def test_golden_paragonsr2(case):
     _run_case(case)
 
 

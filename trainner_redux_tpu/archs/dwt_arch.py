@@ -104,7 +104,9 @@ class DWTBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         ws = self.window_size
-        shift = self.shift_size if min(h, w) > ws else 0
+        # the reference clamps shift by the STATIC img_size-derived
+        # resolution, not the runtime one (dwt_arch.py:336-339)
+        shift = self.shift_size
         kind = self.layer_kind
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
@@ -162,6 +164,7 @@ class DWT(nn.Module):
         (0, 1, 0, 1, 0, 1),
         (0, 1, 0, 1, 0, 1),
     )
+    img_size: int = 64
     num_feat: int = 64
     dtype: Dtype = jnp.float32
 
@@ -177,14 +180,20 @@ class DWT(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_first")(x)
-        body = feat
+        # patch_norm=True: LayerNorm after patch embedding
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="patch_norm")(feat)
+        # static clamp exactly as the reference (based on img_size patches)
+        ws_eff = self.window_size if self.img_size > self.window_size else self.img_size
         for li, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             group_in = body
             kinds = self.layer_kinds[li]
             for bi in range(depth):
+                shift = 0 if bi % 2 == 0 else ws_eff // 2
+                if self.img_size <= self.window_size:
+                    shift = 0
                 body = DWTBlock(
-                    self.embed_dim, heads, self.window_size,
-                    0 if bi % 2 == 0 else self.window_size // 2, kinds[bi],
+                    self.embed_dim, heads, ws_eff, shift, kinds[bi],
                     self.mlp_ratio, self.qkv_bias, dtype=self.dtype,
                     name=f"layers_{li}_b{bi}",
                 )(body)
@@ -217,7 +226,7 @@ class DWT(nn.Module):
 
 def _dwt_factory(window_size):
     def factory(scale: int = 4, **kwargs):
-        for k in ("img_size", "patch_size", "resi_connection", "ape", "patch_norm",
+        for k in ("patch_size", "resi_connection", "ape", "patch_norm",
                   "use_checkpoint", "qk_scale", "drop_rate", "attn_drop_rate",
                   "drop_path_rate"):
             kwargs.pop(k, None)

@@ -18,9 +18,24 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_shuffle
-from trainner_redux_tpu.archs.flexnet_arch import RMSNormScale
 from trainner_redux_tpu.archs.munet_arch import _magic_upsample
 from trainner_redux_tpu.utils.registry import ARCH_REGISTRY
+
+
+class Psr2RMSNorm(nn.Module):
+    """ParagonSR2's RMSNorm (paragonsr2_arch.py:131-152): scale AND bias,
+    eps inside the sqrt, fp32 variance."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        rms = jnp.sqrt(var + self.eps).astype(x.dtype)
+        return scale.astype(x.dtype) * x / rms + bias.astype(x.dtype)
 
 
 class SimpleWindowAttention(nn.Module):
@@ -144,7 +159,7 @@ class PhotoBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hid = int(self.dim * self.expansion)
-        y = RMSNormScale(self.dim, name="norm")(x)
+        y = Psr2RMSNorm(self.dim, name="norm")(x)
         y = Conv2d(hid, 1, padding=0, dtype=self.dtype, name="conv1")(y)
         y = nn.gelu(Conv2d(hid, 3, feature_group_count=hid, dtype=self.dtype, name="dw")(y),
                     approximate=False)
@@ -152,7 +167,7 @@ class PhotoBlock(nn.Module):
         ls = _layer_scale(self, "scale_gamma", self.dim)
         x = x + y * ls.astype(x.dtype)
         if self.use_attn:
-            y = RMSNormScale(self.dim, name="attn_norm")(x)
+            y = Psr2RMSNorm(self.dim, name="attn_norm")(x)
             y = SimpleWindowAttention(
                 self.dim, 4, self.window_size, self.shift_size, dtype=self.dtype,
                 name="attn",
@@ -173,7 +188,7 @@ class ProBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hid = int(self.dim * self.expansion)
-        y = RMSNormScale(self.dim, name="norm1")(x)
+        y = Psr2RMSNorm(self.dim, name="norm1")(x)
         y = Conv2d(hid, 1, padding=0, dtype=self.dtype, name="conv1")(y)
         y = nn.gelu(Conv2d(hid, 3, feature_group_count=hid, dtype=self.dtype, name="dw")(y),
                     approximate=False)
@@ -190,14 +205,14 @@ class ProBlock(nn.Module):
         x = x + y * _layer_scale(self, "scale2_gamma", self.dim).astype(x.dtype)
 
         if self.use_attn:
-            y = RMSNormScale(self.dim, name="norm3")(x)
+            y = Psr2RMSNorm(self.dim, name="norm3")(x)
             y = SimpleWindowAttention(
                 self.dim, 4, self.window_size, self.shift_size, dtype=self.dtype,
                 name="window_attn",
             )(y)
             x = x + y * _layer_scale(self, "scale3_gamma", self.dim).astype(x.dtype)
 
-        y = RMSNormScale(self.dim, name="norm4")(x)
+        y = Psr2RMSNorm(self.dim, name="norm4")(x)
         y = TokenDictionaryCA(self.dim, self.num_tokens, dtype=self.dtype,
                               name="token_ca")(y)
         return x + y * _layer_scale(self, "scale4_gamma", self.dim).astype(x.dtype)

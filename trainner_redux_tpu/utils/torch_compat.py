@@ -3114,3 +3114,133 @@ def _convert_srformerv2(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarr
         _put_conv(out, "conv_last", "weight", sd["conv_last.weight"])
         _put_conv(out, "conv_last", "bias", sd["conv_last.bias"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# DWT (reference dwt_arch.py:937-1324; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("DWT")
+def _convert_dwt(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "conv_first", "weight", sd["conv_first.weight"])
+    _put_conv(out, "conv_first", "bias", sd["conv_first.bias"])
+    _put_ln(out, "patch_norm", "weight", sd["patch_embed.norm.weight"])
+    _put_ln(out, "patch_norm", "bias", sd["patch_embed.norm.bias"])
+    _put_ln(out, "norm", "weight", sd["norm.weight"])
+    _put_ln(out, "norm", "bias", sd["norm.bias"])
+    _put_conv(out, "conv_after_body", "weight", sd["conv_after_body.weight"])
+    _put_conv(out, "conv_after_body", "bias", sd["conv_after_body.bias"])
+    for li in range(len(module.depths)):
+        _put_conv(out, f"layers_{li}_conv", "weight", sd[f"layers.{li}.conv.weight"])
+        _put_conv(out, f"layers_{li}_conv", "bias", sd[f"layers.{li}.conv.bias"])
+        bi = 0
+        while f"layers.{li}.residual_group.blocks.{bi}.norm1.weight" in sd:
+            t = f"layers.{li}.residual_group.blocks.{bi}"
+            f = f"layers_{li}_b{bi}"
+            for n in ("norm1", "norm2"):
+                _put_ln(out, f"{f}.{n}", "weight", sd[f"{t}.{n}.weight"])
+                _put_ln(out, f"{f}.{n}", "bias", sd[f"{t}.{n}.bias"])
+            _put_linear(out, f"{f}.attn.qkv", "weight", sd[f"{t}.attn.qkv.weight"])
+            _put_linear(out, f"{f}.attn.qkv", "bias", sd[f"{t}.attn.qkv.bias"])
+            _put_linear(out, f"{f}.attn.proj", "weight", sd[f"{t}.attn.proj.weight"])
+            _put_linear(out, f"{f}.attn.proj", "bias", sd[f"{t}.attn.proj.bias"])
+            out[f"{f}.attn.relative_position_bias_table"] = sd[
+                f"{t}.attn.relative_position_bias_table"
+            ]
+            _put_linear(out, f"{f}.mlp_fc1", "weight", sd[f"{t}.mlp.fc1.weight"])
+            _put_linear(out, f"{f}.mlp_fc1", "bias", sd[f"{t}.mlp.fc1.bias"])
+            _put_linear(out, f"{f}.mlp_fc2", "weight", sd[f"{t}.mlp.fc2.weight"])
+            _put_linear(out, f"{f}.mlp_fc2", "bias", sd[f"{t}.mlp.fc2.bias"])
+            bi += 1
+    _put_conv(out, "conv_before_upsample", "weight",
+              sd["conv_before_upsample.0.weight"])
+    _put_conv(out, "conv_before_upsample", "bias",
+              sd["conv_before_upsample.0.bias"])
+    up_ids = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.fullmatch(r"upsample\.(\d+)\.weight", k))
+    })
+    for pos, idx in enumerate(up_ids):
+        _put_conv(out, f"upsample_{pos}", "weight", sd[f"upsample.{idx}.weight"])
+        _put_conv(out, f"upsample_{pos}", "bias", sd[f"upsample.{idx}.bias"])
+    _put_conv(out, "conv_last", "weight", sd["conv_last.weight"])
+    _put_conv(out, "conv_last", "bias", sd["conv_last.bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ParagonSR2 (reference paragonsr2_arch.py:1171-1423; golden-validated)
+# ---------------------------------------------------------------------------
+
+
+@register_converter("ParagonSR2")
+def _convert_paragonsr2(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for n in ("conv_in", "conv_mid", "conv_out"):
+        _put_conv(out, n, "weight", sd[f"{n}.weight"])
+        _put_conv(out, n, "bias", sd[f"{n}.bias"])
+    _put_conv(out, "up", "weight", sd["up.0.weight"])
+    _put_conv(out, "up", "bias", sd["up.0.bias"])
+    out["detail_gain_p"] = sd["detail_gain"].reshape(())
+    # base magic kernels are fixed constants (never trained) — synthesized
+
+    def rms(t, f):
+        out[f"{f}.scale"] = sd[f"{t}.scale"].reshape(-1)
+        out[f"{f}.bias"] = sd[f"{t}.bias"].reshape(-1)
+
+    for g in range(module.num_groups):
+        for i in range(module.num_blocks):
+            t = f"body.{g}.blocks.{i}"
+            f = f"body_{g}_b{i}"
+            if module.variant == "realtime":
+                for c in ("conv1", "dw", "conv2"):
+                    _put_conv(out, f"{f}.{c}", "weight", sd[f"{t}.{c}.weight"])
+                    _put_conv(out, f"{f}.{c}", "bias", sd[f"{t}.{c}.bias"])
+                out[f"{f}.scale_gamma"] = sd[f"{t}.scale.gamma"].reshape(-1)
+            elif module.variant == "stream":
+                for c in ("dw1", "dw3", "fuse", "proj", "gate", "out"):
+                    _put_conv(out, f"{f}.{c}", "weight", sd[f"{t}.{c}.weight"])
+                    _put_conv(out, f"{f}.{c}", "bias", sd[f"{t}.{c}.bias"])
+                out[f"{f}.scale_gamma"] = sd[f"{t}.scale.gamma"].reshape(-1)
+            elif module.variant == "photo":
+                rms(f"{t}.norm", f"{f}.norm")
+                for c in ("conv1", "dw", "conv2"):
+                    _put_conv(out, f"{f}.{c}", "weight", sd[f"{t}.{c}.weight"])
+                    _put_conv(out, f"{f}.{c}", "bias", sd[f"{t}.{c}.bias"])
+                out[f"{f}.scale_gamma"] = sd[f"{t}.scale.gamma"].reshape(-1)
+                if f"{t}.attn.qkv.weight" in sd:
+                    rms(f"{t}.attn_norm", f"{f}.attn_norm")
+                    for lin in ("qkv", "proj"):
+                        _put_linear(out, f"{f}.attn.{lin}", "weight",
+                                    sd[f"{t}.attn.{lin}.weight"])
+                        _put_linear(out, f"{f}.attn.{lin}", "bias",
+                                    sd[f"{t}.attn.{lin}.bias"])
+            else:  # pro
+                rms(f"{t}.norm1", f"{f}.norm1")
+                for c in ("conv1", "dw", "conv2"):
+                    _put_conv(out, f"{f}.{c}", "weight", sd[f"{t}.{c}.weight"])
+                    _put_conv(out, f"{f}.{c}", "bias", sd[f"{t}.{c}.bias"])
+                for k in (1, 2, 3, 4):
+                    key = f"{t}.scale{k}.gamma"
+                    if key in sd:
+                        out[f"{f}.scale{k}_gamma"] = sd[key].reshape(-1)
+                _put_linear(out, f"{f}.ca_fc1", "weight",
+                            sd[f"{t}.channel_attn.fc.0.weight"])
+                _put_linear(out, f"{f}.ca_fc2", "weight",
+                            sd[f"{t}.channel_attn.fc.2.weight"])
+                if f"{t}.window_attn.qkv.weight" in sd:
+                    rms(f"{t}.norm3", f"{f}.norm3")
+                    for lin in ("qkv", "proj"):
+                        _put_linear(out, f"{f}.window_attn.{lin}", "weight",
+                                    sd[f"{t}.window_attn.{lin}.weight"])
+                        _put_linear(out, f"{f}.window_attn.{lin}", "bias",
+                                    sd[f"{t}.window_attn.{lin}.bias"])
+                rms(f"{t}.norm4", f"{f}.norm4")
+                tc, fc = f"{t}.token_ca", f"{f}.token_ca"
+                out[f"{fc}.token_dict"] = sd[f"{tc}.token_dict"][0]
+                for lin in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                    _put_linear(out, f"{fc}.{lin}", "weight", sd[f"{tc}.{lin}.weight"])
+                    _put_linear(out, f"{fc}.{lin}", "bias", sd[f"{tc}.{lin}.bias"])
+    return out
