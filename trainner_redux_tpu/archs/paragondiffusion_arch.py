@@ -10,6 +10,18 @@ the latent codec is pluggable: pass encoded latents directly (any 4-ch
 latent space, e.g. this repo's AutoEncoder trained via AEModel), and
 `rectified_flow_loss` / `sample_flow` operate on latents (documented
 divergence — the U-Net, conditioning, and flow math are complete).
+
+Upstream-bug note (no golden fixture possible): the reference's
+`predict_flow` crashes unconditionally — its first UpBlock builds ResNet
+blocks expecting `out_channels*2 + out_channels` input channels
+(paragondiffusion_arch.py:160), but the tensor arriving from the mid block
+has only `out_channels`, so GroupNorm raises a shape error for every
+config. The reference also wraps the mid blocks in `nn.Sequential`
+(paragondiffusion_arch.py:228-231,269), which silently drops the timestep
+embedding there. This implementation fixes the channel bookkeeping and
+threads the timestep embedding through the mid blocks; since the upstream
+model cannot complete a forward pass, no reference checkpoints can exist
+and no torch->flax converter is needed.
 """
 
 from __future__ import annotations
