@@ -167,11 +167,23 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
         jax.profiler.start_trace(profile_dir)
         logger.info(f"Profiling to {profile_dir} (first 50 iters)")
 
+    # device prefetcher: H2D of batch k+1 is issued before step k dispatches,
+    # so transfer rides under compute (JAX async dispatch). The reference
+    # reaches for CUDA-stream prefetchers (prefetch_dataloader.py:100-160);
+    # here the same overlap falls out of sharded device_put + async dispatch.
+    from trainner_redux_tpu.data import DevicePrefetcher
+
+    prefetcher = DevicePrefetcher(train_loader, put_fn=model.shard_batch)
+
     epoch = start_epoch
     try:
         while current_iter < total_iters and not interrupted["flag"]:
             train_loader.set_epoch(epoch)
-            for train_data in train_loader:
+            prefetcher.reset()
+            while True:
+                train_data = prefetcher.next()
+                if train_data is None:
+                    break
                 data_timer.record()
                 if current_iter >= total_iters or interrupted["flag"]:
                     break

@@ -93,7 +93,9 @@ class RealESRGANDataset:
         rng = worker_rng(seed, 1, index, self._epoch)
 
         gt_path = self.paths[index]
-        img_gt = imfrombytes(self.file_client.get(gt_path, "gt"), float32=True)
+        # keep uint8 through augment/crop: GT ships to the device as-is and
+        # is normalized on-chip (RealESRGANModel._degrade) — 4x less H2D
+        img_gt = imfrombytes(self.file_client.get(gt_path, "gt"), float32=False)
         img_gt = augment(img_gt, opt.use_hflip, opt.use_rot, rng=rng)
 
         assert opt.gt_size is not None, "RealESRGANDataset requires gt_size"
@@ -123,7 +125,7 @@ class RealESRGANDataset:
             sinc_kernel = self.pulse_kernel
 
         return {
-            "gt": np.ascontiguousarray(img_gt, dtype=np.float32),
+            "gt": np.ascontiguousarray(img_gt),
             "kernel1": kernel1,
             "kernel2": kernel2,
             "sinc_kernel": sinc_kernel,

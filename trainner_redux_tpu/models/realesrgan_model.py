@@ -58,6 +58,8 @@ class RealESRGANModel(SRModel):
 
     def _degrade(self, gt, kernel1, kernel2, sinc_kernel, key, skip_compression=False):
         """(B, gt_size+32, gt_size+32, 3) GT -> cropped (gt, lq) pair."""
+        if gt.dtype == jnp.uint8:  # uint8 H2D path: normalize on-chip
+            gt = gt.astype(jnp.float32) / 255.0
         opt = self.opt
         scale = self.scale
         keys = jax.random.split(key, 48)
