@@ -46,6 +46,15 @@ class BatchNormNoStats(nn.Module):
             axes = tuple(range(x.ndim - 1))
             mu = x.mean(axis=axes, keepdims=True)
             v = x.var(axis=axes, keepdims=True)
+            # calibration hooks: no-ops unless apply() makes "bn_calib"
+            # mutable (utils/bn_recalibrate.py); torch stores the UNBIASED
+            # variance in running_var, hence the n/(n-1) correction
+            n = x.size // c
+            self.sow("bn_calib", "mean", mu.reshape(-1).astype(jnp.float32))
+            self.sow(
+                "bn_calib", "var",
+                (v.reshape(-1) * (n / max(n - 1, 1))).astype(jnp.float32),
+            )
         else:
             mu, v = mean.astype(x.dtype), var.astype(x.dtype)
         y = (x - mu) * jax.lax.rsqrt(v + self.epsilon)

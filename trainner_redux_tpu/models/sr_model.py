@@ -626,6 +626,45 @@ class SRModel(BaseModel):
             return self.state.ema_params_g
         return self.state.params_g
 
+    def recalibrate_bn(self, dataloader, num_batches: int = 50) -> None:
+        """Post-training BatchNorm statistics refresh (utils/bn_recalibrate):
+        from-scratch BatchNormNoStats archs (dat/eimn/elan/emt/sebica) carry
+        identity running stats; this averages real batch statistics over
+        `num_batches` LQ batches and writes them into params_g (and the EMA
+        copy). The torch reference updates running stats as a train-mode side
+        effect; the purely-functional train step refreshes them here instead."""
+        from trainner_redux_tpu.utils.bn_recalibrate import recalibrate_bn
+
+        def batches():
+            n = 0
+            while n < num_batches:
+                got = False
+                for data in dataloader:
+                    if n >= num_batches:
+                        return
+                    got = True
+                    b = self.shard_batch({"lq": data["lq"]})
+                    yield _dev_to_float(b["lq"])
+                    n += 1
+                if not got:
+                    return
+
+        updated = {}
+        for name in ("params_g", "ema_params_g"):
+            params = getattr(self.state, name)
+            if params is None:
+                continue
+            try:
+                new_vars = recalibrate_bn(self.net_g, {"params": params}, batches())
+            except ValueError:
+                self.logger.warning(
+                    "recalibrate_bn: network has no BatchNormNoStats modules "
+                    "(or no calibration data); params unchanged"
+                )
+                return
+            updated[name] = new_vars["params"]
+        self.state = self.state.replace(**updated)
+
     _APPLY_CACHE_MAX = 8
 
     def _apply_fn(self, key):
