@@ -94,6 +94,44 @@ def _find_in_roots(roots: list[str], name: str) -> str:
     raise FileNotFoundError(f"{name} not found under any of {roots}")
 
 
+def paired_paths_from_lmdb(
+    folders: tuple[list[str], list[str]], keys: tuple[str, str]
+) -> list[dict[str, str]]:
+    """Pair keys across lq/gt .lmdb folders (reference data_util.py:79-120):
+    each folder carries a meta_info.txt whose first token per line is
+    '<key>.<ext>'; the lmdb key is the name without extension. Both sides
+    must contain identical key sets."""
+    input_folders, gt_folders = folders
+    input_key, gt_key = keys
+
+    def read_keys(folder_list: list[str]) -> set[str]:
+        out: set[str] = set()
+        for folder in folder_list:
+            meta = osp.join(folder, "meta_info.txt")
+            if not osp.exists(meta):
+                raise FileNotFoundError(
+                    f"{folder} has no meta_info.txt (not an .lmdb dataset?)"
+                )
+            with open(meta, encoding="utf-8") as f:
+                out.update(
+                    osp.splitext(line.strip().split(" ")[0])[0]
+                    for line in f
+                    if line.strip()
+                )
+        return out
+
+    input_keys = read_keys(input_folders)
+    gt_keys = read_keys(gt_folders)
+    if input_keys != gt_keys:
+        raise ValueError(
+            f"{input_key} and {gt_key} lmdb datasets have different keys "
+            f"(e.g. {sorted(input_keys ^ gt_keys)[:3]})"
+        )
+    return [
+        {f"{input_key}_path": k, f"{gt_key}_path": k} for k in sorted(gt_keys)
+    ]
+
+
 def paired_paths_from_pack(
     pack_paths: tuple[list[str], list[str]], keys: tuple[str, str]
 ) -> list[dict[str, str]]:

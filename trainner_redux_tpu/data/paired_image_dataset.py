@@ -44,15 +44,27 @@ class PairedImageDataset:
                     "lmdb", db_paths=lq_folders + gt_folders,
                     client_keys=["lq"] * len(lq_folders) + ["gt"] * len(gt_folders),
                 )
-                from trainner_redux_tpu.data.data_util import paths_from_pack  # noqa: F401
+                from trainner_redux_tpu.data.data_util import paired_paths_from_lmdb
 
-                # lmdb key listing: use meta_info file convention
+                # reference .lmdb folders carry their own meta_info.txt with
+                # one '<key>.<ext> (h,w,c) <lvl>' line per image; an explicit
+                # opt.meta_info overrides the key list
                 if opt.meta_info:
-                    self.paths = paired_paths_from_meta_info_file(
-                        (lq_folders, gt_folders), ("lq", "gt"), opt.meta_info, "{}"
-                    )
+                    with open(opt.meta_info, encoding="utf-8") as f:
+                        import os.path as _osp
+
+                        ks = [
+                            _osp.splitext(line.strip().split(" ")[0])[0]
+                            for line in f
+                            if line.strip()
+                        ]
+                    self.paths = [
+                        {"lq_path": k, "gt_path": k} for k in ks
+                    ]
                 else:
-                    raise ValueError("lmdb io_backend requires meta_info")
+                    self.paths = paired_paths_from_lmdb(
+                        (lq_folders, gt_folders), ("lq", "gt")
+                    )
             else:
                 self.file_client = FileClient(
                     "pack",

@@ -6,8 +6,10 @@ Backends:
   trainner_redux_tpu/data/packfile.py) — a memory-mapped record file that
   replaces the reference's LMDB dependency with an mmap design that needs no
   external library and supports zero-copy reads from the host data loader.
-- lmdb: accepted for config compatibility; requires the optional `lmdb`
-  package at runtime.
+- lmdb: reference-dataset compatibility. Uses the real `lmdb` package when
+  installed; otherwise falls back to the bundled pure-Python reader of the
+  LMDB file format (utils/lmdb_pure.py), so reference LMDB datasets load
+  with zero extra dependencies.
 """
 
 from __future__ import annotations
@@ -41,26 +43,34 @@ class PackBackend:
 
 class LmdbBackend:
     def __init__(self, db_paths: list[str] | str, client_keys: list[str] | str = "default", **kw):
-        try:
-            import lmdb  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "io_backend 'lmdb' requires the lmdb package; convert the dataset "
-                "to the native .pack format instead (scripts/create_pack_from_imgs.py)"
-            ) from e
         if isinstance(client_keys, str):
             client_keys = [client_keys]
         if isinstance(db_paths, str):
             db_paths = [db_paths]
-        self._clients = {
-            key: lmdb.open(path, readonly=True, lock=False, readahead=False, **kw)
-            for key, path in zip(client_keys, db_paths, strict=True)
-        }
+        try:
+            import lmdb  # type: ignore
+
+            self._pure = False
+            self._clients = {
+                key: lmdb.open(path, readonly=True, lock=False, readahead=False, **kw)
+                for key, path in zip(client_keys, db_paths, strict=True)
+            }
+        except ImportError:
+            from trainner_redux_tpu.utils.lmdb_pure import PureLmdbReader
+
+            self._pure = True
+            self._clients = {
+                key: PureLmdbReader(path)
+                for key, path in zip(client_keys, db_paths, strict=True)
+            }
 
     def get(self, filepath: str, client_key: str = "default") -> bytes:
         client = self._clients[client_key]
-        with client.begin(write=False) as txn:
-            value = txn.get(filepath.encode("ascii"))
+        if self._pure:
+            value = client.get(filepath.encode("ascii"))
+        else:
+            with client.begin(write=False) as txn:
+                value = txn.get(filepath.encode("ascii"))
         if value is None:
             raise KeyError(f"key {filepath} not found in lmdb {client_key}")
         return bytes(value)
