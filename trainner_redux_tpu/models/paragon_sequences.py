@@ -95,68 +95,274 @@ class SequenceController:
 
 
 def create_predefined_sequences() -> list[DegradationSequence]:
-    """Realistic chains mirroring the reference's predefined set
-    (paragon_sequences.py:324-420): internet photo, phone, dslr, social."""
+    """The reference's four photo chains with the same names, step orders,
+    probabilities and parameter ranges (paragon_sequences.py:324-516)."""
     return [
         DegradationSequence(
-            "internet_photo",
-            0.3,
+            "internet_upload_download",
+            0.25,
             [
-                DegradationStep("blur", 0.6),
-                DegradationStep("jpeg", 1.0, parameter_ranges={"quality": (50, 90)}),
-                DegradationStep("recompress_jpeg", 0.5, parameter_ranges={"quality": (40, 80)}),
-            ],
-        ),
-        DegradationSequence(
-            "phone_camera",
-            0.3,
-            [
-                DegradationStep("sensor_noise", 0.8, parameter_ranges={"std": (0.01, 0.06)}),
-                DegradationStep("oversharpen", 0.5, parameter_ranges={"strength": (1.0, 1.8)}),
-                DegradationStep("jpeg", 1.0, parameter_ranges={"quality": (60, 95)}),
-            ],
-        ),
-        DegradationSequence(
-            "dslr",
-            0.2,
-            [
-                DegradationStep("lens_distortion", 0.3, parameter_ranges={"strength": (-0.1, 0.1)}),
-                DegradationStep("blur", 0.4),
-                DegradationStep("jpeg", 0.8, parameter_ranges={"quality": (80, 98)}),
-            ],
-        ),
-        DegradationSequence(
-            "social_platform",
-            0.2,
-            [
-                DegradationStep("exposure", 0.4, parameter_ranges={"factor": (0.8, 1.3)}),
-                DegradationStep("jpeg", 1.0, parameter_ranges={"quality": (45, 80)}),
-                DegradationStep("recompress_jpeg", 0.8, parameter_ranges={"quality": (35, 70)}),
+                DegradationStep("oversharpening", probability_range=(0.6, 0.9),
+                                parameter_ranges={"strength": (1.1, 1.8)}),
+                DegradationStep("color_temp_shift", probability_range=(0.3, 0.7),
+                                parameter_ranges={"shift": (-0.15, 0.15)}),
+                DegradationStep("lens_distortion", probability_range=(0.2, 0.5),
+                                parameter_ranges={"strength": (-0.1, 0.1)}),
+                DegradationStep("webp_compression", 1.0,
+                                parameter_ranges={"quality": (60, 85)}),
+                DegradationStep("avif_compression", probability_range=(0.1, 0.3),
+                                parameter_ranges={"quality": (65, 90)}),
+                DegradationStep("jpeg_compression", probability_range=(0.2, 0.4),
+                                parameter_ranges={"quality": (70, 90)}),
+                DegradationStep("oversharpening", probability_range=(0.4, 0.8),
+                                parameter_ranges={"strength": (1.05, 1.4)}),
             ],
             repeat=1,
-            repeat_probability=0.2,
+            repeat_probability=0.3,
+        ),
+        DegradationSequence(
+            "phone_camera_capture",
+            0.3,
+            [
+                DegradationStep("sensor_noise", probability_range=(0.8, 1.0),
+                                parameter_ranges={"std": (0.02, 0.08)}),
+                DegradationStep("rolling_shutter", probability_range=(0.3, 0.7),
+                                parameter_ranges={"strength": (0.02, 0.08)}),
+                DegradationStep("lens_distortion", probability_range=(0.6, 0.9),
+                                parameter_ranges={"strength": (0.1, 0.3)}),
+                DegradationStep("motion_blur", probability_range=(0.2, 0.5),
+                                parameter_ranges={"kernel_size": (3, 7),
+                                                  "angle": (0, 360)}),
+                DegradationStep("chromatic_aberration",
+                                probability_range=(0.4, 0.8),
+                                parameter_ranges={"strength": (0.5, 2.0)}),
+                DegradationStep("oversharpening", probability_range=(0.7, 0.9),
+                                parameter_ranges={"strength": (1.1, 1.5)}),
+                DegradationStep("heif_compression", probability_range=(0.8, 1.0),
+                                parameter_ranges={"quality": (75, 95)}),
+            ],
+        ),
+        DegradationSequence(
+            "dslr_professional",
+            0.2,
+            [
+                DegradationStep("sensor_noise", probability_range=(0.3, 0.6),
+                                parameter_ranges={"std": (0.005, 0.03)}),
+                DegradationStep("rolling_shutter", probability_range=(0.1, 0.3),
+                                parameter_ranges={"strength": (0.005, 0.02)}),
+                DegradationStep("lens_distortion", probability_range=(0.4, 0.7),
+                                parameter_ranges={"strength": (0.02, 0.1)}),
+                DegradationStep("oversharpening", probability_range=(0.5, 0.8),
+                                parameter_ranges={"strength": (1.05, 1.3)}),
+                DegradationStep("color_temp_shift", probability_range=(0.4, 0.7),
+                                parameter_ranges={"shift": (-0.1, 0.1)}),
+                DegradationStep("jpeg_compression", probability_range=(0.8, 1.0),
+                                parameter_ranges={"quality": (85, 98)}),
+            ],
+        ),
+        DegradationSequence(
+            "social_media_upload",
+            0.25,
+            [
+                DegradationStep("oversharpening", probability_range=(0.7, 0.95),
+                                parameter_ranges={"strength": (1.2, 2.0)}),
+                DegradationStep("lens_distortion", probability_range=(0.3, 0.6),
+                                parameter_ranges={"strength": (-0.05, 0.05)}),
+                DegradationStep("webp_compression", probability_range=(0.9, 1.0),
+                                parameter_ranges={"quality": (50, 80)}),
+                DegradationStep("jpeg_compression", probability_range=(0.4, 0.7),
+                                parameter_ranges={"quality": (60, 85)}),
+                DegradationStep("oversharpening", probability_range=(0.6, 0.9),
+                                parameter_ranges={"strength": (1.1, 1.6)}),
+            ],
+            repeat=1,
+            repeat_probability=0.4,
         ),
     ]
 
 
 def create_video_sequences() -> list[DegradationSequence]:
-    """Video-oriented chains (parity: paragon_video_sequences.py:22)."""
+    """The reference's five platform video chains
+    (paragon_video_sequences.py:22-382): codec artifacts run through
+    jitted surrogates (ops/degradations.py:apply_video_codec_artifacts,
+    block/banding/ringing) instead of per-frame FFmpeg shell-outs."""
     return [
         DegradationSequence(
-            "broadcast",
-            0.5,
+            "youtube_video",
+            0.15,
             [
-                DegradationStep("blur", 0.5),
-                DegradationStep("jpeg", 1.0, parameter_ranges={"quality": (40, 75)}),
+                DegradationStep("oversharpening", probability_range=(0.7, 0.9),
+                                parameter_ranges={"strength": (1.1, 1.5)}),
+                DegradationStep("color_temp_shift", probability_range=(0.4, 0.7),
+                                parameter_ranges={"shift": (-0.1, 0.1)}),
+                DegradationStep("video_compression", 1.0,
+                                parameter_ranges={"crf": (23, 35)}),
+                DegradationStep("block_artifacts", probability_range=(0.5, 0.8),
+                                parameter_ranges={"strength": (8, 16)}),
+                DegradationStep("color_banding", probability_range=(0.4, 0.7),
+                                parameter_ranges={"bits": (6, 8)}),
+                DegradationStep("ringing", probability_range=(0.3, 0.6),
+                                parameter_ranges={"strength": (0.02, 0.08)}),
+                DegradationStep("oversharpening", probability_range=(0.6, 0.9),
+                                parameter_ranges={"strength": (1.05, 1.3)}),
             ],
         ),
         DegradationSequence(
-            "streaming",
-            0.5,
+            "tiktok_shortform",
+            0.15,
             [
-                DegradationStep("sensor_noise", 0.4, parameter_ranges={"std": (0.005, 0.03)}),
-                DegradationStep("jpeg", 1.0, parameter_ranges={"quality": (30, 65)}),
-                DegradationStep("recompress_jpeg", 0.6, parameter_ranges={"quality": (25, 55)}),
+                DegradationStep("exposure_error", probability_range=(0.7, 0.95),
+                                parameter_ranges={"factor": (0.85, 1.4)}),
+                DegradationStep("color_temp_shift", probability_range=(0.8, 0.95),
+                                parameter_ranges={"shift": (-0.25, 0.25)}),
+                DegradationStep("oversharpening", probability_range=(0.85, 0.98),
+                                parameter_ranges={"strength": (1.3, 2.5)}),
+                DegradationStep("video_compression", 1.0,
+                                parameter_ranges={"crf": (28, 40)}),
+                DegradationStep("block_artifacts", probability_range=(0.7, 0.95),
+                                parameter_ranges={"strength": (12, 24)}),
+                DegradationStep("color_banding", probability_range=(0.6, 0.85),
+                                parameter_ranges={"bits": (5, 7)}),
+            ],
+            repeat=1,
+            repeat_probability=0.5,
+        ),
+        DegradationSequence(
+            "streaming_service",
+            0.1,
+            [
+                DegradationStep("video_compression", 1.0,
+                                parameter_ranges={"crf": (20, 30)}),
+                DegradationStep("block_artifacts", probability_range=(0.3, 0.6),
+                                parameter_ranges={"strength": (6, 12)}),
+                DegradationStep("ringing", probability_range=(0.2, 0.5),
+                                parameter_ranges={"strength": (0.02, 0.06)}),
+            ],
+        ),
+        DegradationSequence(
+            "social_multi_platform",
+            0.1,
+            [
+                DegradationStep("oversharpening", probability_range=(0.6, 0.9),
+                                parameter_ranges={"strength": (1.2, 1.8)}),
+                DegradationStep("video_compression", 1.0,
+                                parameter_ranges={"crf": (26, 38)}),
+                DegradationStep("video_compression", probability_range=(0.5, 0.8),
+                                parameter_ranges={"crf": (30, 42)}),
+                DegradationStep("color_banding", probability_range=(0.5, 0.8),
+                                parameter_ranges={"bits": (5, 7)}),
+            ],
+            repeat=1,
+            repeat_probability=0.4,
+        ),
+        DegradationSequence(
+            "dvdrip_anime",
+            0.1,
+            [
+                DegradationStep("blur", probability_range=(0.4, 0.7),
+                                parameter_ranges={"sigma": (0.4, 1.2)}),
+                DegradationStep("video_compression", 1.0,
+                                parameter_ranges={"crf": (24, 36)}),
+                DegradationStep("ringing", probability_range=(0.5, 0.8),
+                                parameter_ranges={"strength": (0.04, 0.1)}),
+                DegradationStep("color_banding", probability_range=(0.4, 0.7),
+                                parameter_ranges={"bits": (6, 8)}),
             ],
         ),
     ]
+
+
+def create_comprehensive_sequences() -> list[DegradationSequence]:
+    """The reference's four end-to-end lifecycle chains
+    (paragon_comprehensive_sequences.py:19-344)."""
+    return [
+        DegradationSequence(
+            "professional_to_internet",
+            0.25,
+            [
+                DegradationStep("sensor_noise", probability_range=(0.3, 0.6),
+                                parameter_ranges={"std": (0.005, 0.02)}),
+                DegradationStep("lens_distortion", probability_range=(0.3, 0.6),
+                                parameter_ranges={"strength": (0.02, 0.08)}),
+                DegradationStep("oversharpening", probability_range=(0.5, 0.8),
+                                parameter_ranges={"strength": (1.05, 1.3)}),
+                DegradationStep("jpeg_compression", 1.0,
+                                parameter_ranges={"quality": (85, 96)}),
+                DegradationStep("webp_compression", probability_range=(0.6, 0.9),
+                                parameter_ranges={"quality": (60, 85)}),
+                DegradationStep("oversharpening", probability_range=(0.4, 0.7),
+                                parameter_ranges={"strength": (1.05, 1.35)}),
+            ],
+        ),
+        DegradationSequence(
+            "phone_to_social",
+            0.3,
+            [
+                DegradationStep("sensor_noise", probability_range=(0.7, 0.95),
+                                parameter_ranges={"std": (0.02, 0.07)}),
+                DegradationStep("lens_distortion", probability_range=(0.5, 0.8),
+                                parameter_ranges={"strength": (0.08, 0.25)}),
+                DegradationStep("oversharpening", probability_range=(0.7, 0.95),
+                                parameter_ranges={"strength": (1.2, 1.9)}),
+                DegradationStep("exposure_error", probability_range=(0.4, 0.7),
+                                parameter_ranges={"factor": (0.85, 1.3)}),
+                DegradationStep("heif_compression", probability_range=(0.7, 0.95),
+                                parameter_ranges={"quality": (70, 92)}),
+                DegradationStep("webp_compression", 1.0,
+                                parameter_ranges={"quality": (50, 78)}),
+            ],
+            repeat=1,
+            repeat_probability=0.35,
+        ),
+        DegradationSequence(
+            "social_processing",
+            0.25,
+            [
+                DegradationStep("exposure_error", probability_range=(0.5, 0.8),
+                                parameter_ranges={"factor": (0.9, 1.25)}),
+                DegradationStep("color_temp_shift", probability_range=(0.5, 0.8),
+                                parameter_ranges={"shift": (-0.2, 0.2)}),
+                DegradationStep("oversharpening", probability_range=(0.7, 0.95),
+                                parameter_ranges={"strength": (1.2, 2.2)}),
+                DegradationStep("webp_compression", 1.0,
+                                parameter_ranges={"quality": (45, 75)}),
+                DegradationStep("jpeg_compression", probability_range=(0.4, 0.7),
+                                parameter_ranges={"quality": (55, 80)}),
+            ],
+            repeat=1,
+            repeat_probability=0.4,
+        ),
+        DegradationSequence(
+            "legacy_internet",
+            0.2,
+            [
+                DegradationStep("blur", probability_range=(0.4, 0.7),
+                                parameter_ranges={"sigma": (0.5, 1.5)}),
+                DegradationStep("jpeg_compression", 1.0,
+                                parameter_ranges={"quality": (35, 65)}),
+                DegradationStep("color_banding", probability_range=(0.3, 0.6),
+                                parameter_ranges={"bits": (5, 7)}),
+                DegradationStep("jpeg_compression", probability_range=(0.5, 0.8),
+                                parameter_ranges={"quality": (30, 60)}),
+            ],
+            repeat=1,
+            repeat_probability=0.3,
+        ),
+    ]
+
+
+def sequences_for_set(name: str) -> list[DegradationSequence]:
+    """Resolve the `sequence_set` config value to chain lists."""
+    sets = {
+        "photo": create_predefined_sequences,
+        "video": create_video_sequences,
+        "comprehensive": create_comprehensive_sequences,
+    }
+    if name == "all":
+        return [s for f in sets.values() for s in f()]
+    if name not in sets:
+        raise ValueError(
+            f"unknown sequence_set {name!r}; choose from "
+            f"{sorted(sets)} or 'all'"
+        )
+    return sets[name]()

@@ -44,11 +44,11 @@ class RealESRGANModel(SRModel):
         if opt.enable_sequences:
             from trainner_redux_tpu.models.paragon_sequences import (
                 SequenceController,
-                create_predefined_sequences,
+                sequences_for_set,
             )
 
             self.sequence_controller = SequenceController(
-                create_predefined_sequences(), seed=opt.manual_seed or 0
+                sequences_for_set(opt.sequence_set), seed=opt.manual_seed or 0
             )
             self._seq_rng = np.random.default_rng([opt.manual_seed or 0, 515151])
 
@@ -361,7 +361,9 @@ class RealESRGANModel(SRModel):
     # ------------------------------------------------------------------
 
     def _apply_plan(self, lq, plan, key):
-        """Execute a degradation-sequence plan with per-op jitted executors."""
+        """Execute a degradation-sequence plan with per-op jitted executors.
+        Op names match the reference's sequence step vocabulary
+        (paragon_sequences.py / paragon_video_sequences.py)."""
         from trainner_redux_tpu.ops.resize import gaussian_blur
 
         def get(name, fn):
@@ -372,34 +374,81 @@ class RealESRGANModel(SRModel):
         for i, (op, params) in enumerate(plan):
             k = jax.random.fold_in(key, i + 100)
             b = lq.shape[0]
-            if op in ("jpeg", "recompress_jpeg"):
+            if op in ("jpeg", "recompress_jpeg", "jpeg_compression"):
                 q = float(params.get("quality", 75.0))
                 lq = get("jpeg", lambda x, qq: D.diff_jpeg_clip(x, qq))(
                     lq, jnp.full((b,), q, jnp.float32)
                 )
+            elif op in ("webp_compression", "avif_compression", "heif_compression"):
+                # modern codecs run through the DiffJPEG surrogate at a
+                # format-dependent quality offset (same policy as _degrade)
+                off = {"webp_compression": 5.0, "avif_compression": 10.0,
+                       "heif_compression": 8.0}[op]
+                q = float(params.get("quality", 75.0)) + off
+                lq = get("jpeg", lambda x, qq: D.diff_jpeg_clip(x, qq))(
+                    lq, jnp.full((b,), min(q, 99.0), jnp.float32)
+                )
             elif op == "blur":
                 sigma = float(params.get("sigma", 1.0))
                 lq = jnp.clip(gaussian_blur(lq, 7, sigma), 0.0, 1.0)
+            elif op == "motion_blur":
+                ksize = int(params.get("kernel_size", 5)) | 1
+                angle = float(params.get("angle", 0.0))
+                kern = D.motion_blur_kernel(None, ksize, jnp.float32(angle))
+                lq = get(f"mblur{ksize}", D.filter2d)(
+                    lq, jnp.broadcast_to(kern, (b, ksize, ksize))
+                )
             elif op == "sensor_noise":
                 std = float(params.get("std", 0.02))
                 lq = get("snoise", D.apply_sensor_noise)(
                     lq, k, jnp.full((b, 1, 1, 1), std, jnp.float32)
                 )
-            elif op == "oversharpen":
+            elif op in ("oversharpen", "oversharpening"):
                 s_ = float(params.get("strength", 1.2))
                 lq = get("osharp", D.apply_oversharpen)(
                     lq, jnp.full((b, 1, 1, 1), s_, jnp.float32)
                 )
-            elif op == "exposure":
+            elif op in ("exposure", "exposure_error"):
                 f_ = float(params.get("factor", 1.0))
                 lq = get("expo", D.apply_exposure)(
                     lq, jnp.full((b, 1, 1, 1), f_, jnp.float32)
+                )
+            elif op == "color_temp_shift":
+                s_ = float(params.get("shift", 0.0))
+                lq = get("ctemp", D.apply_color_temperature)(
+                    lq, jnp.full((b, 1, 1), s_, jnp.float32)
                 )
             elif op == "lens_distortion":
                 s_ = float(params.get("strength", 0.05))
                 lq = get("lens", D.apply_lens_distortion)(
                     lq, jnp.full((b,), s_, jnp.float32)
                 )
+            elif op == "rolling_shutter":
+                s_ = float(params.get("strength", 0.03))
+                lq = get("rshut", D.apply_rolling_shutter)(
+                    lq, jnp.full((b, 1), s_, jnp.float32)
+                )
+            elif op == "chromatic_aberration":
+                s_ = float(params.get("strength", 1.0))
+                lq = get("chrab", D.apply_chromatic_aberration)(
+                    lq, jnp.full((b,), s_, jnp.float32)
+                )
+            elif op == "demosaicing":
+                lq = get("demos", D.apply_demosaic_artifacts)(lq)
+            elif op == "video_compression":
+                crf = float(params.get("crf", 28.0))
+                lq = get("vcodec", D.apply_video_codec_artifacts)(
+                    lq, k, jnp.float32(crf)
+                )
+            elif op == "block_artifacts":
+                s_ = float(params.get("strength", 12.0))
+                lq = get("blockart", D.apply_block_artifacts)(lq, jnp.float32(s_))
+            elif op == "color_banding":
+                bits = float(params.get("bits", 7))
+                lq = get("banding", D.apply_color_banding)(lq, jnp.float32(bits))
+            elif op == "ringing":
+                s_ = float(params.get("strength", 0.05))
+                lq = get("ringing", D.apply_ringing)(lq, jnp.float32(s_))
         return D.round_to_uint8(lq)
 
     def feed_data(self, data: dict[str, Any]) -> None:

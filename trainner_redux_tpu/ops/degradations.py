@@ -310,3 +310,63 @@ def compress_jpeg_like(
 def diff_jpeg_clip(img: jnp.ndarray, quality: jnp.ndarray) -> jnp.ndarray:
     """DiffJPEG with traced per-sample quality, clipped to [0,1]."""
     return jnp.clip(diff_jpeg(img, quality), 0.0, 1.0)
+
+
+def apply_block_artifacts(img: jnp.ndarray, strength: jnp.ndarray) -> jnp.ndarray:
+    """Codec blocking surrogate (reference paragon_otf_degradations.py:683-740).
+
+    The reference loops over 8x8 blocks but applies the SAME uniform
+    quantization `round(x*255/s)*s/255` to each, so the op degenerates to
+    per-pixel quantization with step s/255 — replicated exactly (and
+    trivially jittable)."""
+    s = jnp.asarray(strength, img.dtype)
+    return jnp.clip(jnp.round(img * (255.0 / s)) * (s / 255.0), 0.0, 1.0)
+
+
+def apply_color_banding(img: jnp.ndarray, bit_depth: jnp.ndarray) -> jnp.ndarray:
+    """Bit-depth-reduction banding (reference :743-773): quantize to
+    2**bits levels."""
+    levels = jnp.asarray(2.0, img.dtype) ** jnp.asarray(bit_depth, img.dtype)
+    return jnp.clip(jnp.round(img * (levels - 1)) / (levels - 1), 0.0, 1.0)
+
+
+def apply_ringing(img: jnp.ndarray, strength: jnp.ndarray) -> jnp.ndarray:
+    """Edge ringing/overshoot (reference :776-834): sobel-x edges, a
+    [[0,-1,0],[-1,5,-1],[0,-1,0]]/5 oscillation kernel on |edges|, added
+    back with the edge sign."""
+    sobel = (
+        jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], img.dtype) / 8.0
+    )
+    ring_k = (
+        jnp.asarray([[0, -1, 0], [-1, 5, -1], [0, -1, 0]], img.dtype) / 5.0
+    )
+
+    def dw(x, k):
+        b, h, w, c = x.shape
+        kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    edges = dw(img, sobel)
+    ringing = dw(jnp.abs(edges), ring_k) * jnp.asarray(strength, img.dtype)
+    return jnp.clip(img + ringing * jnp.sign(edges), 0.0, 1.0)
+
+
+def apply_video_codec_artifacts(
+    img: jnp.ndarray, key, crf: jnp.ndarray
+) -> jnp.ndarray:
+    """H.264/H.265-class compression surrogate (documented divergence: the
+    reference shells out to FFmpeg per frame, paragon_otf_degradations.py:
+    580-680 — a host round-trip that would serialize the jitted pipeline).
+    CRF maps to a DiffJPEG quality (CRF 18 ~ q90, CRF 35 ~ q30) plus the
+    quantization blockiness codecs exhibit at higher CRF."""
+    from trainner_redux_tpu.utils.diffjpeg import diff_jpeg
+
+    q = jnp.clip(140.0 - 3.2 * jnp.asarray(crf, jnp.float32), 10.0, 95.0)
+    b = img.shape[0]
+    out = diff_jpeg(img, jnp.broadcast_to(q, (b,)))
+    block_s = jnp.clip(0.6 * jnp.asarray(crf, jnp.float32) - 8.0, 2.0, 20.0)
+    return apply_block_artifacts(jnp.clip(out, 0.0, 1.0), block_s)

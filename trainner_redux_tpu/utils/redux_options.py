@@ -335,6 +335,10 @@ class ReduxOptions:
     editing_oversharpen_strength: tuple[float, float] = (1.0, 1.3)
     sequence_probability: float = 0.5
     predefined_sequences: dict[str, Any] = field(default_factory=dict)
+    # which named chain sets feed the SequenceController: photo (reference
+    # paragon_sequences.py), video (paragon_video_sequences.py),
+    # comprehensive (paragon_comprehensive_sequences.py), or all
+    sequence_set: str = "photo"
 
     dataroot_lq_prob: float = 0
 
