@@ -216,7 +216,7 @@ def test_bucketed_eval_matches_per_image(base_model_fixture=None):
 
     opt = ReduxOptions(
         name="bucketed_eval", scale=2, num_gpu=len(jax.devices()),
-        path=PathOptions(), network_g={"type": "span_f32"}, manual_seed=0,
+        path=PathOptions(), network_g={"type": "superultracompact"}, manual_seed=0,
         is_train=True, compute_dtype="float32",
         mesh={"data": len(jax.devices())},
         train=TrainOptions(

@@ -4,6 +4,7 @@ calibration pass, closing the train/eval gap the torch reference covers with
 nn.BatchNorm2d's side-effect updates."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -74,6 +75,7 @@ def test_sow_is_noop_in_normal_apply():
     assert y.shape == (2, 8, 8, 8)
 
 
+@pytest.mark.slow
 def test_model_level_recalibrate(tmp_path):
     """SRModel.recalibrate_bn end-to-end on a BN arch (sebica_mini)."""
     import yaml

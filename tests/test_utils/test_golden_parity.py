@@ -333,6 +333,7 @@ def test_golden_lawfft(case):
     _run_case(case, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_dysample_matches_reference_torch():
     """Direct cross-framework golden for the DySample upsampler (backs
     SpanPlus/MoSR/PLKSR/FlexNet dysample upsampling paths)."""
