@@ -244,6 +244,11 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
         model.save(epoch, current_iter)
         raise
 
+    n_recal = opt.train.bn_recalibrate_batches if opt.train else 0
+    if n_recal > 0 and hasattr(model, "recalibrate_bn"):
+        logger.info(f"Recalibrating BatchNorm statistics over {n_recal} batches.")
+        model.recalibrate_bn(train_loader, num_batches=n_recal)
+
     logger.info("End of training. Saving final models and states.")
     model.save(epoch, current_iter)
     if opt.val and opt.val.val_enabled:

@@ -642,6 +642,8 @@ class SRModel(BaseModel):
                 for data in dataloader:
                     if n >= num_batches:
                         return
+                    if "lq" not in data:  # OTF loaders carry gt+kernels only
+                        return
                     got = True
                     b = self.shard_batch({"lq": data["lq"]})
                     yield _dev_to_float(b["lq"])

@@ -158,6 +158,11 @@ class TrainOptions:
     ema_power: float = 10
     grad_clip: bool = False
     warmup_iter: int = -1
+    # >0: refresh BatchNormNoStats running statistics over this many train
+    # batches at end of training (utils/bn_recalibrate.py) — the functional
+    # replacement for torch BatchNorm's side-effect updates; no-op for
+    # BN-free archs
+    bn_recalibrate_batches: int = 0
     scheduler: dict[str, Any] | None = None
     optim_d: dict[str, Any] | None = None
     optim_ae: dict[str, Any] | None = None
