@@ -41,8 +41,14 @@ def calibrate_amax(
     variables: dict[str, Any],
     batches: Iterable[Any],
     apply_kwargs: dict[str, Any] | None = None,
+    reduce: str = "max",
 ) -> dict[tuple, float]:
-    """Max |input| per Conv2d path over the calibration batches."""
+    """|input| range per Conv2d path over the calibration batches.
+
+    reduce="max": absolute max across batches (never clips in-distribution
+    activations). reduce="mean": average of per-batch maxima — the common
+    PTQ robustification when a single outlier batch would stretch the scale
+    and waste int8 resolution on the tail."""
     apply_kwargs = dict(apply_kwargs or {})
     apply_kwargs.setdefault("train", False)
 
@@ -54,17 +60,18 @@ def calibrate_amax(
         )
         return aux.get("quant_calib", {})
 
-    amax: dict[tuple, float] = {}
+    acc: dict[tuple, list[float]] = {}
     for batch in batches:
         flat = _collect_paths(stats_fn(batch))
         for path, vals in flat.items():
             # sow appends one entry per call site; a shared conv takes the
             # max across its sites
-            v = float(jnp.max(jnp.stack(vals)))
-            amax[path] = max(amax.get(path, 0.0), v)
-    if not amax:
+            acc.setdefault(path, []).append(float(jnp.max(jnp.stack(vals))))
+    if not acc:
         raise ValueError("calibrate_amax: no Conv2d modules sowed statistics")
-    return amax
+    if reduce == "mean":
+        return {p: float(sum(v) / len(v)) for p, v in acc.items()}
+    return {p: max(v) for p, v in acc.items()}
 
 
 def quantize_int8(
@@ -73,14 +80,16 @@ def quantize_int8(
     batches: Iterable[Any],
     apply_kwargs: dict[str, Any] | None = None,
     skip: Callable[[tuple], bool] | None = None,
+    reduce: str = "max",
 ) -> dict[str, Any]:
     """Build the "quant" collection: per-conv int8 weights + scales.
 
     `skip(path)` (path of the Conv2d module, e.g. ('conv_out',)) excludes a
-    conv from quantization — by default the nothing is skipped; pass e.g.
+    conv from quantization — by default nothing is skipped; pass e.g.
     ``skip=lambda p: "conv_out" in p`` to keep the tail conv full-precision.
+    `reduce` selects the activation-range estimator (see calibrate_amax).
     """
-    amax = calibrate_amax(module, variables, batches, apply_kwargs)
+    amax = calibrate_amax(module, variables, batches, apply_kwargs, reduce)
     params = variables["params"]
     quant: dict[str, Any] = {}
     for path in amax:
