@@ -66,9 +66,13 @@ class PairedVideoDataset:
         lqs, gts = [], []
         crop = None
         flips = None
+        # train clips stay uint8 end-to-end (4x less H2D; normalized
+        # on-chip by _dev_to_float); eval keeps float32 for the bucketed
+        # validation contract
+        as_float = opt.phase != "train"
         for lq_path, gt_path in clip:
-            lq = imfrombytes(self.file_client.get(lq_path), float32=True)
-            gt = imfrombytes(self.file_client.get(gt_path), float32=True)
+            lq = imfrombytes(self.file_client.get(lq_path), float32=as_float)
+            gt = imfrombytes(self.file_client.get(gt_path), float32=as_float)
             if opt.phase == "train":
                 lq_size = (opt.lq_size or (opt.gt_size or 0) // scale) or 64
                 if flips is None:
@@ -97,9 +101,10 @@ class PairedVideoDataset:
             gts.append(np.ascontiguousarray(gt))
 
         center = self.clip_size // 2
+        out_dtype = np.float32 if as_float else lqs[0].dtype
         return {
-            "lq": np.stack(lqs, axis=0).astype(np.float32),  # (T, H, W, C)
-            "gt": gts[center].astype(np.float32),  # center frame target
+            "lq": np.stack(lqs, axis=0).astype(out_dtype),  # (T, H, W, C)
+            "gt": gts[center].astype(out_dtype),  # center frame target
             "lq_path": clip[center][0],
             "gt_path": clip[center][1],
         }

@@ -840,23 +840,31 @@ class SRModel(BaseModel):
         mult = 16
         buckets: dict[tuple, list[dict]] = {}
         for s in samples:
-            h, w = s["lq"].shape[-3], s["lq"].shape[-2]
-            key = (h + (mult - h % mult) % mult, w + (mult - w % mult) % mult)
+            lq = np.asarray(s["lq"])
+            h, w = lq.shape[-3], lq.shape[-2]
+            # video clips arrive batched as (1, T, H, W, C); images as
+            # (1, H, W, C) or raw (H, W, C)
+            t = lq.shape[1] if lq.ndim == 5 else None
+            key = (t, h + (mult - h % mult) % mult, w + (mult - w % mult) % mult)
             buckets.setdefault(key, []).append(s)
         params = self._infer_params()
-        for (ph, pw), group in buckets.items():
-            fn = self._apply_fn((ph, pw, 4))
+        for (t, ph, pw), group in buckets.items():
+            fn = self._apply_fn((t, ph, pw, 5 if t else 4))
             for i in range(0, len(group), n_dev):
                 chunk = group[i : i + n_dev]
                 padded = []
                 for s in chunk:
                     lq = np.asarray(s["lq"], np.float32)
-                    lq = lq[None] if lq.ndim == 3 else lq
-                    h, w = lq.shape[1], lq.shape[2]
-                    lq = np.pad(
-                        lq, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)), mode="reflect"
-                    ) if (ph > h or pw > w) else lq
-                    padded.append(lq[0])
+                    if lq.ndim == 3:
+                        lq = lq[None]
+                    item = lq[0]  # (H, W, C) image or (T, H, W, C) clip
+                    h, w = item.shape[-3], item.shape[-2]
+                    if ph > h or pw > w:
+                        spec = [(0, 0)] * (item.ndim - 3) + [
+                            (0, ph - h), (0, pw - w), (0, 0),
+                        ]
+                        item = np.pad(item, spec, mode="reflect")
+                    padded.append(item)
                 n_real = len(padded)
                 while len(padded) < n_dev:  # fill the mesh's batch axis
                     padded.append(padded[-1])
