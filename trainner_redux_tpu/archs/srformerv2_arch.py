@@ -11,6 +11,8 @@ half-res keys); ConvFFN with a 5x5 depthwise branch; SwinIR-style shell.
 
 from __future__ import annotations
 
+import math
+
 import functools
 
 import jax
@@ -256,7 +258,16 @@ class SRFormerV2(nn.Module):
         h0, w0 = x.shape[1], x.shape[2]
         mean = jnp.asarray([0.4488, 0.4371, 0.4040], x.dtype)
         x = (x - mean) * self.img_range
-        mult = self.window_size
+        # the reference's BasicLayer interleaves plain window-12 Swin blocks
+        # at positions 0/3/6 among the PSA blocks (srformerv2_arch.py:996-1015);
+        # the Swin window clamps to the configured img_size when smaller
+        swin_ws = 12 if self.img_size > 12 else self.img_size
+        # pad to a multiple BOTH window sizes divide: identical to the
+        # reference for its configs (default ws=36 is already a multiple of
+        # 12) and, unlike the reference, keeps window sizes that are not
+        # multiples of 12 runnable instead of crashing at the hidden Swin
+        # blocks' partition
+        mult = self.window_size * swin_ws // math.gcd(self.window_size, swin_ws)
         ph, pw = (mult - h0 % mult) % mult, (mult - w0 % mult) % mult
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
@@ -264,10 +275,6 @@ class SRFormerV2(nn.Module):
         # patch_norm=True: LayerNorm after patch embedding
         body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                             param_dtype=jnp.float32, name="patch_norm")(feat)
-        # the reference's BasicLayer interleaves plain window-12 Swin blocks
-        # at positions 0/3/6 among the PSA blocks (srformerv2_arch.py:996-1015);
-        # the Swin window clamps to the configured img_size when smaller
-        swin_ws = 12 if self.img_size > 12 else self.img_size
         for li, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             group_in = body
             kinds: list = [("psa", 0 if i % 2 == 0 else self.window_size // 2)

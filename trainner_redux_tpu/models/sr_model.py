@@ -176,6 +176,12 @@ class SRModel(BaseModel):
             d_sample = jnp.zeros((1, gt_size, gt_size, 3), jnp.float32)
             d_vars = dict(jax.jit(self.net_d.init)(d_key, d_sample))
             params_d = d_vars.pop("params")
+            # calibration sow collections (Conv2d quant_calib, BN bn_calib)
+            # materialize at init because everything is mutable there; they
+            # are measurement hooks, not training state — carrying them in
+            # extra_d would grow their sow tuples every refresh pass
+            for cal in ("quant_calib", "bn_calib"):
+                d_vars.pop(cal, None)
             extra_d = d_vars  # e.g. {'spectral': ..., 'batch_stats': ...}
             if opt.path.pretrain_network_d:
                 params_d = self.load_network(
