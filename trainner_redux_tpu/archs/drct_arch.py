@@ -139,3 +139,8 @@ SPANDREL_REGISTRY.register(_drct_factory(), name="drct")
 SPANDREL_REGISTRY.register(
     _drct_factory(num_heads=(6,) * 12, depths=(6,) * 12), name="drct_l"
 )
+# drct_xl preset (reference drct_arch.py:980-1000): 14 groups, window 16
+SPANDREL_REGISTRY.register(
+    _drct_factory(num_heads=(6,) * 14, depths=(6,) * 14, window_size=16),
+    name="drct_xl",
+)

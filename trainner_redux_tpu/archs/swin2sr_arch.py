@@ -211,3 +211,8 @@ SPANDREL_REGISTRY.register(
     _swin2sr_factory(embed_dim=60, depths=[6] * 4, num_heads=[6] * 4, window_size=8),
     name="swin2sr_s",
 )
+# swin2sr_l preset (reference swin2sr_arch.py:63-90)
+SPANDREL_REGISTRY.register(
+    _swin2sr_factory(embed_dim=240, depths=[6] * 9, num_heads=[8] * 9, window_size=8),
+    name="swin2sr_l",
+)
