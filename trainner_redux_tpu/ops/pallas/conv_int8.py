@@ -19,14 +19,18 @@ Design notes (constraints discovered on-chip, v5e Mosaic):
 - dequant (per-out-channel scale), bias and the activation run in the same
   kernel; the int32 accumulator never touches HBM.
 
-Status (measured on the v5e bench chip, 480x480x48->48, B=1): bit-exact vs
-the emulated int8 reference; 1.7 ms vs 1.1 ms for XLA's bf16 conv — the
-nine sublane-misaligned tap copies and small (K=N=48) MXU dots dominate, so
-the kernel is NOT yet the default quant path (ops/quant.py routes through
-XLA's int8 conv; batched-tile inference — sr_model.infer_tiled — is the
-practical big-image speed lever at ~8x MXU efficiency). Kept as the
-foundation for a future lane-packed variant once Mosaic grows sub-128 lane
-slicing or int8 sublane rotates.
+Status: bit-exact vs the emulated int8 reference (interpret-mode test in
+tests/test_ops/test_quant.py and on-chip). Performance is UNVALIDATED: the
+only available "TPU" during development was a remote AOT terminal whose
+block_until_ready acknowledges dispatch before execution finishes, so
+relative kernel-vs-XLA timings measured there (1.7 vs 1.1 ms at
+480x480x48->48) are dispatch-floor artifacts, not chip truth — re-measure
+with `scripts/benchmarking/benchmark_archs.py --true-sync` on real
+hardware before drawing conclusions. Until then the kernel is NOT the
+default quant path (ops/quant.py routes through XLA's int8 conv). Known
+structural limits to revisit: nine sublane-misaligned tap copies and small
+(K=N=48) MXU dots; a lane-packed im2col needs Mosaic sub-128 lane slicing
+or int8 sublane rotates.
 """
 
 from __future__ import annotations
