@@ -64,6 +64,13 @@ def test_export_span(tmp_path):
         ({"type": "hat", "scale": 2, "embed_dim": 16, "depths": [2],
           "num_heads": [2], "window_size": 4, "compress_ratio": 2,
           "squeeze_factor": 4, "drop_path_rate": 0.0, "num_feat": 16}, 32),
+        ({"type": "sebica_mini", "scale": 2}, 16),
+        ({"type": "lkfmixer_t", "scale": 2}, 16),
+        ({"type": "moesr2", "scale": 2, "dim": 16, "n_blocks": 1, "n_block": 1}, 16),
+        ({"type": "paragonsr2_realtime", "scale": 2, "num_feat": 16,
+          "num_groups": 1, "num_blocks": 1}, 16),
+        ({"type": "paragonsr2_photo", "scale": 2, "num_feat": 16,
+          "num_groups": 1, "num_blocks": 1, "window_size": 8}, 16),
         ({"type": "fdat", "scale": 2, "embed_dim": 16, "num_groups": 1,
           "depth_per_group": 1, "num_heads": 2, "window_size": 4,
           "drop_path_rate": 0.0}, 32),

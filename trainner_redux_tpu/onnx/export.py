@@ -386,6 +386,32 @@ def _emit_eqn(ctx: _Ctx, eqn) -> None:  # noqa: PLR0912, PLR0915
         out = b.add_node("Mul", [x, x])[0]
         ctx.set(eqn.outvars[0], out)
         return
+    if prim == "log1p":
+        # softplus/mish chains: log1p(x) = Log(x + 1)
+        x = ctx.get(eqn.invars[0])
+        one = b.add_init(np.asarray(1.0, np.float32), "one")
+        s = b.add_node("Add", [x, one])[0]
+        out = b.add_node("Log", [s])[0]
+        ctx.set(eqn.outvars[0], out)
+        return
+    if prim == "tile":
+        x = ctx.get(eqn.invars[0])
+        reps = [int(r) for r in eqn.params["reps"]]
+        # jnp.tile left-pads reps to the operand rank; ONNX Tile wants one
+        # repeat per axis
+        rank = len(eqn.invars[0].aval.shape)
+        reps = [1] * (rank - len(reps)) + reps if len(reps) < rank else reps
+        r = b.add_init(np.asarray(reps, np.int64), "reps")
+        out = b.add_node("Tile", [x, r])[0]
+        ctx.set(eqn.outvars[0], out)
+        return
+    if prim == "expm1":
+        x = ctx.get(eqn.invars[0])
+        e = b.add_node("Exp", [x])[0]
+        one = b.add_init(np.asarray(1.0, np.float32), "one")
+        out = b.add_node("Sub", [e, one])[0]
+        ctx.set(eqn.outvars[0], out)
+        return
     if prim == "erfc":
         x = ctx.get(eqn.invars[0])
         e = b.add_node("Erf", [x])[0]

@@ -159,6 +159,8 @@ def run_graph(graph: proto.Graph, feeds: dict[str, np.ndarray]) -> list[np.ndarr
             out = np.broadcast_to(i[0], [int(s) for s in i[1]]).copy()
         elif op == "Concat":
             out = np.concatenate(i, axis=a["axis"])
+        elif op == "Tile":
+            out = np.tile(i[0], tuple(i[1].tolist()))
         elif op == "Slice":
             starts, ends = i[1].tolist(), i[2].tolist()
             axes = i[3].tolist() if len(i) > 3 else list(range(len(starts)))
