@@ -322,6 +322,31 @@ def _gather_index(ctx: _Ctx, eqn) -> None:
         out = b.add_node("Gather", [x, idx64], axis=axis)[0]
         ctx.set(eqn.outvars[0], out)
         return
+    # batched coordinate gather (grid_sample/DySample bilinear taps):
+    # indices (..., k) pick the k leading operand dims, trailing dims kept
+    # whole -> ONNX GatherND. Indices are pre-clamped per component because
+    # jax gather clips out-of-bounds starts while GatherND does not.
+    k = len(dn.start_index_map)
+    idx_shape = eqn.invars[1].aval.shape
+    if (
+        tuple(dn.start_index_map) == tuple(range(k))
+        and tuple(dn.collapsed_slice_dims) == tuple(range(k))
+        and all(slice_sizes[d] == 1 for d in range(k))
+        and all(slice_sizes[d] == x_shape[d] for d in range(k, len(x_shape)))
+        and idx_shape[-1] == k
+    ):
+        x = ctx.get(eqn.invars[0])
+        idx = ctx.get(eqn.invars[1])
+        lo = b.add_init(np.zeros((k,), np.int64), "lo")
+        hi = b.add_init(
+            np.asarray([x_shape[d] - 1 for d in range(k)], np.int64), "hi"
+        )
+        idx64 = b.add_node("Cast", [idx], to=proto.INT64)[0]
+        idx64 = b.add_node("Max", [idx64, lo])[0]
+        idx64 = b.add_node("Min", [idx64, hi])[0]
+        out = b.add_node("GatherND", [x, idx64])[0]
+        ctx.set(eqn.outvars[0], out)
+        return
     raise NotImplementedError(f"gather pattern unsupported: {dn} sizes={slice_sizes}")
 
 

@@ -161,6 +161,9 @@ def run_graph(graph: proto.Graph, feeds: dict[str, np.ndarray]) -> list[np.ndarr
             out = np.concatenate(i, axis=a["axis"])
         elif op == "Tile":
             out = np.tile(i[0], tuple(i[1].tolist()))
+        elif op == "GatherND":
+            ind = i[1]
+            out = i[0][tuple(np.moveaxis(ind, -1, 0))]
         elif op == "Slice":
             starts, ends = i[1].tolist(), i[2].tolist()
             axes = i[3].tolist() if len(i) > 3 else list(range(len(starts)))
