@@ -65,6 +65,7 @@ def test_export_span(tmp_path):
           "num_heads": [2], "window_size": 4, "compress_ratio": 2,
           "squeeze_factor": 4, "drop_path_rate": 0.0, "num_feat": 16}, 32),
         ({"type": "sebica_mini", "scale": 2}, 16),
+        ({"type": "rtmosr", "scale": 2, "dim": 16}, 16),
         ({"type": "spanplus", "scale": 2, "feature_channels": 16}, 16),
         ({"type": "realplksr", "scale": 2, "dim": 16, "n_blocks": 1,
           "upsampler": "dysample"}, 16),

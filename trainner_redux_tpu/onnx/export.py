@@ -74,16 +74,21 @@ class OnnxBuilder:
 
 
 class _Ctx:
-    """Maps jaxpr vars to ONNX tensor names."""
+    """Maps jaxpr vars to ONNX tensor names; constant-folded values live in
+    `known` and materialize as initializers only when a non-folded consumer
+    actually reads them."""
 
     def __init__(self, builder: OnnxBuilder) -> None:
         self.b = builder
         self.env: dict[Any, str] = {}
+        self.known: dict[Any, np.ndarray] = {}
 
     def get(self, atom) -> str:
         if isinstance(atom, jcore.Literal):
             val = np.asarray(atom.val)
             return self.b.add_init(val, "lit")
+        if atom not in self.env and atom in self.known:
+            self.env[atom] = self.b.add_init(self.known[atom], "fold")
         return self.env[atom]
 
     def set(self, var, name: str) -> None:
@@ -611,11 +616,37 @@ def export_onnx(
     b = OnnxBuilder()
     ctx = _Ctx(b)
     for cv, cval in zip(jaxpr.constvars, closed.consts):
-        ctx.set(cv, b.add_init(_np(cval), "const"))
+        ctx.known[cv] = _np(cval)
     assert len(jaxpr.invars) == 1, "single-input export only"
     ctx.set(jaxpr.invars[0], input_name)
 
+    # constant folding: any eqn whose inputs are all compile-time constants
+    # evaluates at export time (e.g. trace-built identity kernels via
+    # .at[].set -> scatter, iota position grids) instead of needing an ONNX
+    # lowering; results materialize as initializers lazily
+    _NO_FOLD = {"pjit", "custom_jvp_call", "custom_vjp_call", "scan",
+                "while", "cond", "remat", "checkpoint"}
     for eqn in jaxpr.eqns:
+        vals = []
+        foldable = eqn.primitive.name not in _NO_FOLD
+        for v in eqn.invars:
+            if isinstance(v, jcore.Literal):
+                vals.append(v.val)
+            elif v in ctx.known:
+                vals.append(ctx.known[v])
+            else:
+                foldable = False
+                break
+        if foldable:
+            try:
+                out = eqn.primitive.bind(*vals, **eqn.params)
+            except Exception:
+                out = None
+            if out is not None:
+                outs = out if eqn.primitive.multiple_results else [out]
+                for ov, o in zip(eqn.outvars, outs):
+                    ctx.known[ov] = np.asarray(o)
+                continue
         _emit_eqn(ctx, eqn)
 
     out_src = ctx.get(jaxpr.outvars[0])
