@@ -66,6 +66,13 @@ def test_export_span(tmp_path):
           "squeeze_factor": 4, "drop_path_rate": 0.0, "num_feat": 16}, 32),
         ({"type": "sebica_mini", "scale": 2}, 16),
         ({"type": "rtmosr", "scale": 2, "dim": 16}, 16),
+        # shallow config: deep random-init ELAN amplifies activations
+        # chaotically (saturated softmax), which is an ill-conditioned
+        # comparison, not an export defect
+        ({"type": "elan", "scale": 2, "m_elan": 4, "c_elan": 30,
+          "window_sizes": [2, 4, 8]}, 16),
+        ({"type": "rcan", "scale": 2, "n_resgroups": 1, "n_resblocks": 1,
+          "n_feats": 16}, 16),
         ({"type": "spanplus", "scale": 2, "feature_channels": 16}, 16),
         ({"type": "realplksr", "scale": 2, "dim": 16, "n_blocks": 1,
           "upsampler": "dysample"}, 16),

@@ -424,6 +424,31 @@ def _emit_eqn(ctx: _Ctx, eqn) -> None:  # noqa: PLR0912, PLR0915
         out = b.add_node("Log", [s])[0]
         ctx.set(eqn.outvars[0], out)
         return
+    if prim == "dynamic_slice":
+        x = ctx.get(eqn.invars[0])
+        sizes = [int(s) for s in eqn.params["slice_sizes"]]
+        dims = eqn.invars[0].aval.shape
+        nd = len(dims)
+        # start scalars -> (nd,) int64 tensor, clamped like jax (start is
+        # clipped so the full slice stays in bounds)
+        parts = []
+        zero_ax = b.add_init(np.asarray([0], np.int64), "ax0")
+        for v in eqn.invars[1:]:
+            sv = b.add_node("Cast", [ctx.get(v)], to=proto.INT64)[0]
+            parts.append(b.add_node("Unsqueeze", [sv, zero_ax])[0])
+        starts = b.add_node("Concat", parts, axis=0)[0]
+        lo = b.add_init(np.zeros((nd,), np.int64), "lo")
+        hi = b.add_init(
+            np.asarray([dims[d] - sizes[d] for d in range(nd)], np.int64), "hi"
+        )
+        starts = b.add_node("Max", [starts, lo])[0]
+        starts = b.add_node("Min", [starts, hi])[0]
+        szs = b.add_init(np.asarray(sizes, np.int64), "sz")
+        ends = b.add_node("Add", [starts, szs])[0]
+        axes = b.add_init(np.asarray(list(range(nd)), np.int64), "axes")
+        out = b.add_node("Slice", [x, starts, ends, axes])[0]
+        ctx.set(eqn.outvars[0], out)
+        return
     if prim == "tile":
         x = ctx.get(eqn.invars[0])
         reps = [int(r) for r in eqn.params["reps"]]

@@ -164,6 +164,8 @@ def run_graph(graph: proto.Graph, feeds: dict[str, np.ndarray]) -> list[np.ndarr
         elif op == "GatherND":
             ind = i[1]
             out = i[0][tuple(np.moveaxis(ind, -1, 0))]
+        elif op == "Unsqueeze":
+            out = np.expand_dims(i[0], tuple(int(x) for x in i[1]))
         elif op == "Slice":
             starts, ends = i[1].tolist(), i[2].tolist()
             axes = i[3].tolist() if len(i) > 3 else list(range(len(starts)))
