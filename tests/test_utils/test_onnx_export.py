@@ -92,6 +92,14 @@ def test_export_zoo(opt, hw, tmp_path):
     _export_case(opt, hw, tmp_path)
 
 
+def test_export_atd(tmp_path):
+    """ATD: stable argsort token grouping lowers via unique-composite TopK +
+    GatherElements. Tolerance is loose because near-tie category argmaxes
+    can flip between XLA-f32 and the numpy evaluator, regrouping a few
+    tokens — an evaluation sensitivity, not a lowering defect."""
+    _export_case({"type": "atd_light", "scale": 2}, 16, tmp_path, atol=2e-2)
+
+
 def test_proto_roundtrip():
     """Writer output parses back identically (tensor payloads included)."""
     arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)

@@ -424,6 +424,55 @@ def _emit_eqn(ctx: _Ctx, eqn) -> None:  # noqa: PLR0912, PLR0915
         out = b.add_node("Log", [s])[0]
         ctx.set(eqn.outvars[0], out)
         return
+    if prim == "sort":
+        # lax.sort along the last axis. Stable integer-key sorts (argsort's
+        # lowering: sort[keys, iota]) use a unique composite key
+        # key*n + iota so the non-stable ONNX TopK yields the stable order;
+        # payloads follow via GatherElements.
+        dim = int(eqn.params["dimension"])
+        nd = len(eqn.invars[0].aval.shape)
+        if dim != nd - 1:
+            raise NotImplementedError("sort only supported on the last axis")
+        num_keys = int(eqn.params.get("num_keys", 1))
+        if num_keys != 1:
+            raise NotImplementedError("multi-key sort unsupported")
+        keys_var = eqn.invars[0]
+        n = int(keys_var.aval.shape[-1])
+        keys = ctx.get(keys_var)
+        kdt = keys_var.aval.dtype
+        if eqn.params.get("is_stable", False) and np.issubdtype(kdt, np.integer):
+            k64 = b.add_node("Cast", [keys], to=proto.INT64)[0]
+            nn_ = b.add_init(np.asarray(n, np.int64), "n")
+            iota = b.add_init(
+                np.broadcast_to(
+                    np.arange(n, dtype=np.int64),
+                    tuple(keys_var.aval.shape),
+                ).copy(),
+                "iota",
+            )
+            comp = b.add_node("Add", [b.add_node("Mul", [k64, nn_])[0], iota])[0]
+        else:
+            comp = keys
+        kk = b.add_init(np.asarray([n], np.int64), "k")
+        _vals, idx = b.add_node(
+            "TopK", [comp, kk], n_out=2, axis=-1, largest=0, sorted=1
+        )
+        for v_in, v_out in zip(eqn.invars, eqn.outvars):
+            src = ctx.get(v_in)
+            g = b.add_node("GatherElements", [src, idx], axis=nd - 1)[0]
+            ctx.set(v_out, g)
+        return
+    if prim == "argmax":
+        x = ctx.get(eqn.invars[0])
+        axes = eqn.params["axes"]
+        assert len(axes) == 1, "argmax over multiple axes unsupported"
+        out = b.add_node("ArgMax", [x], axis=int(axes[0]), keepdims=0)[0]
+        # jax argmax returns index_dtype (int32 default); ArgMax emits int64
+        dt = eqn.outvars[0].aval.dtype
+        if dt == np.int32:
+            out = b.add_node("Cast", [out], to=proto.INT32)[0]
+        ctx.set(eqn.outvars[0], out)
+        return
     if prim == "dynamic_slice":
         x = ctx.get(eqn.invars[0])
         sizes = [int(s) for s in eqn.params["slice_sizes"]]

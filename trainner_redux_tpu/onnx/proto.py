@@ -258,18 +258,25 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
     return name, np.frombuffer(raw, dtype=dtype).reshape(dims).copy()
 
 
+def _s64(v: int) -> int:
+    """Recover a signed int64 from its unsigned varint encoding (protobuf
+    int64 stores negatives as two's complement)."""
+    v = int(v)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _parse_attr(buf: bytes) -> tuple[str, Any]:
     f = parse_message(buf)
     name = f[1][0].decode()
     atype = int(f.get(20, [0])[0])
     if atype == ATTR_INT:
-        return name, int(f[3][0])
+        return name, _s64(f[3][0])
     if atype == ATTR_FLOAT:
         return name, float(f[2][0])
     if atype == ATTR_STRING:
         return name, f[4][0].decode()
     if atype == ATTR_INTS:
-        return name, [int(v) for v in f.get(8, [])]
+        return name, [_s64(v) for v in f.get(8, [])]
     if atype == ATTR_FLOATS:
         return name, [float(v) for v in f.get(7, [])]
     if atype == ATTR_TENSOR:

@@ -166,6 +166,25 @@ def run_graph(graph: proto.Graph, feeds: dict[str, np.ndarray]) -> list[np.ndarr
             out = i[0][tuple(np.moveaxis(ind, -1, 0))]
         elif op == "Unsqueeze":
             out = np.expand_dims(i[0], tuple(int(x) for x in i[1]))
+        elif op == "TopK":
+            k = int(i[1][0])
+            ax = a.get("axis", -1)
+            largest = a.get("largest", 1)
+            x0 = i[0]
+            order = np.argsort(x0, axis=ax, kind="stable")
+            if largest:
+                order = np.flip(order, axis=ax)
+            idx = np.take(order, np.arange(k), axis=ax)
+            vals = np.take_along_axis(x0, idx, axis=ax)
+            env[node.outputs[0]] = vals
+            env[node.outputs[1]] = idx.astype(np.int64)
+            continue
+        elif op == "GatherElements":
+            out = np.take_along_axis(i[0], i[1].astype(np.int64), axis=a.get("axis", 0))
+        elif op == "ArgMax":
+            out = np.argmax(i[0], axis=a["axis"]).astype(np.int64)
+            if a.get("keepdims", 1):
+                out = np.expand_dims(out, a["axis"])
         elif op == "Slice":
             starts, ends = i[1].tolist(), i[2].tolist()
             axes = i[3].tolist() if len(i) > 3 else list(range(len(starts)))
