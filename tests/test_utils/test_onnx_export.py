@@ -14,7 +14,7 @@ from trainner_redux_tpu.onnx.export import export_onnx
 from trainner_redux_tpu.onnx.runtime import run_model
 
 
-def _export_case(opt: dict, hw: int, tmp_path, atol=1e-4) -> proto.Graph:
+def _export_case(opt: dict, hw: int, tmp_path, atol=1e-4, rtol=None) -> proto.Graph:
     net = build_network(dict(opt))
     x = np.random.default_rng(0).random((1, hw, hw, 3), np.float32)
     params = net.init(jax.random.key(0), jnp.asarray(x), train=False)
@@ -31,7 +31,11 @@ def _export_case(opt: dict, hw: int, tmp_path, atol=1e-4) -> proto.Graph:
     got = run_model(model, {"input": x_nchw})[0]
     assert got.shape == ref.shape
     diff = float(np.abs(ref - got).max())
-    assert diff < atol, f"onnx mismatch {diff}"
+    if rtol is not None:
+        scale = max(float(np.abs(ref).max()), 1e-6)
+        assert diff / scale < rtol, f"onnx rel mismatch {diff / scale} (abs {diff})"
+    else:
+        assert diff < atol, f"onnx mismatch {diff}"
     with open(path, "rb") as f:
         assert f.read() == model
     return proto.parse_model(model)
@@ -90,6 +94,15 @@ def test_export_span(tmp_path):
 )
 def test_export_zoo(opt, hw, tmp_path):
     _export_case(opt, hw, tmp_path)
+
+
+def test_export_fft_archs(tmp_path):
+    """FFT-based archs: rfft2/irfft2 lower to DFT-matrix Einsums with
+    complex tensors carried as (re, im) pairs."""
+    _export_case({"type": "gfisrv2", "scale": 2}, 16, tmp_path, atol=1e-3)
+    # lawfft multiplies by img_range 255 through deep FFT chains: random-init
+    # outputs reach ~1e7, so compare relative
+    _export_case({"type": "lawfft", "scale": 2}, 16, tmp_path, rtol=1e-4)
 
 
 def test_export_atd(tmp_path):

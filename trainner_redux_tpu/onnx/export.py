@@ -82,6 +82,7 @@ class _Ctx:
         self.b = builder
         self.env: dict[Any, str] = {}
         self.known: dict[Any, np.ndarray] = {}
+        self.cenv: dict[Any, tuple[str, str]] = {}  # complex vars -> (re, im)
 
     def get(self, atom) -> str:
         if isinstance(atom, jcore.Literal):
@@ -93,6 +94,50 @@ class _Ctx:
 
     def set(self, var, name: str) -> None:
         self.env[var] = name
+
+    def getc(self, atom) -> tuple[str, str]:
+        if isinstance(atom, jcore.Literal):
+            v = np.asarray(atom.val)
+            return (
+                self.b.add_init(np.asarray(v.real, np.float32), "cre"),
+                self.b.add_init(np.asarray(v.imag, np.float32), "cim"),
+            )
+        if atom not in self.cenv and atom in self.known:
+            v = self.known[atom]
+            self.cenv[atom] = (
+                self.b.add_init(np.asarray(v.real, np.float32), "cre"),
+                self.b.add_init(np.asarray(v.imag, np.float32), "cim"),
+            )
+        return self.cenv[atom]
+
+    def setc(self, var, pair: tuple[str, str]) -> None:
+        self.cenv[var] = pair
+
+
+class _CompView:
+    """Context proxy exposing one component (re/im) of complex vars so the
+    real-op emitters can be reused verbatim for structural complex ops."""
+
+    def __init__(self, ctx: _Ctx, comp: int) -> None:
+        self._ctx = ctx
+        self._comp = comp
+        self.b = ctx.b
+        self.out: dict[Any, str] = {}
+
+    def get(self, atom) -> str:
+        aval = getattr(atom, "aval", None)
+        if aval is not None and np.issubdtype(aval.dtype, np.complexfloating):
+            return self._ctx.getc(atom)[self._comp]
+        if isinstance(atom, jcore.Literal) and np.issubdtype(
+            np.asarray(atom.val).dtype, np.complexfloating
+        ):
+            v = np.asarray(atom.val)
+            part = np.asarray(v.real if self._comp == 0 else v.imag, np.float32)
+            return self.b.add_init(part, "clit")
+        return self._ctx.get(atom)
+
+    def set(self, var, name: str) -> None:
+        self.out[var] = name
 
 
 def _np(x) -> np.ndarray:
@@ -259,9 +304,7 @@ def _pad(ctx: _Ctx, eqn) -> None:
         hi = [max(0, h) for h in hi]
         if any(lo) or any(hi):
             pads = b.add_init(np.asarray(lo + hi, np.int64), "pads")
-            cval = b.add_init(_np(eqn.invars[1].val
-                                  if isinstance(eqn.invars[1], jcore.Literal)
-                                  else 0.0).astype(np.float32), "cv")
+            cval = ctx.get(eqn.invars[1])
             out = b.add_node("Pad", [out, pads, cval], mode="constant")[0]
         ctx.set(eqn.outvars[0], out)
         return
@@ -355,9 +398,176 @@ def _gather_index(ctx: _Ctx, eqn) -> None:
     raise NotImplementedError(f"gather pattern unsupported: {dn} sizes={slice_sizes}")
 
 
-def _emit_eqn(ctx: _Ctx, eqn) -> None:  # noqa: PLR0912, PLR0915
+_COMPLEX_STRUCTURAL = {
+    "transpose", "reshape", "pad", "slice", "concatenate",
+    "broadcast_in_dim", "rev", "squeeze", "dynamic_slice",
+}
+
+
+def _is_complex(atom) -> bool:
+    aval = getattr(atom, "aval", None)
+    if aval is not None:
+        return np.issubdtype(aval.dtype, np.complexfloating)
+    return np.issubdtype(np.asarray(atom.val).dtype, np.complexfloating)
+
+
+def _dft_matmul(ctx, x_names, in_shape, mats, sub):
+    """Einsum a (possibly complex) operand against complex matrices.
+    x_names: (re, im) or (re, None) for real input; mats: (Mre, Mim) numpy.
+    sub: einsum equation like '...hw,wk->...hk'. Returns (re, im) names."""
+    b = ctx.b
+    mre = b.add_init(np.ascontiguousarray(mats[0], dtype=np.float32), "dftr")
+    mim = b.add_init(np.ascontiguousarray(mats[1], dtype=np.float32), "dfti")
+    xr, xi = x_names
+
+    def ein(a_name, m_name):
+        return b.add_node("Einsum", [a_name, m_name], equation=sub)[0]
+
+    rr = ein(xr, mre)
+    ri = ein(xr, mim)
+    if xi is None:
+        return rr, ri
+    ir = ein(xi, mre)
+    ii = ein(xi, mim)
+    re = b.add_node("Sub", [rr, ii])[0]
+    im = b.add_node("Add", [ri, ir])[0]
+    return re, im
+
+
+def _emit_complex(ctx: _Ctx, eqn) -> None:  # noqa: PLR0912, PLR0915
     b = ctx.b
     prim = eqn.primitive.name
+
+    if prim == "fft":
+        ft = str(eqn.params["fft_type"])
+        lengths = tuple(int(v) for v in eqn.params["fft_lengths"])
+        x = eqn.invars[0]
+        kind = {"FftType.FFT": "fft", "FftType.IFFT": "ifft",
+                "FftType.RFFT": "rfft", "FftType.IRFFT": "irfft",
+                "0": "fft", "1": "ifft", "2": "rfft", "3": "irfft"}[ft]
+        if kind in ("rfft", "irfft") and len(lengths) == 2:
+            h, w = lengths
+            if kind == "rfft":
+                kw = w // 2 + 1
+                # matrices from impulse responses (robust to convention)
+                fw = np.fft.rfft(np.eye(w), axis=1)          # (W, K)
+                fh = np.fft.fft(np.eye(h), axis=1)           # (H, H')
+                xr = ctx.get(x)
+                re1, im1 = _dft_matmul(
+                    ctx, (xr, None), None, (fw.real, fw.imag), "...hw,wk->...hk"
+                )
+                re2, im2 = _dft_matmul(
+                    ctx, (re1, im1), None, (fh.real, fh.imag), "...hk,hg->...gk"
+                )
+                ctx.setc(eqn.outvars[0], (re2, im2))
+                return
+            # irfft2: complex (..., H, K) -> real (..., H, W)
+            k_in = int(x.aval.shape[-1])
+            gh = np.fft.ifft(np.eye(h), axis=1)              # (H, H')
+            xr, xi = ctx.getc(x)
+            re1, im1 = _dft_matmul(
+                ctx, (xr, xi), None, (gh.real, gh.imag), "...hk,hg->...gk"
+            )
+            mr = np.stack(
+                [np.fft.irfft(np.eye(k_in, dtype=np.complex64)[k], n=w)
+                 for k in range(k_in)]
+            )                                                # (K, W)
+            mi = np.stack(
+                [np.fft.irfft(1j * np.eye(k_in, dtype=np.complex64)[k], n=w)
+                 for k in range(k_in)]
+            )
+            a = b.add_node(
+                "Einsum", [re1, b.add_init(mr.astype(np.float32), "irr")],
+                equation="...hk,kw->...hw",
+            )[0]
+            c = b.add_node(
+                "Einsum", [im1, b.add_init(mi.astype(np.float32), "iri")],
+                equation="...hk,kw->...hw",
+            )[0]
+            out = b.add_node("Add", [a, c])[0]
+            ctx.set(eqn.outvars[0], out)
+            return
+        raise NotImplementedError(f"fft kind {ft} lengths {lengths}")
+
+    if prim in _COMPLEX_STRUCTURAL:
+        parts = []
+        for comp in (0, 1):
+            view = _CompView(ctx, comp)
+            _emit_eqn(view, eqn, allow_complex=True)
+            parts.append(view.out[eqn.outvars[0]])
+        ctx.setc(eqn.outvars[0], (parts[0], parts[1]))
+        return
+
+    if prim == "real":
+        ctx.set(eqn.outvars[0], ctx.getc(eqn.invars[0])[0])
+        return
+    if prim == "imag":
+        ctx.set(eqn.outvars[0], ctx.getc(eqn.invars[0])[1])
+        return
+    if prim == "conj":
+        re, im = ctx.getc(eqn.invars[0])
+        ctx.setc(eqn.outvars[0], (re, b.add_node("Neg", [im])[0]))
+        return
+    if prim == "convert_element_type":
+        src, dst = eqn.invars[0], eqn.outvars[0]
+        if _is_complex(dst) and not _is_complex(src):
+            re = ctx.get(src)
+            zero = b.add_init(np.asarray(0.0, np.float32), "zero")
+            im = b.add_node("Mul", [re, zero])[0]
+            ctx.setc(dst, (re, im))
+            return
+        if _is_complex(dst) and _is_complex(src):
+            ctx.setc(dst, ctx.getc(src))
+            return
+        # complex -> real: take the real part (jax semantics warn + real)
+        ctx.set(dst, ctx.getc(src)[0])
+        return
+    if prim in ("add", "sub"):
+        ar, ai = ctx.getc(eqn.invars[0])
+        br, bi = ctx.getc(eqn.invars[1])
+        op = "Add" if prim == "add" else "Sub"
+        ctx.setc(eqn.outvars[0], (
+            b.add_node(op, [ar, br])[0], b.add_node(op, [ai, bi])[0],
+        ))
+        return
+    if prim == "mul":
+        ar, ai = ctx.getc(eqn.invars[0])
+        br, bi = ctx.getc(eqn.invars[1])
+        rr = b.add_node("Mul", [ar, br])[0]
+        ii = b.add_node("Mul", [ai, bi])[0]
+        ri = b.add_node("Mul", [ar, bi])[0]
+        ir = b.add_node("Mul", [ai, br])[0]
+        ctx.setc(eqn.outvars[0], (
+            b.add_node("Sub", [rr, ii])[0], b.add_node("Add", [ri, ir])[0],
+        ))
+        return
+    if prim == "neg":
+        re, im = ctx.getc(eqn.invars[0])
+        ctx.setc(eqn.outvars[0], (
+            b.add_node("Neg", [re])[0], b.add_node("Neg", [im])[0],
+        ))
+        return
+    if prim == "abs":
+        re, im = ctx.getc(eqn.invars[0])
+        r2 = b.add_node("Mul", [re, re])[0]
+        i2 = b.add_node("Mul", [im, im])[0]
+        ctx.set(eqn.outvars[0], b.add_node(
+            "Sqrt", [b.add_node("Add", [r2, i2])[0]]
+        )[0])
+        return
+    raise NotImplementedError(f"complex primitive '{prim}' unsupported")
+
+
+def _emit_eqn(ctx: _Ctx, eqn, allow_complex: bool = False) -> None:  # noqa: PLR0912, PLR0915
+    b = ctx.b
+    prim = eqn.primitive.name
+
+    if not allow_complex and prim not in _CALL_PRIMS and any(
+        _is_complex(v) for v in list(eqn.invars) + list(eqn.outvars)
+        if hasattr(v, "aval") or isinstance(v, jcore.Literal)
+    ):
+        _emit_complex(ctx, eqn)
+        return
 
     if prim in _CALL_PRIMS:
         sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
@@ -368,13 +578,26 @@ def _emit_eqn(ctx: _Ctx, eqn) -> None:  # noqa: PLR0912, PLR0915
             consts = ()
         inner = _Ctx(b)
         for cv, cval in zip(sub.constvars, consts):
-            inner.set(cv, b.add_init(_np(cval), "const"))
+            cval_np = _np(cval)
+            if np.issubdtype(cval_np.dtype, np.complexfloating):
+                inner.setc(cv, (
+                    b.add_init(cval_np.real.astype(np.float32), "cre"),
+                    b.add_init(cval_np.imag.astype(np.float32), "cim"),
+                ))
+            else:
+                inner.set(cv, b.add_init(cval_np, "const"))
         for iv, outer_atom in zip(sub.invars, eqn.invars):
-            inner.set(iv, ctx.get(outer_atom))
+            if _is_complex(outer_atom):
+                inner.setc(iv, ctx.getc(outer_atom))
+            else:
+                inner.set(iv, ctx.get(outer_atom))
         for sub_eqn in sub.eqns:
             _emit_eqn(inner, sub_eqn)
         for ov, outer_ov in zip(sub.outvars, eqn.outvars):
-            ctx.set(outer_ov, inner.get(ov))
+            if _is_complex(ov):
+                ctx.setc(outer_ov, inner.getc(ov))
+            else:
+                ctx.set(outer_ov, inner.get(ov))
         return
 
     if prim in _ELEMENTWISE:
