@@ -98,14 +98,22 @@ def main(argv: list[str] | None = None) -> None:
 
         nchw_shape = (shape[0], shape[3], shape[1], shape[2])
         sample_nchw = np.random.default_rng(0).random(nchw_shape).astype(np.float32)
-        model_bytes = export_onnx(forward_nchw, sample_nchw, base + ".onnx")
-        logger.info(f"wrote {base}.onnx ({len(model_bytes)} bytes, opset 13)")
+        use_fp16 = bool(onnx_opt and onnx_opt.dtype == "fp16")
+        model_bytes = export_onnx(
+            forward_nchw, sample_nchw, base + ".onnx", fp16=use_fp16
+        )
+        logger.info(
+            f"wrote {base}.onnx ({len(model_bytes)} bytes, opset 13"
+            f"{', fp16' if use_fp16 else ''})"
+        )
         if onnx_opt is None or onnx_opt.verify:
             ref_o = np.asarray(forward_nchw(jnp.asarray(sample_nchw)))
-            got_o = run_model(model_bytes, {"input": sample_nchw})[0]
-            err_o = float(np.abs(ref_o - got_o).max())
+            feed = sample_nchw.astype(np.float16) if use_fp16 else sample_nchw
+            got_o = run_model(model_bytes, {"input": feed})[0]
+            err_o = float(np.abs(ref_o - got_o.astype(np.float32)).max())
             logger.info(f"onnx verification max abs error: {err_o:.3e}")
-            assert err_o < 1e-4, "onnx export verification failed"
+            tol = 5e-2 if use_fp16 else 1e-4
+            assert err_o < tol, "onnx export verification failed"
     except NotImplementedError as e:
         logger.warning(
             f"ONNX export unavailable for this arch ({e}); "

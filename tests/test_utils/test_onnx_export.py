@@ -113,6 +113,31 @@ def test_export_atd(tmp_path):
     _export_case({"type": "atd_light", "scale": 2}, 16, tmp_path, atol=2e-2)
 
 
+def test_export_fp16(tmp_path):
+    """fp16 emission: half-size model, FLOAT16 graph I/O, f16-level error."""
+    import jax
+    import jax.numpy as jnp
+
+    from trainner_redux_tpu.onnx.export import export_onnx
+    from trainner_redux_tpu.onnx.runtime import run_model
+
+    net = build_network({"type": "superultracompact", "scale": 2})
+    x = np.random.default_rng(0).random((1, 16, 16, 3), np.float32)
+    params = net.init(jax.random.key(0), jnp.asarray(x), train=False)
+
+    def fwd(inp):
+        h = jnp.transpose(inp, (0, 2, 3, 1))
+        return jnp.transpose(net.apply(params, h, train=False), (0, 3, 1, 2))
+
+    xn = np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+    m32 = export_onnx(fwd, xn, str(tmp_path / "a.onnx"))
+    m16 = export_onnx(fwd, xn, str(tmp_path / "b.onnx"), fp16=True)
+    assert len(m16) < 0.6 * len(m32)
+    ref = np.asarray(fwd(jnp.asarray(xn)))
+    got = run_model(m16, {"input": xn.astype(np.float16)})[0]
+    assert float(np.abs(ref - got.astype(np.float32)).max()) < 5e-3
+
+
 def test_proto_roundtrip():
     """Writer output parses back identically (tensor payloads included)."""
     arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)

@@ -51,11 +51,12 @@ _COMPARE = {"eq": "Equal", "lt": "Less", "gt": "Greater",
 
 
 class OnnxBuilder:
-    def __init__(self) -> None:
+    def __init__(self, fp16: bool = False) -> None:
         self.nodes: list[bytes] = []
         self.initializers: list[bytes] = []
         self._init_names: set[str] = set()
         self.counter = 0
+        self.fp16 = fp16
 
     def fresh(self, hint: str = "t") -> str:
         self.counter += 1
@@ -68,7 +69,10 @@ class OnnxBuilder:
 
     def add_init(self, arr: np.ndarray, hint: str = "c") -> str:
         name = self.fresh(hint)
-        self.initializers.append(proto.tensor_proto(name, np.asarray(arr)))
+        arr = np.asarray(arr)
+        if self.fp16 and arr.dtype in (np.float32, np.float64):
+            arr = arr.astype(np.float16)
+        self.initializers.append(proto.tensor_proto(name, arr))
         self._init_names.add(name)
         return name
 
@@ -905,12 +909,17 @@ def export_onnx(
     fn, example_input: np.ndarray, path: str,
     input_name: str = "input", output_name: str = "output",
     dynamic_batch: bool = True,
+    fp16: bool = False,
 ) -> bytes:
-    """Trace fn(example_input) and write an ONNX model to path."""
+    """Trace fn(example_input) and write an ONNX model to path.
+
+    fp16=True emits a half-precision model: float initializers convert to
+    float16 and the graph's float input/output are declared FLOAT16 (the
+    reference's convert_to_onnx fp16 conversion, without the ORT pass)."""
     closed = jax.make_jaxpr(fn)(example_input)
     jaxpr = closed.jaxpr
 
-    b = OnnxBuilder()
+    b = OnnxBuilder(fp16=fp16)
     ctx = _Ctx(b)
     for cv, cval in zip(jaxpr.constvars, closed.consts):
         ctx.known[cv] = _np(cval)
@@ -959,6 +968,11 @@ def export_onnx(
         out_shape = tuple(out_aval.shape)
     in_dt = proto.NP_TO_ONNX[np.dtype(example_input.dtype)]
     out_dt = proto.NP_TO_ONNX[np.dtype(out_aval.dtype)]
+    if fp16:
+        if in_dt == proto.FLOAT:
+            in_dt = proto.FLOAT16
+        if out_dt == proto.FLOAT:
+            out_dt = proto.FLOAT16
     graph = proto.graph_proto(
         "main",
         b.nodes,
