@@ -146,3 +146,28 @@ def test_paired_dataset_from_lmdb(tmp_path):
     s = ds[0]
     assert s["gt"].shape == (16, 16, 3)
     assert s["lq"].shape == (8, 8, 3)
+
+
+def test_edge_cases(tmp_path):
+    """Empty db, single entry, long keys, values at the node-size boundary."""
+    env = str(tmp_path / "edge.lmdb")
+    w = PureLmdbWriter(env)
+    w.close()
+    with PureLmdbReader(env) as r:
+        assert len(r) == 0
+        assert r.get(b"any") is None
+        assert list(r.items()) == []
+
+    env2 = str(tmp_path / "edge2.lmdb")
+    w = PureLmdbWriter(env2)
+    long_key = b"k" * 400
+    w.put(long_key, b"v")
+    # values straddling the inline/overflow boundary (~nodemax = 2040)
+    for sz in (2000, 2024, 2032, 2040, 2048, 4095, 4096, 4097):
+        w.put(f"sz{sz:05d}".encode(), bytes(sz))
+    w.close()
+    with PureLmdbReader(env2) as r:
+        assert r.get(long_key) == b"v"
+        for sz in (2000, 2024, 2032, 2040, 2048, 4095, 4096, 4097):
+            v = r.get(f"sz{sz:05d}".encode())
+            assert v is not None and len(v) == sz, sz
