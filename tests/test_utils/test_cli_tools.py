@@ -100,3 +100,30 @@ def test_docs_generator(tmp_path):
     r = _run(["scripts/docs/generate_reference_docs.py"])
     assert r.returncode == 0, r.stderr[-800:]
     assert osp.exists(osp.join(REPO, "docs", "source", "architectures.md"))
+
+
+def test_score_checkpoint_cli(tmp_path):
+    """score_checkpoint pipeline smoke: a golden-fixture torch state_dict
+    loads through the converters and scores a tiny val pair end-to-end."""
+    import cv2
+
+    ckpt = osp.join(REPO, "tests", "golden", "artcnn.safetensors")
+    if not osp.exists(ckpt):
+        pytest.skip("artcnn golden fixture absent")
+    gt_dir = tmp_path / "gt"
+    lq_dir = tmp_path / "lq"
+    gt_dir.mkdir()
+    lq_dir.mkdir()
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    cv2.imwrite(str(gt_dir / "a.png"), gt)
+    cv2.imwrite(str(lq_dir / "a.png"), gt[::2, ::2])
+
+    r = _run([
+        "scripts/parity/score_checkpoint.py", "--arch", "artcnn",
+        "--scale", "2", "--checkpoint", ckpt,
+        "--gt", str(gt_dir), "--lq", str(lq_dir),
+        "--arch-args", '{"filters": 16, "n_block": 2}',
+    ])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "PSNR" in r.stdout or "psnr" in r.stdout
