@@ -36,14 +36,18 @@ if os.environ.get("TRAINNER_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["TRAINNER_PLATFORM"])
 
 
-def parse_input_shape(shape: str) -> tuple[int, int, int, int]:
-    """'1x3xHxW' (torch layout, dynamic H/W default 256) -> NHWC tuple."""
+def parse_input_shape(shape: str) -> tuple[int, ...]:
+    """'1x3xHxW' (torch layout, dynamic H/W default 256) -> NHWC tuple.
+    Five components ('1x5x3xHxW' = batch x clip x C x H x W) select the video
+    layout and return (N, T, H, W, C)."""
     parts = shape.lower().split("x")
-    n = int(parts[0]) if parts[0].isdigit() else 1
-    c = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 3
-    h = int(parts[2]) if len(parts) > 2 and parts[2].isdigit() else 256
-    w = int(parts[3]) if len(parts) > 3 and parts[3].isdigit() else 256
-    return (n, h, w, c)
+
+    def num(i, default):
+        return int(parts[i]) if len(parts) > i and parts[i].isdigit() else default
+
+    if len(parts) == 5:
+        return (num(0, 1), num(1, 5), num(3, 256), num(4, 256), num(2, 3))
+    return (num(0, 1), num(2, 256), num(3, 256), num(1, 3))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -63,7 +67,9 @@ def main(argv: list[str] | None = None) -> None:
     dtype = jnp.bfloat16 if (onnx_opt and onnx_opt.dtype == "bf16") else jnp.float32
 
     model = build_model(opt)
-    params = jax.device_get(model._infer_params())
+    # keep params as jax arrays: the exports close over them, and numpy
+    # leaves closed over in a traced function break table[tracer] indexing
+    params = model._infer_params()
     net = model.net_g
 
     def forward(x):
@@ -96,7 +102,15 @@ def main(argv: list[str] | None = None) -> None:
             y = net.apply({"params": params}, h, train=False)
             return jnp.transpose(y, (0, 3, 1, 2))
 
-        nchw_shape = (shape[0], shape[3], shape[1], shape[2])
+        if len(shape) == 5:  # (N, T, H, W, C) -> torch-style (N, T, C, H, W)
+            nchw_shape = (shape[0], shape[1], shape[4], shape[2], shape[3])
+
+            def forward_nchw(inp):  # noqa: F811
+                h = jnp.transpose(inp, (0, 1, 3, 4, 2))
+                y = net.apply({"params": params}, h, train=False)
+                return jnp.transpose(y, (0, 3, 1, 2))
+        else:
+            nchw_shape = (shape[0], shape[3], shape[1], shape[2])
         sample_nchw = np.random.default_rng(0).random(nchw_shape).astype(np.float32)
         use_fp16 = bool(onnx_opt and onnx_opt.dtype == "fp16")
         model_bytes = export_onnx(

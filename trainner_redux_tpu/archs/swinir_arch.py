@@ -117,7 +117,10 @@ class WindowAttention(nn.Module):
             jnp.float32,
         )
         idx = jnp.asarray(_relative_position_index(self.window_size))
-        bias = bias_table[idx.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
+        # jnp.take: robust when params arrive as numpy leaves (a numpy
+        # table indexed by a tracer would call __array__ and fail)
+        bias = jnp.take(bias_table, idx.reshape(-1), axis=0)
+        bias = bias.reshape(n, n, nh).transpose(2, 0, 1)
         attn = attn + bias[None]
 
         if mask is not None:
