@@ -148,6 +148,40 @@ def test_paired_dataset_from_lmdb(tmp_path):
     assert s["lq"].shape == (8, 8, 3)
 
 
+def test_interop_with_real_lmdb(tmp_path):
+    """Cross-implementation compatibility with liblmdb (the real `lmdb`
+    wheel): PureLmdbWriter output must open under liblmdb and vice versa.
+    The wheel is absent in the build image, so this activates on any
+    CI/dev machine that has it installed."""
+    lmdb = pytest.importorskip("lmdb")
+
+    items = {f"key{i:04d}".encode(): (f"val{i}" * (i + 1)).encode() for i in range(64)}
+    items[b"blob"] = bytes(range(256)) * 1024  # overflow-page value
+
+    # pure writer -> real reader
+    env_a = str(tmp_path / "pure.lmdb")
+    w = PureLmdbWriter(env_a)
+    for k, v in sorted(items.items()):
+        w.put(k, v)
+    w.close()
+    with lmdb.open(env_a, readonly=True, lock=False) as env:
+        with env.begin() as txn:
+            assert txn.stat()["entries"] == len(items)
+            for k, v in items.items():
+                assert bytes(txn.get(k)) == v
+
+    # real writer -> pure reader
+    env_b = str(tmp_path / "real.lmdb")
+    with lmdb.open(env_b, map_size=64 * 1024 * 1024) as env:
+        with env.begin(write=True) as txn:
+            for k, v in items.items():
+                txn.put(k, v)
+    with PureLmdbReader(env_b) as r:
+        assert len(r) == len(items)
+        for k, v in items.items():
+            assert r.get(k) == v
+
+
 def test_edge_cases(tmp_path):
     """Empty db, single entry, long keys, values at the node-size boundary."""
     env = str(tmp_path / "edge.lmdb")

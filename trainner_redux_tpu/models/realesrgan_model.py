@@ -288,7 +288,7 @@ class RealESRGANModel(SRModel):
         # -------- stage 5: editing --------
         if opt.editing_prob > 0:
             ke = next(kit)
-            ke1, ke2, ke3 = jax.random.split(ke, 3)
+            ke1, ke2, ke3, ke4, ke5 = jax.random.split(ke, 5)
 
             def editing(x):
                 factor = jax.random.uniform(
@@ -301,6 +301,22 @@ class RealESRGANModel(SRModel):
                     lambda v: jnp.clip(v * factor, 0.0, 1.0),
                     lambda v: v,
                     x,
+                )
+                # social-media re-sharpening (editing_oversharpen_prob /
+                # editing_oversharpen_strength). The reference draws these
+                # params but forgets to apply them (realesrgan_model.py:
+                # 603-609 dead-ends after the getattr) — here they do what
+                # the config says.
+                strength = jax.random.uniform(
+                    ke5, (x.shape[0], 1, 1, 1),
+                    minval=opt.editing_oversharpen_strength[0],
+                    maxval=opt.editing_oversharpen_strength[1],
+                )
+                y = jax.lax.cond(
+                    jax.random.uniform(ke4) < opt.editing_oversharpen_prob,
+                    lambda v: D.apply_oversharpen(v, strength),
+                    lambda v: v,
+                    y,
                 )
                 return y
 
@@ -449,6 +465,13 @@ class RealESRGANModel(SRModel):
             elif op == "ringing":
                 s_ = float(params.get("strength", 0.05))
                 lq = get("ringing", D.apply_ringing)(lq, jnp.float32(s_))
+            else:
+                raise ValueError(
+                    f"unknown degradation op {op!r} in sequence plan; known ops "
+                    "follow the reference's sequence vocabulary "
+                    "(paragon_sequences.py). A typo here would silently weaken "
+                    "the degradation pipeline, so it is an error."
+                )
         return D.round_to_uint8(lq)
 
     def feed_data(self, data: dict[str, Any]) -> None:
@@ -498,6 +521,25 @@ class RealESRGANModel(SRModel):
                 self._pool["lq"], self._pool["gt"], self._pool["count"], lq, gt, pkey
             )
             self._pool = {"lq": new_plq, "gt": new_pgt, "count": new_count}
+
+        # OTF debug dumps (reference realesrgan_model.py:629-646):
+        # high_order_degradations_debug saves each degraded batch pair under
+        # debug/otf until the limit is reached (0 = unlimited).
+        if self.opt.high_order_degradations_debug and (
+            self._feed_count <= int(self.opt.high_order_degradations_debug_limit or 0)
+            or not self.opt.high_order_degradations_debug_limit
+        ):
+            import os
+
+            from trainner_redux_tpu.utils.img_util import save_batch_grid
+
+            os.makedirs("debug/otf", exist_ok=True)
+            save_batch_grid(
+                jax.device_get(lq), f"debug/otf/{self._feed_count:06d}_otf_lq.png"
+            )
+            save_batch_grid(
+                jax.device_get(gt), f"debug/otf/{self._feed_count:06d}_otf_gt.png"
+            )
 
         # MoA at the end of the OTF feed (reference realesrgan_model.py:648-650)
         if getattr(self, "batch_augment", None) is not None:

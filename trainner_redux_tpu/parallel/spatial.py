@@ -29,7 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from trainner_redux_tpu.parallel.mesh import DATA_AXIS
@@ -88,7 +88,7 @@ def spatial_sharded_apply(
         mesh=mesh,
         in_specs=P(None, axis),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(x)
 

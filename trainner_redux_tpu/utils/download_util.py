@@ -10,6 +10,7 @@ helpers resolve them without touching the network.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import os.path as osp
 import urllib.request
@@ -46,9 +47,16 @@ def load_file_from_url(
             done = min(blocks * bs / total * 100, 100.0)
             print(f"\r  {done:5.1f}%", end="", flush=True)
 
+    # Download to a .part file and rename only on success so an interrupted
+    # transfer never masquerades as a valid cached artifact (torch.hub does
+    # the same; reference download_util.py routes through it).
+    part = cached + ".part"
     try:
-        urllib.request.urlretrieve(url, cached, reporthook=_hook)
+        urllib.request.urlretrieve(url, part, reporthook=_hook)
+        os.replace(part, cached)
     except OSError as e:
+        with contextlib.suppress(OSError):
+            os.remove(part)
         raise OSError(
             f"could not download {url} ({e}); on air-gapped hosts place the "
             f"file manually at {cached}"
