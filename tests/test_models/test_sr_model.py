@@ -242,3 +242,55 @@ def test_bucketed_eval_matches_per_image(base_model_fixture=None):
     for s in samples:
         ref = model.test(s["lq"])[0]
         np.testing.assert_allclose(outs[s["lq_path"]], ref, atol=2e-5)
+
+
+def test_ema_switch_iter(tiny_dataset, tmp_path):
+    """ema_switch_iter=2: after every 2nd optimizer step the online params
+    must EQUAL the EMA params (reference sr_model.py:223 /
+    ema_pytorch update_model_with_ema_every)."""
+    import jax
+
+    from trainner_redux_tpu.models import build_model
+
+    opt = make_opt(tiny_dataset, tmp_path)
+    opt.train.ema_switch_iter = 3
+    model = build_model(opt)
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "lq": rng.random((4, 16, 16, 3), np.float32),
+        "gt": rng.random((4, 32, 32, 3), np.float32),
+    }
+    model.feed_data(batch)
+
+    def maxdiff():
+        leaves_p = jax.tree.leaves(model.state.params_g)
+        leaves_e = jax.tree.leaves(model.state.ema_params_g)
+        return max(float(np.max(np.abs(np.asarray(p) - np.asarray(e))))
+                   for p, e in zip(leaves_p, leaves_e))
+
+    model.optimize_parameters(1)  # step 0: EMA warmup copies params (d=0)
+    assert maxdiff() == 0.0
+    model.optimize_parameters(2)  # step 1: EMA lags behind the update
+    assert maxdiff() > 0.0
+    model.optimize_parameters(3)  # step 2: (2+1) % 3 == 0 -> switch
+    assert maxdiff() == 0.0
+
+
+def test_remat_trains(tiny_dataset, tmp_path):
+    """remat=True wraps the generator forward in jax.checkpoint; training
+    still steps and produces finite losses."""
+    from trainner_redux_tpu.models import build_model
+
+    opt = make_opt(tiny_dataset, tmp_path)
+    opt.remat = True
+    model = build_model(opt)
+    rng = np.random.default_rng(4)
+    batch = {
+        "lq": rng.random((4, 16, 16, 3), np.float32),
+        "gt": rng.random((4, 32, 32, 3), np.float32),
+    }
+    model.feed_data(batch)
+    model.optimize_parameters(1)
+    log = model.get_current_log()
+    assert np.isfinite(log["l_g_total"])

@@ -57,6 +57,25 @@ def build_dataloader(
     if phase == "train":
         batch_size = (dataset_opt.batch_size_per_gpu or 4) * max(1, num_gpu)
         num_workers = dataset_opt.num_worker_per_gpu or 4
+        # torch DataLoader compat knobs (reference data/__init__.py:122-147):
+        # prefetch_factor maps onto the ready-batch queue depth when
+        # num_prefetch_queue is unset; pin_memory and persistent_workers are
+        # satisfied by construction here (XLA stages H2D from pinned buffers,
+        # the decode pool persists across epochs); prefetch_mode's cpu/cuda
+        # split is subsumed by the always-on DevicePrefetcher in train.py.
+        prefetch_batches = (
+            dataset_opt.num_prefetch_queue
+            or dataset_opt.prefetch_factor
+            or 2
+        )
+        if dataset_opt.prefetch_mode not in (None, "cpu", "cuda"):
+            from trainner_redux_tpu.utils.logger import get_root_logger
+
+            logger = get_root_logger()
+            logger.warning(
+                "prefetch_mode=%s is unknown; using the device prefetcher",
+                dataset_opt.prefetch_mode,
+            )
         return DataLoader(
             dataset,
             batch_size=batch_size,
@@ -64,7 +83,7 @@ def build_dataloader(
             shuffle=sampler is None,
             num_workers=num_workers,
             drop_last=True,
-            prefetch_batches=dataset_opt.num_prefetch_queue or 2,
+            prefetch_batches=prefetch_batches,
             seed=seed or 0,
         )
     return DataLoader(

@@ -91,6 +91,7 @@ class AEModel(SRModel):
         ema_decay = self.ema_decay
         ema_after = self.ema_update_after_step
         ema_power = self.ema_power
+        ema_switch = int((self.opt.train.ema_switch_iter if self.opt.train else 0) or 0)
 
         def ema_update(ema, params, step):
             t = jnp.maximum(step - ema_after, 0).astype(jnp.float32)
@@ -135,6 +136,13 @@ class AEModel(SRModel):
             new_ema = state.ema_params_g
             if state.ema_params_g is not None:
                 new_ema = ema_update(state.ema_params_g, new_params, state.step)
+                if ema_switch > 0:
+                    # ema_switch_iter (reference ae_model.py:175): copy EMA
+                    # weights into the online model every N steps.
+                    do_switch = (state.step + 1) % ema_switch == 0
+                    new_params = jax.tree.map(
+                        lambda p, e: jnp.where(do_switch, e, p), new_params, new_ema
+                    )
             return (
                 state.replace(
                     step=state.step + 1,

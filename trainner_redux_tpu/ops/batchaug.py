@@ -171,7 +171,16 @@ class BatchAugment:
     (reference batchaug.py:22-45). Each augmentation is jitted separately;
     the host picks which compiled program to run."""
 
-    def __init__(self, scale: int, moa_augs: list[str], moa_probs: list[float], seed: int = 0):
+    def __init__(
+        self,
+        scale: int,
+        moa_augs: list[str],
+        moa_probs: list[float],
+        seed: int = 0,
+        debug: bool = False,
+        debug_limit: int = 100,
+        debug_path: str = "debug/moa",
+    ):
         self.scale = scale
         self.moa_augs = list(moa_augs)
         probs = np.asarray(moa_probs[: len(moa_augs)], np.float64)
@@ -180,10 +189,31 @@ class BatchAugment:
         self._jitted = {}
         self._count = 0
         self._base_key = jax.random.key(seed + 31337)
+        self.debug = bool(debug)
+        self.debug_limit = int(debug_limit)
+        self.debug_path = debug_path
+
+    def _dump(self, name: str, img) -> None:
+        """Save a batch as one image grid (reference batchaug.py:71-123 uses
+        torchvision save_image)."""
+        import os
+
+        from trainner_redux_tpu.utils.img_util import save_batch_grid
+
+        save_batch_grid(jax.device_get(img), os.path.join(self.debug_path, name))
 
     def __call__(self, gt, lq):
         self._count += 1
         aug = self._rng.choice(self.moa_augs, p=self.moa_probs)
+        debug_this = self.debug and (
+            self._count <= self.debug_limit or self.debug_limit == 0
+        )
+        if debug_this:
+            import os
+
+            os.makedirs(self.debug_path, exist_ok=True)
+            self._dump(f"{self._count:06d}_preauglq.png", lq)
+            self._dump(f"{self._count:06d}_preauggt.png", gt)
         if aug == "none":
             return gt, lq
         if aug not in self._jitted:
@@ -193,4 +223,8 @@ class BatchAugment:
                 lambda g, l, k, fn=fn: fn(g, l, scale, k)
             )
         key = jax.random.fold_in(self._base_key, self._count)
-        return self._jitted[aug](gt, lq, key)
+        gt, lq = self._jitted[aug](gt, lq, key)
+        if debug_this:
+            self._dump(f"{self._count:06d}_postaug_{aug}_lqfinal.png", lq)
+            self._dump(f"{self._count:06d}_postaug_{aug}_gtfinal.png", gt)
+        return gt, lq

@@ -87,3 +87,19 @@ def mod_crop(img: np.ndarray, scale: int) -> np.ndarray:
         h, w = img.shape[0], img.shape[1]
         return img[: h - h % scale, : w - w % scale, ...]
     raise ValueError(f"Wrong img ndim: {img.ndim}")
+
+
+def save_batch_grid(img_batch, file_path: str) -> None:
+    """Save an NHWC float batch as one side-by-side image grid.
+
+    The TPU analogue of the reference's `torchvision.utils.save_image`
+    debug dumps (batchaug.py:71-123, realesrgan_model.py:630-646): batch
+    images are laid out in a row, clipped to [0, 1], written as 8-bit BGR.
+    Accepts jax or numpy arrays.
+    """
+    arr = np.asarray(img_batch, np.float32)
+    if arr.ndim == 3:
+        arr = arr[None]
+    grid = np.concatenate(list(arr), axis=1)
+    bgr = (np.clip(grid, 0.0, 1.0)[:, :, ::-1] * 255.0).round().astype(np.uint8)
+    imwrite(bgr, file_path)

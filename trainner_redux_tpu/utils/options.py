@@ -157,7 +157,61 @@ def parse_options(
         opt.path.log = results_root
         opt.path.visualization = osp.join(results_root, "visualization")
 
+    warn_inert_fields(opt)
+
     return opt, args
+
+
+# Config fields accepted for YAML compatibility that have NO consumer in the
+# reference either — legacy Real-ESRGAN v1 two-stage keys superseded by the
+# 6-stage pipeline (reference realesrgan_model.py implements no classic
+# second stage), knobs stored-but-never-read (blur_kernel_size2,
+# switch_iter_per_epoch), and the legacy per-codec probs whose fallback path
+# is unreachable under the strict schema (paragon_otf_degradations.py:64-69
+# requires compression_formats to be ABSENT, which the schema's default
+# makes impossible). Accepting them silently would imply they do something;
+# instead a non-default value warns once at parse time.
+_INERT_FIELDS: dict[str, object] = {
+    "auto_vram_management": False,
+    "blur_prob2": None, "gaussian_noise_prob2": None, "gray_noise_prob2": None,
+    "jpeg_prob": None, "jpeg_prob2": None, "jpeg_range": None, "jpeg_range2": None,
+    "noise_range2": None, "poisson_scale_range": None, "poisson_scale_range2": None,
+    "resize_prob": None, "resize_prob2": None,
+    "resize_range": None, "resize_range2": None,
+    "resize_mode_list": None, "resize_mode_list2": None,
+    "resize_mode_prob": None, "resize_mode_prob2": None,
+    "lq_usm": None, "lq_usm_radius_range": None,
+    "predefined_sequences": None, "thicklines_prob": None,
+    "switch_iter_per_epoch": None,
+    "webp_prob": None, "webp_range": None,
+    "avif_prob": None, "avif_range": None,
+    "heif_prob": None, "heif_range": None,
+}
+
+
+def warn_inert_fields(opt: ReduxOptions) -> None:
+    """Warn (once per parse) about accepted-but-inert config keys set to
+    non-default values, so every accepted field is either real or loud."""
+    import dataclasses
+
+    defaults = {}
+    for f in dataclasses.fields(ReduxOptions):
+        if f.default is not dataclasses.MISSING:
+            defaults[f.name] = f.default
+        elif f.default_factory is not dataclasses.MISSING:
+            defaults[f.name] = f.default_factory()
+    noisy = []
+    for name, fallback in _INERT_FIELDS.items():
+        default = defaults.get(name, fallback)
+        val = getattr(opt, name, None)
+        if val is not None and val != default:
+            noisy.append(name)
+    if noisy:
+        print(
+            "NOTE: these config fields are accepted for compatibility but are "
+            "inert in the reference framework as well (no consumer); they do "
+            f"nothing here either: {', '.join(sorted(noisy))}"
+        )
 
 
 @master_only
