@@ -93,10 +93,42 @@ def test_enlarged_sampler_determinism():
     s1.set_epoch(3)
     i0, i1 = list(s0), list(s1)
     assert len(i0) == len(i1) == 10  # ceil(10*2/2)
-    assert all(0 <= i < 10 for i in i0 + i1)
+    # virtual indices span [0, len*ratio); datasets resolve idx % len
+    assert all(0 <= i < 20 for i in i0 + i1)
+    assert sorted(i % 10 for i in i0 + i1) == sorted(list(range(10)) * 2)
     # disjoint interleave of the same permutation
     s0b = EnlargedSampler(10, 2, 0, 2)
     s0b.set_epoch(3)
     assert list(s0b) == i0  # deterministic per epoch
     assert resolve_enlarge_ratio("auto", 50) == 20
     assert resolve_enlarge_ratio(3, 50) == 3
+
+
+def test_enlarged_visits_draw_fresh_crops(tmp_path):
+    """Within one epoch, the `ratio` visits to the same image must draw
+    DIFFERENT random crops (virtual-index seeding). Regression: round-1
+    seeded the RNG with the real index, so every visit repeated one crop."""
+    import cv2
+
+    from trainner_redux_tpu.data.paired_image_dataset import PairedImageDataset
+    from trainner_redux_tpu.utils.redux_options import DatasetOptions
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "hr").mkdir()
+    (tmp_path / "lr").mkdir()
+    hr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "hr" / "a.png"), hr)
+    cv2.imwrite(str(tmp_path / "lr" / "a.png"), hr[::2, ::2])
+    opt = DatasetOptions(
+        name="t", type="pairedimagedataset", phase="train", scale=2,
+        dataroot_gt=[str(tmp_path / "hr")], dataroot_lq=[str(tmp_path / "lr")],
+        lq_size=8, batch_size_per_gpu=1,
+    )
+    ds = PairedImageDataset(opt)
+    # virtual indices 0 and 1 resolve to the same file but different crops
+    a, b = ds[0], ds[1]
+    assert a["gt_path"] == b["gt_path"]
+    assert not np.array_equal(a["gt"], b["gt"])
+    # and the same virtual index is deterministic
+    a2 = ds[0]
+    assert np.array_equal(a["gt"], a2["gt"])

@@ -33,9 +33,11 @@ def test_per_host_shards_cover_globally(n_hosts):
     lens = {len(s) for s in streams}
     assert len(lens) == 1, "hosts must draw equal-length streams"
     # together the host streams are exactly the global permutation stream
+    # (virtual indices: datasets resolve idx % len, sampler keeps the raw
+    # permutation so repeated visits draw distinct crops)
     total = int(np.ceil(n_samples * ratio / n_hosts)) * n_hosts
     g = np.random.default_rng(0)
-    global_stream = (g.permutation(total) % n_samples).tolist()
+    global_stream = g.permutation(total).tolist()
     interleaved = []
     per = len(streams[0])
     for i in range(per):

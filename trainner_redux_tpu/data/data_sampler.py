@@ -30,9 +30,14 @@ class EnlargedSampler:
         return self.num_samples
 
     def __iter__(self):
+        # VIRTUAL indices in [0, dataset_len * ratio): datasets resolve the
+        # real sample as index % len but seed their per-sample RNG with the
+        # virtual index, so each of the `ratio` visits to an image within
+        # one epoch draws a DIFFERENT crop/augment (the reference gets this
+        # diversity from torch's stateful worker RNG streams).
         g = np.random.default_rng(self.epoch)
         indices = g.permutation(self.total_size)
-        indices = (indices % self.dataset_len)[self.rank : self.total_size : self.num_replicas]
+        indices = indices[self.rank : self.total_size : self.num_replicas]
         return iter(indices.tolist())
 
 

@@ -94,30 +94,33 @@ class DataLoader:
 
         def producer() -> None:
             """Keep `num_workers` decode threads saturated ACROSS batch
-            boundaries: per-sample futures are scheduled several batches
-            ahead so collate of batch k overlaps decode of batches k+1..
-            (cv2 decode and numpy crops release the GIL)."""
+            boundaries. Futures are BATCH-granular (fetch + collate inside
+            the worker): per-sample futures cost more than a cache-hot
+            sample does (profiled ~0.3 ms of executor overhead vs 0.06 ms
+            of work on the single-core bench host), and cv2 decode / numpy
+            crop release the GIL, so whole-batch tasks still overlap
+            across threads on multi-core hosts."""
             from collections import deque
 
-            window = self.prefetch_batches + 2
+            window = max(self.prefetch_batches + 2, self.num_workers)
+
+            def assemble(idxs):
+                return self.collate_fn([self.dataset[i] for i in idxs])
+
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 try:
                     pending: deque = deque()
                     bi = 0
                     while bi < len(batches) or pending:
                         while bi < len(batches) and len(pending) < window:
-                            pending.append(
-                                [pool.submit(self.dataset.__getitem__, i)
-                                 for i in batches[bi]]
-                            )
+                            pending.append(pool.submit(assemble, batches[bi]))
                             bi += 1
                         if stop.is_set():
-                            for futs in pending:
-                                for f in futs:
-                                    f.cancel()
+                            for f in pending:
+                                f.cancel()
                             break
-                        futs = pending.popleft()
-                        out_q.put(self.collate_fn([f.result() for f in futs]))
+                        fut = pending.popleft()
+                        out_q.put(fut.result())
                 except Exception as e:  # surface worker errors to the consumer
                     out_q.put(e)
                 finally:

@@ -119,7 +119,10 @@ class PairedImageDataset:
     def __getitem__(self, index: int) -> dict:
         opt = self.opt
         scale = opt.scale or 1
-        entry = self.paths[index]
+        # `index` may be VIRTUAL (EnlargedSampler yields [0, len*ratio));
+        # the real sample is index % len, while the virtual index seeds the
+        # RNG so each visit within an epoch draws fresh crops/augments.
+        entry = self.paths[index % len(self.paths)]
 
         if opt.phase == "train":
             img_gt = self._load_u8(entry["gt_path"], "gt")
@@ -164,11 +167,19 @@ class PairedImageDataset:
             img_lq = (img_lq - mean) / std
 
         # uint8 crops ship to the device as-is (normalized on-chip by the
-        # model, models/sr_model.py:_dev_to_float) — 4x less H2D bandwidth
+        # model, models/sr_model.py:_dev_to_float) — 4x less H2D bandwidth.
+        # Train samples stay VIEWS into the decoded cache: the collate
+        # np.stack makes the one-and-only host copy per sample.
         out_dtype = np.uint8 if img_lq.dtype == np.uint8 else np.float32
+        if opt.phase == "train":
+            lq_out = np.asarray(img_lq, dtype=out_dtype)
+            gt_out = np.asarray(img_gt, dtype=out_dtype)
+        else:
+            lq_out = np.ascontiguousarray(img_lq, dtype=out_dtype)
+            gt_out = np.ascontiguousarray(img_gt, dtype=out_dtype)
         return {
-            "lq": np.ascontiguousarray(img_lq, dtype=out_dtype),
-            "gt": np.ascontiguousarray(img_gt, dtype=out_dtype),
+            "lq": lq_out,
+            "gt": gt_out,
             "lq_path": entry["lq_path"],
             "gt_path": entry["gt_path"],
         }

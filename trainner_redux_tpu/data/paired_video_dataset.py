@@ -52,7 +52,9 @@ class PairedVideoDataset:
     def __getitem__(self, idx: int) -> dict:
         opt = self.opt
         scale = opt.scale or 1
-        scene, start = self.index_mapping[idx]
+        # idx may be virtual (EnlargedSampler); rng below keeps the virtual
+        # value so repeated visits draw different crops
+        scene, start = self.index_mapping[idx % len(self.index_mapping)]
         clip = self.frames[scene][start : start + self.clip_size]
 
         try:

@@ -90,9 +90,11 @@ class RealESRGANDataset:
             seed = Config.get_manual_seed() or 0
         except RuntimeError:
             seed = 0
+        # virtual index (EnlargedSampler): real sample = index % len, RNG
+        # seeded by the virtual index for per-visit degradation diversity
         rng = worker_rng(seed, 1, index, self._epoch)
 
-        gt_path = self.paths[index]
+        gt_path = self.paths[index % len(self.paths)]
         # keep uint8 through augment/crop: GT ships to the device as-is and
         # is normalized on-chip (RealESRGANModel._degrade) — 4x less H2D
         img_gt = imfrombytes(self.file_client.get(gt_path, "gt"), float32=False)
