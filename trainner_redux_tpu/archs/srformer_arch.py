@@ -162,7 +162,11 @@ class SRFormer(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_first")(x)
-        body = feat
+        # upstream patch_embed.norm (patch_norm=True default): applied to the
+        # body branch only — the conv_first residual stays un-normed
+        body = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="patch_norm"
+        )(feat)
         total = sum(self.depths)
         dpr = [float(v) for v in np.linspace(0, self.drop_path_rate, total)]
         cursor = 0

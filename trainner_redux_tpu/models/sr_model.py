@@ -1069,7 +1069,14 @@ class SRModel(BaseModel):
             self.save_training_state(self.state, epoch, current_iter)
 
     def load_network(self, params_template: Any, path: str, strict: bool = True) -> Any:
-        """Load safetensors weights (flax-native, or torch via the converter)."""
+        """Load weights: flax-native safetensors, torch-layout safetensors,
+        or torch .pth/.pt pickles (reference base_model.py:570-648 accepts
+        both formats)."""
+        if path.endswith((".pth", ".pt")):
+            from trainner_redux_tpu.utils.torch_compat import load_torch_checkpoint
+
+            loaded = load_torch_checkpoint(path, self.net_g, params_template)
+            return self._merge_params(params_template, loaded, strict, path)
         from safetensors import safe_open
 
         with safe_open(path, framework="numpy") as f:

@@ -3244,3 +3244,643 @@ def _convert_paragonsr2(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarr
                     _put_linear(out, f"{fc}.{lin}", "weight", sd[f"{tc}.{lin}.weight"])
                     _put_linear(out, f"{fc}.{lin}", "bias", sd[f"{tc}.{lin}.bias"])
     return out
+
+
+# ===========================================================================
+# Spandrel-ecosystem families (round-2, VERDICT #4)
+#
+# The reference loads these checkpoints through the external `spandrel`
+# package (reference archs/__init__.py:36-56). The torch-side key layouts
+# below follow the upstream repos spandrel wraps (each converter cites its
+# origin). Cross-framework goldens are oracle-blocked until a checkpoint or
+# the spandrel package is on disk; each pair is validated structurally
+# (export -> convert round-trips the full flax tree, see
+# tests/test_utils/test_spandrel_converters.py) and shape-complete against
+# the flax arch.
+# ===========================================================================
+
+
+@register_converter("SAFMN")
+def _convert_safmn(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    """SAFMN (sunny2109/SAFMN safmn_arch.py; spandrel SAFMN)."""
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "to_feat", "weight", sd["to_feat.weight"])
+    _put_conv(out, "to_feat", "bias", sd["to_feat.bias"])
+    n_blocks = 1 + max(
+        int(m.group(1)) for k in sd if (m := re.match(r"feats\.(\d+)\.", k))
+    )
+    for i in range(n_blocks):
+        t, f = f"feats.{i}", f"feats_{i}"
+        for n in ("norm1", "norm2"):
+            _put_ln(out, f"{f}.{n}", "weight", sd[f"{t}.{n}.weight"])
+            _put_ln(out, f"{f}.{n}", "bias", sd[f"{t}.{n}.bias"])
+        n_levels = sum(1 for k in sd if k.startswith(f"{t}.safm.mfr.") and k.endswith(".weight"))
+        for j in range(n_levels):
+            _put_conv(out, f"{f}.safm.mfr_{j}", "weight", sd[f"{t}.safm.mfr.{j}.weight"])
+            _put_conv(out, f"{f}.safm.mfr_{j}", "bias", sd[f"{t}.safm.mfr.{j}.bias"])
+        _put_conv(out, f"{f}.safm.aggr", "weight", sd[f"{t}.safm.aggr.weight"])
+        _put_conv(out, f"{f}.safm.aggr", "bias", sd[f"{t}.safm.aggr.bias"])
+        _put_conv(out, f"{f}.ccm.conv0", "weight", sd[f"{t}.ccm.ccm.0.weight"])
+        _put_conv(out, f"{f}.ccm.conv0", "bias", sd[f"{t}.ccm.ccm.0.bias"])
+        _put_conv(out, f"{f}.ccm.conv1", "weight", sd[f"{t}.ccm.ccm.2.weight"])
+        _put_conv(out, f"{f}.ccm.conv1", "bias", sd[f"{t}.ccm.ccm.2.bias"])
+    _put_conv(out, "to_img", "weight", sd["to_img.0.weight"])
+    _put_conv(out, "to_img", "bias", sd["to_img.0.bias"])
+    return out
+
+
+@register_exporter("SAFMN")
+def _export_safmn(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        if k == "to_feat.conv.kernel":
+            out["to_feat.weight"] = conv_w_inv(v)
+        elif k == "to_feat.conv.bias":
+            out["to_feat.bias"] = v
+        elif k == "to_img.conv.kernel":
+            out["to_img.0.weight"] = conv_w_inv(v)
+        elif k == "to_img.conv.bias":
+            out["to_img.0.bias"] = v
+        elif m := re.fullmatch(r"feats_(\d+)\.(norm[12])\.(scale|bias)", k):
+            i, n, kind = m.groups()
+            out[f"feats.{i}.{n}.{'weight' if kind == 'scale' else 'bias'}"] = v
+        elif m := re.fullmatch(r"feats_(\d+)\.safm\.mfr_(\d+)\.conv\.(kernel|bias)", k):
+            i, j, kind = m.groups()
+            out[f"feats.{i}.safm.mfr.{j}.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+        elif m := re.fullmatch(r"feats_(\d+)\.safm\.aggr\.conv\.(kernel|bias)", k):
+            i, kind = m.groups()
+            out[f"feats.{i}.safm.aggr.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+        elif m := re.fullmatch(r"feats_(\d+)\.ccm\.conv([01])\.conv\.(kernel|bias)", k):
+            i, c, kind = m.groups()
+            tc = "0" if c == "0" else "2"
+            out[f"feats.{i}.ccm.ccm.{tc}.{'weight' if kind == 'kernel' else 'bias'}"] = (
+                conv_w_inv(v) if kind == "kernel" else v
+            )
+        else:
+            raise KeyError(f"unmapped SAFMN param {k}")
+    return out
+
+
+@register_converter("PLKSR")
+def _convert_plksr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    """PLKSR v1 (dslisleedh/PLKSR plksr.py; spandrel PLKSR): one
+    `feats` Sequential = [head conv, n_blocks PLKBlocks, tail conv];
+    block submodules channel_mixer(DCCM Sequential 0/2), lk.conv,
+    attn.f.0 (EA), refine."""
+    out: dict[str, np.ndarray] = {}
+    idxs = sorted(
+        {int(m.group(1)) for k in sd if (m := re.match(r"feats\.(\d+)\.", k))}
+    )
+    last = idxs[-1]
+    for kind in ("weight", "bias"):
+        _put_conv(out, "head", kind, sd[f"feats.0.{kind}"])
+        _put_conv(out, "tail", kind, sd[f"feats.{last}.{kind}"])
+    for i in range(1, last):
+        t, f = f"feats.{i}", f"blocks_{i - 1}"
+        for kind in ("weight", "bias"):
+            _put_conv(out, f"{f}.channel_mixer.conv0", kind, sd[f"{t}.channel_mixer.0.{kind}"])
+            _put_conv(out, f"{f}.channel_mixer.conv1", kind, sd[f"{t}.channel_mixer.2.{kind}"])
+            _put_conv(out, f"{f}.lk_conv", kind, sd[f"{t}.lk.conv.{kind}"])
+            _put_conv(out, f"{f}.refine", kind, sd[f"{t}.refine.{kind}"])
+            if f"{t}.attn.f.0.{kind}" in sd:
+                _put_conv(out, f"{f}.ea_conv", kind, sd[f"{t}.attn.f.0.{kind}"])
+    return out
+
+
+@register_exporter("PLKSR")
+def _export_plksr(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    n_blocks = 1 + max(
+        int(m.group(1)) for k in flat if (m := re.match(r"blocks_(\d+)\.", k))
+    )
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        w = "weight" if k.endswith("kernel") else "bias"
+        val = conv_w_inv(v) if k.endswith("kernel") else v
+        if k.startswith("head.conv."):
+            out[f"feats.0.{w}"] = val
+        elif k.startswith("tail.conv."):
+            out[f"feats.{n_blocks + 1}.{w}"] = val
+        elif m := re.fullmatch(r"blocks_(\d+)\.(\w+)(?:\.(\w+))?\.conv\.(kernel|bias)", k):
+            i = int(m.group(1)) + 1
+            sub, sub2 = m.group(2), m.group(3)
+            if sub == "channel_mixer":
+                t = "0" if sub2 == "conv0" else "2"
+                out[f"feats.{i}.channel_mixer.{t}.{w}"] = val
+            elif sub == "lk_conv":
+                out[f"feats.{i}.lk.conv.{w}"] = val
+            elif sub == "ea_conv":
+                out[f"feats.{i}.attn.f.0.{w}"] = val
+            elif sub == "refine":
+                out[f"feats.{i}.refine.{w}"] = val
+            else:
+                raise KeyError(f"unmapped PLKSR param {k}")
+        else:
+            raise KeyError(f"unmapped PLKSR param {k}")
+    return out
+
+
+def _deconv2x2_to_1x1(out: dict, fpre: str, w: np.ndarray, b: np.ndarray | None) -> None:
+    """torch ConvTranspose2d(k=2, s=2) == 1x1 conv + pixel_shuffle(2):
+    W (I,O,2,2) -> kernel (1,1,I,O*4) with torch PixelShuffle channel order
+    q = o*4 + i*2 + j; bias tiles per output channel."""
+    i_ch, o_ch = w.shape[0], w.shape[1]
+    out[f"{fpre}.conv.kernel"] = np.ascontiguousarray(w.reshape(i_ch, o_ch * 4)[None, None])
+    if b is not None:
+        out[f"{fpre}.conv.bias"] = np.repeat(b, 4)
+
+
+def _deconv2x2_from_1x1(kernel: np.ndarray, bias: np.ndarray | None):
+    """Inverse of _deconv2x2_to_1x1."""
+    _, _, i_ch, oc4 = kernel.shape
+    w = np.ascontiguousarray(kernel.reshape(i_ch, oc4 // 4, 2, 2))
+    b = None if bias is None else np.ascontiguousarray(bias[::4])
+    return w, b
+
+
+@register_converter("UpCunet")
+def _convert_realcugan(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    """Real-CUGAN UpCunet2x/3x/4x (bilibili ailab upcunet_v3.py; spandrel
+    RealCUGAN). UNetConv Sequential 0/2 -> conv0/conv1; 2x2 stride-2
+    deconvs -> 1x1 conv + pixel shuffle; conv_bottom deconv -> dilated-conv
+    gradient view (TorchDeconv)."""
+    out: dict[str, np.ndarray] = {}
+
+    def unet_conv(t: str, f: str) -> None:
+        _put_conv(out, f"{f}.conv0", "weight", sd[f"{t}.conv.0.weight"])
+        _put_conv(out, f"{f}.conv0", "bias", sd[f"{t}.conv.0.bias"])
+        _put_conv(out, f"{f}.conv1", "weight", sd[f"{t}.conv.2.weight"])
+        _put_conv(out, f"{f}.conv1", "bias", sd[f"{t}.conv.2.bias"])
+        if f"{t}.seblock.conv1.weight" in sd:
+            for c in ("conv1", "conv2"):
+                _put_conv(out, f"{f}.seblock.{c}", "weight", sd[f"{t}.seblock.{c}.weight"])
+                _put_conv(out, f"{f}.seblock.{c}", "bias", sd[f"{t}.seblock.{c}.bias"])
+
+    for u in ("unet1", "unet2"):
+        unet_conv(f"{u}.conv1", f"{u}.conv1")
+        _put_conv(out, f"{u}.conv1_down", "weight", sd[f"{u}.conv1_down.weight"])
+        _put_conv(out, f"{u}.conv1_down", "bias", sd[f"{u}.conv1_down.bias"])
+        unet_conv(f"{u}.conv2", f"{u}.conv2")
+
+    # UNet1: conv2_up deconv, conv3 plain, conv_bottom big deconv
+    _deconv2x2_to_1x1(out, "unet1.conv2_up", sd["unet1.conv2_up.weight"],
+                      sd.get("unet1.conv2_up.bias"))
+    _put_conv(out, "unet1.conv3", "weight", sd["unet1.conv3.weight"])
+    _put_conv(out, "unet1.conv3", "bias", sd["unet1.conv3.bias"])
+    out["unet1.conv_bottom.conv.kernel"] = convT_w(sd["unet1.conv_bottom.weight"])
+    out["unet1.conv_bottom.conv.bias"] = sd["unet1.conv_bottom.bias"]
+
+    # UNet2: conv2_down, conv3/conv4 UNetConvs, conv3_up/conv4_up deconvs,
+    # conv5 + conv_bottom plain convs
+    _put_conv(out, "unet2.conv2_down", "weight", sd["unet2.conv2_down.weight"])
+    _put_conv(out, "unet2.conv2_down", "bias", sd["unet2.conv2_down.bias"])
+    unet_conv("unet2.conv3", "unet2.conv3")
+    _deconv2x2_to_1x1(out, "unet2.conv3_up", sd["unet2.conv3_up.weight"],
+                      sd.get("unet2.conv3_up.bias"))
+    unet_conv("unet2.conv4", "unet2.conv4")
+    _deconv2x2_to_1x1(out, "unet2.conv4_up", sd["unet2.conv4_up.weight"],
+                      sd.get("unet2.conv4_up.bias"))
+    for c in ("conv5", "conv_bottom"):
+        _put_conv(out, f"unet2.{c}", "weight", sd[f"unet2.{c}.weight"])
+        _put_conv(out, f"unet2.{c}", "bias", sd[f"unet2.{c}.bias"])
+
+    if "conv_final.weight" in sd:  # 4x tail
+        _put_conv(out, "conv_final", "weight", sd["conv_final.weight"])
+        _put_conv(out, "conv_final", "bias", sd["conv_final.bias"])
+    return out
+
+
+def convT_w_inv(w: np.ndarray) -> np.ndarray:
+    """Inverse of convT_w: flipped HWIO -> torch ConvTranspose2d (I,O,kh,kw)."""
+    return np.ascontiguousarray(w.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1])
+
+
+# linear_w is a plain transpose, i.e. its own inverse
+linear_w_inv = linear_w
+
+
+@register_exporter("UpCunet")
+def _export_realcugan(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    deconv1x1 = {"unet1.conv2_up", "unet2.conv3_up", "unet2.conv4_up"}
+    pending: dict[str, dict[str, np.ndarray]] = {}
+    for k, v in flat.items():
+        m = re.fullmatch(r"(.+)\.conv\.(kernel|bias)", k)
+        if not m:
+            raise KeyError(f"unmapped UpCunet param {k}")
+        path, kind = m.groups()
+        if path in deconv1x1:
+            pending.setdefault(path, {})[kind] = v
+            continue
+        if path == "unet1.conv_bottom":
+            if kind == "kernel":
+                out["unet1.conv_bottom.weight"] = convT_w_inv(v)
+            else:
+                out["unet1.conv_bottom.bias"] = v
+            continue
+        # UNetConv inner convs: <unet>.<block>.conv0/1 -> .conv.0/.conv.2
+        m2 = re.fullmatch(r"(unet[12]\.conv\d)\.conv([01])", path)
+        if m2:
+            t = f"{m2.group(1)}.conv.{'0' if m2.group(2) == '0' else '2'}"
+        elif re.fullmatch(r"unet[12]\.conv\d\.seblock\.conv[12]", path):
+            t = path
+        else:
+            t = path  # conv1_down, conv2_down, conv3(unet1), conv5, conv_bottom(unet2), conv_final
+        if kind == "kernel":
+            out[f"{t}.weight"] = conv_w_inv(v)
+        else:
+            out[f"{t}.bias"] = v
+    for path, kv in pending.items():
+        w, b = _deconv2x2_from_1x1(kv["kernel"], kv.get("bias"))
+        out[f"{path}.weight"] = w
+        if b is not None:
+            out[f"{path}.bias"] = b
+    return out
+
+
+@register_converter("SRFormer")
+def _convert_srformer(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    """SRFormer v1 (HVision-NKU/SRFormer srformer_arch.py; spandrel
+    SRFormer): SwinIR skeleton with PSA attention (q / halved kv /
+    aligned relative-position table)."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(("relative_position_index", "aligned_relative_position_index",
+                       "attn_mask")) or k.startswith(("absolute_pos_embed", "mean")):
+            continue
+        m = re.fullmatch(
+            r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\.(.+)", k
+        )
+        if m:
+            i, j, rest = m.groups()
+            prefix = f"layers_{i}_blocks_{j}"
+            if rest == "attn.relative_position_bias_table":
+                out[f"{prefix}.attn.relative_position_bias_table"] = v
+                continue
+            m2 = re.fullmatch(r"(norm1|norm2)\.(weight|bias)", rest)
+            if m2:
+                out[f"{prefix}.{m2.group(1)}.{_norm_key(m2.group(2))}"] = v
+                continue
+            m2 = re.fullmatch(r"attn\.(q|kv|proj)\.(weight|bias)", rest)
+            if m2:
+                _put_linear(out, f"{prefix}.attn.{m2.group(1)}", m2.group(2), v)
+                continue
+            m2 = re.fullmatch(r"mlp\.fc([12])\.(weight|bias)", rest)
+            if m2:
+                _put_linear(out, f"{prefix}.fc{m2.group(1)}", m2.group(2), v)
+                continue
+            raise KeyError(f"unmapped SRFormer block param {k}")
+        m = re.fullmatch(r"layers\.(\d+)\.conv\.(weight|bias)", k)
+        if m:
+            _put_conv(out, f"layers_{m.group(1)}_conv", m.group(2), v)
+            continue
+        m = re.fullmatch(r"patch_embed\.norm\.(weight|bias)", k)
+        if m:
+            out[f"patch_norm.{_norm_key(m.group(1))}"] = v
+            continue
+        m = re.fullmatch(r"norm\.(weight|bias)", k)
+        if m:
+            out[f"norm.{_norm_key(m.group(1))}"] = v
+            continue
+        m = re.fullmatch(r"conv_before_upsample\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "conv_before_upsample", m.group(1), v)
+            continue
+        m = re.fullmatch(r"upsample\.(\d+)\.(weight|bias)", k)
+        if m:
+            si = int(m.group(1)) // 2
+            name = (
+                "up_direct"
+                if getattr(module, "upsampler", "") == "pixelshuffledirect"
+                else f"upsample_{si}"
+            )
+            _put_conv(out, name, m.group(2), v)
+            continue
+        m = re.fullmatch(r"(conv_first|conv_after_body|conv_last)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, m.group(1), m.group(2), v)
+            continue
+        raise KeyError(f"unmapped SRFormer param {k}")
+    return out
+
+
+@register_exporter("SRFormer")
+def _export_srformer(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        if m := re.fullmatch(r"layers_(\d+)_blocks_(\d+)\.(.+)", k):
+            i, j, rest = m.groups()
+            t = f"layers.{i}.residual_group.blocks.{j}"
+            if rest == "attn.relative_position_bias_table":
+                out[f"{t}.attn.relative_position_bias_table"] = v
+            elif m2 := re.fullmatch(r"(norm1|norm2)\.(scale|bias)", rest):
+                w = "weight" if m2.group(2) == "scale" else "bias"
+                out[f"{t}.{m2.group(1)}.{w}"] = v
+            elif m2 := re.fullmatch(r"attn\.(q|kv|proj)\.(kernel|bias)", rest):
+                w = "weight" if m2.group(2) == "kernel" else "bias"
+                out[f"{t}.attn.{m2.group(1)}.{w}"] = (
+                    linear_w_inv(v) if w == "weight" else v
+                )
+            elif m2 := re.fullmatch(r"fc([12])\.(kernel|bias)", rest):
+                w = "weight" if m2.group(2) == "kernel" else "bias"
+                out[f"{t}.mlp.fc{m2.group(1)}.{w}"] = (
+                    linear_w_inv(v) if w == "weight" else v
+                )
+            else:
+                raise KeyError(f"unmapped SRFormer flax param {k}")
+        elif m := re.fullmatch(r"layers_(\d+)_conv\.conv\.(kernel|bias)", k):
+            w = "weight" if m.group(2) == "kernel" else "bias"
+            out[f"layers.{m.group(1)}.conv.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"patch_norm\.(scale|bias)", k):
+            out[f"patch_embed.norm.{'weight' if m.group(1) == 'scale' else 'bias'}"] = v
+        elif m := re.fullmatch(r"norm\.(scale|bias)", k):
+            out[f"norm.{'weight' if m.group(1) == 'scale' else 'bias'}"] = v
+        elif m := re.fullmatch(r"conv_before_upsample\.conv\.(kernel|bias)", k):
+            w = "weight" if m.group(1) == "kernel" else "bias"
+            out[f"conv_before_upsample.0.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"upsample_(\d+)\.conv\.(kernel|bias)", k):
+            w = "weight" if m.group(2) == "kernel" else "bias"
+            out[f"upsample.{2 * int(m.group(1))}.{w}"] = (
+                conv_w_inv(v) if w == "weight" else v
+            )
+        elif m := re.fullmatch(r"up_direct\.conv\.(kernel|bias)", k):
+            w = "weight" if m.group(1) == "kernel" else "bias"
+            out[f"upsample.0.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"(conv_first|conv_after_body|conv_last)\.conv\.(kernel|bias)", k):
+            w = "weight" if m.group(2) == "kernel" else "bias"
+            out[f"{m.group(1)}.{w}"] = conv_w_inv(v) if w == "weight" else v
+        else:
+            raise KeyError(f"unmapped SRFormer flax param {k}")
+    return out
+
+
+@register_converter("MoSR")
+def _convert_mosr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    """MoSR v1 (umzi2/MoSR mosr_arch.py; spandrel MoSR): one `gblocks`
+    Sequential = [head conv, n_block GatedCNNBlocks]; blocks carry
+    norm/fc1/conv/fc2; tail under `upsampler`."""
+    out: dict[str, np.ndarray] = {}
+    _put_conv(out, "head", "weight", sd["gblocks.0.weight"])
+    _put_conv(out, "head", "bias", sd["gblocks.0.bias"])
+    blocks = sorted({
+        int(m.group(1)) for k in sd if (m := re.match(r"gblocks\.(\d+)\.norm\.", k))
+    })
+    for j, idx in enumerate(blocks):
+        t, f = f"gblocks.{idx}", f"blocks_{j}"
+        out[f"{f}.norm.scale"] = sd[f"{t}.norm.weight"]
+        out[f"{f}.norm.bias"] = sd[f"{t}.norm.bias"]
+        for c in ("fc1", "conv", "fc2"):
+            _put_conv(out, f"{f}.{c}", "weight", sd[f"{t}.{c}.weight"])
+            if f"{t}.{c}.bias" in sd:
+                _put_conv(out, f"{f}.{c}", "bias", sd[f"{t}.{c}.bias"])
+    if "upsampler.0.weight" in sd:  # "ps" / "gps" conv + PixelShuffle
+        _put_conv(out, "tail", "weight", sd["upsampler.0.weight"])
+        _put_conv(out, "tail", "bias", sd["upsampler.0.bias"])
+    elif "upsampler.offset.weight" in sd:  # DySample
+        _put_conv(out, "dysample.offset", "weight", sd["upsampler.offset.weight"])
+        _put_conv(out, "dysample.offset", "bias", sd["upsampler.offset.bias"])
+        if "upsampler.scope.weight" in sd:
+            _put_conv(out, "dysample.scope", "weight", sd["upsampler.scope.weight"])
+        if "upsampler.end_conv.weight" in sd:
+            _put_conv(out, "dysample.end_conv", "weight", sd["upsampler.end_conv.weight"])
+            _put_conv(out, "dysample.end_conv", "bias", sd["upsampler.end_conv.bias"])
+    else:
+        raise KeyError("MoSR: unrecognized upsampler keys")
+    return out
+
+
+@register_exporter("MoSR")
+def _export_mosr(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        w = "weight" if k.endswith((".kernel",)) else "bias"
+        val = conv_w_inv(v) if k.endswith(".kernel") else v
+        if k.startswith("head.conv."):
+            out[f"gblocks.0.{w}"] = val
+        elif m := re.fullmatch(r"blocks_(\d+)\.norm\.(scale|bias)", k):
+            t = "weight" if m.group(2) == "scale" else "bias"
+            out[f"gblocks.{int(m.group(1)) + 1}.norm.{t}"] = v
+        elif m := re.fullmatch(r"blocks_(\d+)\.(fc1|conv|fc2)\.conv\.(kernel|bias)", k):
+            out[f"gblocks.{int(m.group(1)) + 1}.{m.group(2)}.{w}"] = val
+        elif k.startswith("tail.conv."):
+            out[f"upsampler.0.{w}"] = val
+        elif m := re.fullmatch(r"dysample\.(offset|scope|end_conv)\.conv\.(kernel|bias)", k):
+            out[f"upsampler.{m.group(1)}.{w}"] = val
+        else:
+            raise KeyError(f"unmapped MoSR flax param {k}")
+    return out
+
+
+@register_converter("ATD")
+def _convert_atd(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    """ATD / ATD-light (LabShuHangGU/Adaptive-Token-Dictionary atd_arch.py;
+    spandrel ATD). Variant-detecting map:
+      - layer container: layers.{g}.residual_group.layers.{j} or
+        layers.{g}.layers.{j};
+      - shared `wqkv` Linear (upstream computes one QKV consumed by both the
+        window attention and the adaptive-category MSA) duplicates into the
+        flax attn_win.qkv / attn_aca.qkv, which see the same norm1 input —
+        numerically identical;
+      - group token dictionary accepted as `td` or `token_dict`.
+    Unknown structure fails loudly rather than misloading."""
+    out: dict[str, np.ndarray] = {}
+    handled: set[str] = set()
+
+    def put_lin(fpre: str, t: str) -> None:
+        _put_linear(out, fpre, "weight", sd[f"{t}.weight"])
+        handled.add(f"{t}.weight")
+        if f"{t}.bias" in sd:
+            _put_linear(out, fpre, "bias", sd[f"{t}.bias"])
+            handled.add(f"{t}.bias")
+
+    groups = sorted({
+        int(m.group(1)) for k in sd if (m := re.match(r"layers\.(\d+)\.", k))
+    })
+    for g in groups:
+        gt, gf = f"layers.{g}", f"groups_{g}"
+        inner = (
+            f"{gt}.residual_group.layers"
+            if any(k.startswith(f"{gt}.residual_group.layers.") for k in sd)
+            else f"{gt}.layers"
+        )
+        # token dictionary
+        for td_name in ("td", "token_dict"):
+            cand = [f"{gt}.{td_name}", f"{gt}.residual_group.{td_name}"]
+            for c in cand:
+                if c in sd:
+                    out[f"{gf}.token_dict"] = sd[c]
+                    handled.add(c)
+        # group conv (1conv)
+        for kind in ("weight", "bias"):
+            for c in (f"{gt}.conv.{kind}", f"{gt}.residual_group.conv.{kind}"):
+                if c in sd:
+                    _put_conv(out, f"{gf}.conv", kind, sd[c])
+                    handled.add(c)
+        js = sorted({
+            int(m.group(1)) for k in sd
+            if (m := re.match(rf"{re.escape(inner)}\.(\d+)\.", k))
+        })
+        for j in js:
+            t, f = f"{inner}.{j}", f"{gf}.layers_{j}"
+            for n in ("norm1", "norm2", "norm3"):
+                if f"{t}.{n}.weight" in sd:
+                    if n == "norm3":
+                        raise NotImplementedError(
+                            "ATD checkpoint carries norm3 (separate norm for the "
+                            "dictionary-attention path); the flax ATDLayer "
+                            "normalizes all three branches with norm1 — extend "
+                            "atd_arch.ATDLayer before converting this checkpoint"
+                        )
+                    out[f"{f}.{n}.scale"] = sd[f"{t}.{n}.weight"]
+                    out[f"{f}.{n}.bias"] = sd[f"{t}.{n}.bias"]
+                    handled.update({f"{t}.{n}.weight", f"{t}.{n}.bias"})
+            if f"{t}.wqkv.weight" in sd:  # shared QKV -> duplicate
+                for tgt in ("attn_win.qkv", "attn_aca.qkv"):
+                    _put_linear(out, f"{f}.{tgt}", "weight", sd[f"{t}.wqkv.weight"])
+                    if f"{t}.wqkv.bias" in sd:
+                        _put_linear(out, f"{f}.{tgt}", "bias", sd[f"{t}.wqkv.bias"])
+                handled.update({f"{t}.wqkv.weight", f"{t}.wqkv.bias"} & set(sd))
+            else:
+                put_lin(f"{f}.attn_win.qkv", f"{t}.attn_win.qkv")
+                put_lin(f"{f}.attn_aca.qkv", f"{t}.attn_aca.qkv")
+            out[f"{f}.attn_win.relative_position_bias_table"] = sd[
+                f"{t}.attn_win.relative_position_bias_table"
+            ]
+            handled.add(f"{t}.attn_win.relative_position_bias_table")
+            put_lin(f"{f}.attn_win.proj", f"{t}.attn_win.proj")
+            for lin in ("wq", "wk", "wv"):
+                put_lin(f"{f}.attn_atd.{lin}", f"{t}.attn_atd.{lin}")
+            out[f"{f}.attn_atd.scale"] = sd[f"{t}.attn_atd.scale"].reshape(-1)[:1]
+            handled.add(f"{t}.attn_atd.scale")
+            put_lin(f"{f}.attn_aca.proj", f"{t}.attn_aca.proj")
+            put_lin(f"{f}.convffn.fc1", f"{t}.convffn.fc1")
+            put_lin(f"{f}.convffn.fc2", f"{t}.convffn.fc2")
+            _put_conv(out, f"{f}.convffn.dwconv", "weight",
+                      sd[f"{t}.convffn.dwconv.depthwise_conv.0.weight"]
+                      if f"{t}.convffn.dwconv.depthwise_conv.0.weight" in sd
+                      else sd[f"{t}.convffn.dwconv.weight"])
+            bkey = (f"{t}.convffn.dwconv.depthwise_conv.0.bias"
+                    if f"{t}.convffn.dwconv.depthwise_conv.0.bias" in sd
+                    else f"{t}.convffn.dwconv.bias")
+            if bkey in sd:
+                _put_conv(out, f"{f}.convffn.dwconv", "bias", sd[bkey])
+            out[f"{f}.sigma"] = sd[f"{t}.sigma"].reshape(-1, 1)
+            handled.add(f"{t}.sigma")
+    # shell
+    for k, v in sd.items():
+        if k in handled or k.startswith("layers."):
+            continue
+        if k.endswith(("relative_position_index", "attn_mask")) or k.startswith(
+            ("mean", "absolute_pos_embed")
+        ):
+            continue
+        m = re.fullmatch(r"(conv_first|conv_after_body|conv_last)\.(weight|bias)", k)
+        if m:
+            _put_conv(out, m.group(1), m.group(2), v)
+            continue
+        m = re.fullmatch(r"norm\.(weight|bias)", k)
+        if m:
+            out[f"norm.{_norm_key(m.group(1))}"] = v
+            continue
+        m = re.fullmatch(r"patch_embed\.norm\.(weight|bias)", k)
+        if m:
+            out[f"patch_norm.{_norm_key(m.group(1))}"] = v
+            continue
+        m = re.fullmatch(r"conv_before_upsample\.0\.(weight|bias)", k)
+        if m:
+            _put_conv(out, "conv_before_upsample", m.group(1), v)
+            continue
+        m = re.fullmatch(r"upsample\.(\d+)\.(weight|bias)", k)
+        if m:
+            si = int(m.group(1)) // 2
+            name = (
+                "up_direct"
+                if getattr(module, "upsampler", "") == "pixelshuffledirect"
+                else f"upsample_{si}"
+            )
+            _put_conv(out, name, m.group(2), v)
+            continue
+        raise KeyError(f"unmapped ATD param {k}")
+    return out
+
+
+@register_exporter("ATD")
+def _export_atd(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of _convert_atd, emitting the shared-wqkv upstream layout.
+    attn_win.qkv and attn_aca.qkv must be EQUAL (as they are after a
+    convert) to export a valid shared wqkv; raises otherwise."""
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        if m := re.fullmatch(r"groups_(\d+)\.token_dict", k):
+            out[f"layers.{m.group(1)}.td"] = v
+        elif m := re.fullmatch(r"groups_(\d+)\.conv\.conv\.(kernel|bias)", k):
+            w = "weight" if m.group(2) == "kernel" else "bias"
+            out[f"layers.{m.group(1)}.conv.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"groups_(\d+)\.layers_(\d+)\.(.+)", k):
+            g, j, rest = m.groups()
+            t = f"layers.{g}.layers.{j}"
+            if m2 := re.fullmatch(r"(norm[12])\.(scale|bias)", rest):
+                w = "weight" if m2.group(2) == "scale" else "bias"
+                out[f"{t}.{m2.group(1)}.{w}"] = v
+            elif rest == "attn_win.relative_position_bias_table":
+                out[f"{t}.attn_win.relative_position_bias_table"] = v
+            elif m2 := re.fullmatch(r"attn_(win|aca)\.qkv\.(kernel|bias)", rest):
+                which, kind = m2.groups()
+                w = "weight" if kind == "kernel" else "bias"
+                tk = f"{t}.wqkv.{w}"
+                tv = linear_w_inv(v) if w == "weight" else v
+                if tk in out:
+                    if not np.array_equal(out[tk], tv):
+                        raise ValueError(
+                            f"{t}: attn_win.qkv != attn_aca.qkv; cannot export a "
+                            "shared wqkv (train kept them tied only if converted)"
+                        )
+                else:
+                    out[tk] = tv
+            elif m2 := re.fullmatch(r"attn_(win|aca)\.proj\.(kernel|bias)", rest):
+                which, kind = m2.groups()
+                w = "weight" if kind == "kernel" else "bias"
+                out[f"{t}.attn_{which}.proj.{w}"] = (
+                    linear_w_inv(v) if w == "weight" else v
+                )
+            elif m2 := re.fullmatch(r"attn_atd\.(wq|wk|wv)\.(kernel|bias)", rest):
+                w = "weight" if m2.group(2) == "kernel" else "bias"
+                out[f"{t}.attn_atd.{m2.group(1)}.{w}"] = (
+                    linear_w_inv(v) if w == "weight" else v
+                )
+            elif rest == "attn_atd.scale":
+                out[f"{t}.attn_atd.scale"] = v
+            elif m2 := re.fullmatch(r"convffn\.(fc[12])\.(kernel|bias)", rest):
+                w = "weight" if m2.group(2) == "kernel" else "bias"
+                out[f"{t}.convffn.{m2.group(1)}.{w}"] = (
+                    linear_w_inv(v) if w == "weight" else v
+                )
+            elif m2 := re.fullmatch(r"convffn\.dwconv\.conv\.(kernel|bias)", rest):
+                w = "weight" if m2.group(1) == "kernel" else "bias"
+                out[f"{t}.convffn.dwconv.{w}"] = conv_w_inv(v) if w == "weight" else v
+            elif rest == "sigma":
+                out[f"{t}.sigma"] = v
+            else:
+                raise KeyError(f"unmapped ATD flax param {k}")
+        elif m := re.fullmatch(r"(conv_first|conv_after_body|conv_last)\.conv\.(kernel|bias)", k):
+            w = "weight" if m.group(2) == "kernel" else "bias"
+            out[f"{m.group(1)}.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"norm\.(scale|bias)", k):
+            out[f"norm.{'weight' if m.group(1) == 'scale' else 'bias'}"] = v
+        elif m := re.fullmatch(r"conv_before_upsample\.conv\.(kernel|bias)", k):
+            w = "weight" if m.group(1) == "kernel" else "bias"
+            out[f"conv_before_upsample.0.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"upsample_(\d+)\.conv\.(kernel|bias)", k):
+            w = "weight" if m.group(2) == "kernel" else "bias"
+            out[f"upsample.{2 * int(m.group(1))}.{w}"] = (
+                conv_w_inv(v) if w == "weight" else v
+            )
+        elif m := re.fullmatch(r"up_direct\.conv\.(kernel|bias)", k):
+            w = "weight" if m.group(1) == "kernel" else "bias"
+            out[f"upsample.0.{w}"] = conv_w_inv(v) if w == "weight" else v
+        else:
+            raise KeyError(f"unmapped ATD flax param {k}")
+    return out
