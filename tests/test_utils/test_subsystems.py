@@ -125,3 +125,28 @@ def test_automations_disabled_returns_none():
 
     assert create_automation_manager(None) is None
     assert create_automation_manager({"enabled": False}) is None
+
+
+def test_flatten_params_forces_c_order(tmp_path):
+    """Regression: jax.device_get can hand back a numpy view whose strides
+    reflect XLA's on-device layout (seen for (1,1,Cin,Cout) conv kernels on
+    TPU); safetensors.save_file serializes the raw buffer WITHOUT honoring
+    strides, silently scrambling exactly those tensors on disk. The
+    quality-run checkpoint reloaded as noise (8.5 dB) because of this.
+    flatten_params must emit C-contiguous arrays."""
+    from safetensors.numpy import load_file, save_file
+
+    from trainner_redux_tpu.models.base_model import BaseModel
+
+    base = np.arange(24, dtype=np.float32).reshape(4, 6)
+    view = base.T  # non-contiguous, strides swapped — the XLA-layout shape
+    assert not view.flags["C_CONTIGUOUS"]
+    params = {"conv": {"kernel": view, "bias": np.ones(3, np.float32)}}
+    flat = BaseModel.flatten_params(params)
+    for k, v in flat.items():
+        assert v.flags["C_CONTIGUOUS"], k
+    path = str(tmp_path / "p.safetensors")
+    save_file(flat, path)
+    back = BaseModel.unflatten_params(load_file(path))
+    np.testing.assert_array_equal(back["conv"]["kernel"], base.T)
+    np.testing.assert_array_equal(back["conv"]["bias"], params["conv"]["bias"])

@@ -112,7 +112,12 @@ class BaseModel:
                 for k, v in node.items():
                     rec(v, f"{path}.{k}" if path else str(k))
             else:
-                flat[path] = np.asarray(jax.device_get(node))
+                # jax.device_get can expose XLA's device layout as a
+                # TRANSPOSED-STRIDE numpy view; safetensors' save_file
+                # serializes the raw buffer without honoring strides, which
+                # silently scrambles such tensors (caught by the quality-run
+                # checkpoint exploding on reload). Force C order.
+                flat[path] = np.ascontiguousarray(jax.device_get(node))
 
         rec(params, prefix)
         return flat
