@@ -437,6 +437,51 @@ CASES: dict[str, tuple[str, str, dict, tuple]] = {
         dict(num_in_ch=3, num_feat=16, input_size=128),
         (1, 3, 128, 128),
     ),
+    # ------------------------------------------------------------------
+    # FULL-SIZE flagship cases at the reference's default/official configs
+    # (VERDICT r1 #5: toy-config goldens are blind to size-dependent bugs —
+    # relative-position tables, window masking at production window sizes,
+    # pixel-unshuffle branches at 4x). Fixtures are large, gitignored, and
+    # regenerated on demand by the test harness.
+    # ------------------------------------------------------------------
+    "span_full": (
+        "span_arch", "SPAN",
+        dict(num_in_ch=3, num_out_ch=3, feature_channels=48, upscale=4,
+             norm=True),
+        (1, 3, 32, 32),
+    ),
+    "srvgg_full": (
+        "srvgg_arch", "SRVGGNetCompact",
+        dict(num_feat=64, num_conv=16, upscale=4),
+        (1, 3, 32, 32),
+    ),
+    "rcan_full": (
+        "rcan_arch", "RCAN",
+        dict(scale=4, n_resgroups=10, n_resblocks=20, n_feats=64, reduction=16),
+        (1, 3, 32, 32),
+    ),
+    "hat_m_full": (
+        "hat_arch", "HAT",
+        dict(img_size=64, embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
+             window_size=16, mlp_ratio=2.0, compress_ratio=3, squeeze_factor=30,
+             drop_path_rate=0.0, upscale=4, upsampler="pixelshuffle",
+             num_feat=64),
+        (1, 3, 64, 64),
+    ),
+    "dat_2_full": (
+        "dat_arch", "DAT",
+        dict(img_size=64, embed_dim=180, depth=[6] * 6, num_heads=[6] * 6,
+             split_size=[8, 32], expansion_factor=2.0, drop_path_rate=0.0,
+             upscale=4, resi_connection="1conv", upsampler="pixelshuffle"),
+        (1, 3, 32, 32),
+    ),
+    "drct_full": (
+        "drct_arch", "DRCT",
+        dict(img_size=64, embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
+             window_size=16, gc=32, drop_path_rate=0.0, upscale=4,
+             upsampler="pixelshuffle", resi_connection="1conv"),
+        (1, 3, 64, 64),
+    ),
 }
 
 

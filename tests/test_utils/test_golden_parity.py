@@ -23,6 +23,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 # case -> flax build_network opt matching the fixture's torch kwargs
 FLAX_OPTS = {
     "span": {"type": "span", "scale": 2, "feature_channels": 16},
+    # FULL-SIZE flagship cases at reference-default configs (VERDICT r1 #5)
+    "span_full": {"type": "span", "scale": 4, "feature_channels": 48,
+                  "norm": True},
+    "srvgg_full": {"type": "compact", "scale": 4, "num_feat": 64,
+                   "num_conv": 16},
+    "rcan_full": {"type": "rcan", "scale": 4, "n_resgroups": 10,
+                  "n_resblocks": 20, "n_feats": 64, "reduction": 16},
+    "hat_m_full": {"type": "hat", "scale": 4, "embed_dim": 180,
+                   "depths": [6] * 6, "num_heads": [6] * 6, "window_size": 16,
+                   "mlp_ratio": 2.0, "compress_ratio": 3, "squeeze_factor": 30,
+                   "drop_path_rate": 0.0, "num_feat": 64},
+    "dat_2_full": {"type": "dat", "scale": 4, "embed_dim": 180,
+                   "depth": [6] * 6, "num_heads": [6] * 6,
+                   "split_size": [8, 32], "expansion_factor": 2.0,
+                   "drop_path_rate": 0.0},
+    "drct_full": {"type": "drct", "scale": 4, "embed_dim": 180,
+                  "depths": [6] * 6, "num_heads": [6] * 6, "window_size": 16,
+                  "growth": 32, "drop_path_rate": 0.0},
     "span_norm": {"type": "span", "scale": 2, "feature_channels": 16,
                   "norm": True},
     "srvgg": {"type": "compact", "scale": 2, "num_feat": 8, "num_conv": 2},
@@ -447,3 +465,18 @@ def test_golden_discriminators(case):
     diff = float(np.abs(y - y_t).max())
     tol = 2e-4 * max(1.0, float(np.abs(y_t).max()))
     assert diff < tol, f"{case}: max abs diff {diff} (tol {tol})"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "case",
+    ["span_full", "srvgg_full", "rcan_full", "hat_m_full", "dat_2_full",
+     "drct_full"],
+)
+def test_golden_full_size(case):
+    """Flagship families at the reference's DEFAULT configs: catches
+    size-dependent bugs (relative-position tables, window masking at
+    production window sizes, 4x pixel-unshuffle branches) invisible at the
+    toy sizes above. Fixtures are gitignored; regenerated on demand from
+    /root/reference."""
+    _run_case(case)

@@ -144,7 +144,10 @@ class OCAB(nn.Module):
         q_win = window_partition(q, ws)  # (b*nW, ws*ws, c)
 
         # keys/values: overlapping windows via halo padding + extraction
-        kv_pad = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+        # reference OCAB unfolds with nn.Unfold(padding=pad) which ZERO-pads
+        # the halo (hat_arch.py:409-413) — edge/reflect here diverges at the
+        # image border (caught by the hat_m_full full-size golden)
+        kv_pad = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
         nwh, nww = h // ws, w // ws
         # gather each overlapping window with dynamic-free strided slicing:
         # unfold as (nwh, nww) grid of (ows, ows) patches with stride ws
