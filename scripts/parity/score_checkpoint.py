@@ -51,7 +51,22 @@ def main() -> None:
     template = jax.eval_shape(
         lambda: net.init(jax.random.key(0), jnp.zeros((1, h, w, 3)), train=False)
     )["params"]
-    params = load_torch_checkpoint(args.checkpoint, net, template)
+    # flax-native safetensors (written by this framework) load directly;
+    # anything else goes through the torch converter path
+    meta = {}
+    if args.checkpoint.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        with safe_open(args.checkpoint, framework="numpy") as f:
+            meta = f.metadata() or {}
+    if meta.get("framework") == "trainner_redux_tpu":
+        from safetensors.numpy import load_file
+
+        from trainner_redux_tpu.models.base_model import BaseModel
+
+        params = BaseModel.unflatten_params(dict(load_file(args.checkpoint)))
+    else:
+        params = load_torch_checkpoint(args.checkpoint, net, template)
 
     apply = jax.jit(lambda x: net.apply({"params": params}, x, train=False))
     psnrs, ssims = [], []
