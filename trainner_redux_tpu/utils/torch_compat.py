@@ -80,11 +80,43 @@ def linear_w(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
+# Families whose flax implementation was built from the PAPER because the
+# upstream torch source ships only inside the absent spandrel package: the
+# block-level composition is not guaranteed key-for-key (or even
+# computation-for-computation) identical to upstream, so a converter would
+# be an unverifiable guess. Revisit when spandrel or an official checkpoint
+# is on disk (NEXT_STEPS).
+CONVERTER_BLOCKED: dict[str, str] = {
+    "ditn": "flax ITL/SAL internals follow the DITN paper; upstream "
+            "module names (spandrel DITN_Real.py) unavailable offline",
+    "seemore": "flax RME/SME experts follow the SeemoRe paper; upstream "
+               "expert/router layout unavailable offline",
+    "dctlsa": "flax modules follow the DCTLSA paper; upstream layout "
+              "unavailable offline",
+    "craft": "flax HFERB/SRWAB follow the CRAFT paper; upstream layout "
+             "unavailable offline",
+    "rgt": "flax L-SA/RG-SA follow the RGT paper; upstream layout "
+           "unavailable offline",
+    "grl": "flax anchored-stripe attention follows the GRL paper and omits "
+           "CPB bias tables (documented divergence); upstream layout "
+           "unavailable offline",
+    "omnisr": "flax OSA block uses one FFN per block; upstream OmniSR has "
+              "an FFN after each attention — composition differs, so no "
+              "faithful converter can exist without reworking the arch",
+}
+
+
 def _convert_flat(path: str, module) -> dict[str, np.ndarray]:
     sd = load_torch_state_dict(path)
     arch_name = type(module).__name__.lower()
     conv = _CONVERTERS.get(arch_name)
     if conv is None:
+        reason = CONVERTER_BLOCKED.get(arch_name)
+        if reason:
+            raise NotImplementedError(
+                f"torch checkpoint conversion for '{arch_name}' is blocked: "
+                f"{reason}"
+            )
         raise NotImplementedError(
             f"No torch checkpoint converter registered for arch '{arch_name}'. "
             f"Available: {sorted(_CONVERTERS)}"
@@ -648,7 +680,10 @@ def _convert_dat(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
     for k in list(sd):
         if k.endswith((
             "relative_position_index", "rpe_biases", "num_batches_tracked",
-        )):
+        )) or re.fullmatch(r".*\.attn\.attn_mask_\d+", k):
+            # attn_mask_* are registered shift-window buffers (reference
+            # dat_arch.py Spatial_Attention); the flax side recomputes them
+            # statically from the runtime spatial size (_rect_mask above)
             handled.add(k)
     # BNs inside the adaptive interaction module
     for k in list(sd):
