@@ -64,7 +64,6 @@ def main(argv: list[str] | None = None) -> None:
     logger = get_root_logger()
     onnx_opt = opt.onnx
     shape = parse_input_shape(onnx_opt.shape if onnx_opt else "1x3x256x256")
-    dtype = jnp.bfloat16 if (onnx_opt and onnx_opt.dtype == "bf16") else jnp.float32
 
     model = build_model(opt)
     # keep params as jax arrays: the exports close over them, and numpy
@@ -112,13 +111,42 @@ def main(argv: list[str] | None = None) -> None:
         else:
             nchw_shape = (shape[0], shape[3], shape[1], shape[2])
         sample_nchw = np.random.default_rng(0).random(nchw_shape).astype(np.float32)
-        use_fp16 = bool(onnx_opt and onnx_opt.dtype == "fp16")
+        # dtype policy mirrors the reference's convert_onnx_to_low_precision
+        # (/root/reference/convert_to_onnx.py:122-148): fp16 converts the
+        # whole float graph with fp16 I/O (keep_io_types=False there); bf16
+        # runs the MIXED pass — precision-sensitive ops (ConvTranspose,
+        # optionally depthwise convs) stay fp32, I/O stays fp32. Our
+        # numpy-backed emitter has no bf16 dtype, so the bf16 policy is
+        # emitted at fp16 precision with saturation guards.
+        req_dtype = onnx_opt.dtype if onnx_opt else "fp32"
+        use_fp16 = req_dtype == "fp16"
         model_bytes = export_onnx(
             forward_nchw, sample_nchw, base + ".onnx", fp16=use_fp16
         )
+        if onnx_opt is None or onnx_opt.optimize:
+            from trainner_redux_tpu.onnx.optimize import optimize_model
+
+            model_bytes, ostats = optimize_model(model_bytes)
+            logger.info(
+                f"graph optimize: {ostats['nodes_before']} -> "
+                f"{ostats['nodes_after']} nodes, {ostats['inits_before']} -> "
+                f"{ostats['inits_after']} initializers"
+            )
+        if req_dtype == "bf16":
+            from trainner_redux_tpu.onnx.precision import to_mixed_fp16
+
+            model_bytes = to_mixed_fp16(
+                model_bytes,
+                exclude_depthwise=bool(
+                    onnx_opt is None or onnx_opt.bf16_exclude_depthwise
+                ),
+                keep_io_types=True,
+            )
+            logger.info("mixed-precision pass applied (fp32 I/O + excluded ops)")
+        with open(base + ".onnx", "wb") as f:
+            f.write(model_bytes)
         logger.info(
-            f"wrote {base}.onnx ({len(model_bytes)} bytes, opset 13"
-            f"{', fp16' if use_fp16 else ''})"
+            f"wrote {base}.onnx ({len(model_bytes)} bytes, opset 13, {req_dtype})"
         )
         if onnx_opt is None or onnx_opt.verify:
             ref_o = np.asarray(forward_nchw(jnp.asarray(sample_nchw)))
@@ -126,7 +154,7 @@ def main(argv: list[str] | None = None) -> None:
             got_o = run_model(model_bytes, {"input": feed})[0]
             err_o = float(np.abs(ref_o - got_o.astype(np.float32)).max())
             logger.info(f"onnx verification max abs error: {err_o:.3e}")
-            tol = 5e-2 if use_fp16 else 1e-4
+            tol = 5e-2 if req_dtype in ("fp16", "bf16") else 1e-4
             assert err_o < tol, "onnx export verification failed"
     except NotImplementedError as e:
         logger.warning(

@@ -149,3 +149,115 @@ def test_proto_roundtrip():
     node = proto.node_proto("Conv", ["x", "w"], ["y"], strides=[2, 2], group=4)
     f = proto.parse_message(node)
     assert f[4][0] == b"Conv"
+
+
+def _fwd_and_sample(opt: dict, hw: int = 16):
+    net = build_network(dict(opt))
+    x = np.random.default_rng(0).random((1, hw, hw, 3), np.float32)
+    params = net.init(jax.random.key(0), jnp.asarray(x), train=False)
+
+    def fwd(inp):
+        h = jnp.transpose(inp, (0, 2, 3, 1))
+        return jnp.transpose(net.apply(params, h, train=False), (0, 3, 1, 2))
+
+    return fwd, np.ascontiguousarray(x.transpose(0, 3, 1, 2))
+
+
+def test_optimize_pass(tmp_path):
+    """The onnxslim/ORT-equivalent post-pass (optimize.py) shrinks the
+    graph (the tracer's NHWC<->NCHW transpose sandwiches cancel, constant
+    subgraphs fold) and the optimized model stays numerically identical."""
+    from trainner_redux_tpu.onnx.optimize import optimize_model
+
+    fwd, xn = _fwd_and_sample({"type": "compact", "scale": 2, "num_feat": 8,
+                               "num_conv": 2})
+    m = export_onnx(fwd, xn, str(tmp_path / "m.onnx"))
+    m2, stats = optimize_model(m)
+    assert stats["nodes_after"] < stats["nodes_before"]
+    ref = run_model(m, {"input": xn})[0]
+    got = run_model(m2, {"input": xn})[0]
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # I/O contract unchanged
+    g2 = proto.parse_model(m2)
+    assert g2.inputs == ["input"] and g2.outputs == ["output"]
+    assert g2.input_info["input"][0] == "batch"
+
+
+def test_optimize_transpose_cancellation():
+    """Adjacent inverse transposes cancel; non-inverse pairs merge."""
+    from trainner_redux_tpu.onnx.optimize import optimize_model
+
+    def fwd(x):
+        y = jnp.transpose(x, (0, 2, 3, 1))
+        y = jnp.transpose(y, (0, 3, 1, 2))  # cancels
+        return y * 2.0
+
+    xn = np.random.default_rng(0).random((1, 3, 8, 8), np.float32)
+    m = export_onnx(fwd, xn, "/dev/null")
+    m2, _ = optimize_model(m)
+    g2 = proto.parse_model(m2)
+    assert not any(n.op_type == "Transpose" for n in g2.nodes)
+    np.testing.assert_allclose(
+        run_model(m2, {"input": xn})[0], np.asarray(fwd(jnp.asarray(xn))),
+        atol=1e-6,
+    )
+
+
+def test_mixed_fp16_pass(tmp_path):
+    """Reference bf16 policy (convert_to_onnx.py:122-148): mixed
+    precision with fp32 I/O, ConvTranspose + depthwise convs excluded.
+    Depthwise/ConvTranspose weights must stay fp32; other conv weights
+    become fp16; I/O dtypes stay FLOAT."""
+    from trainner_redux_tpu.onnx.precision import to_mixed_fp16
+
+    # spanplus has depthwise convs + ConvTranspose-free upsampling;
+    # use a hand-rolled function with both op kinds instead
+    k_dw = np.random.default_rng(1).random((4, 1, 3, 3), np.float32) * 0.1
+    k_pw = np.random.default_rng(2).random((4, 4, 1, 1), np.float32) * 0.1
+
+    def fwd(x):
+        import jax.lax as lax
+
+        y = lax.conv_general_dilated(
+            x, jnp.asarray(k_dw), (1, 1), "SAME", feature_group_count=4,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        y = lax.conv_general_dilated(
+            y, jnp.asarray(k_pw), (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return y
+
+    xn = np.random.default_rng(0).random((1, 4, 8, 8), np.float32)
+    m = export_onnx(fwd, xn, "/dev/null")
+    m16 = to_mixed_fp16(m, exclude_depthwise=True, keep_io_types=True)
+    g = proto.parse_model(m16)
+    # I/O stays fp32
+    _, io_dtypes = proto.parse_io_info(m16)
+    assert io_dtypes["input"] == proto.FLOAT
+    assert io_dtypes["output"] == proto.FLOAT
+    convs = [n for n in g.nodes if n.op_type == "Conv"]
+    assert len(convs) == 2
+    dw = next(n for n in convs if int(n.attrs.get("group", 1)) == 4)
+    pw = next(n for n in convs if int(n.attrs.get("group", 1)) == 1)
+    assert g.initializers[dw.inputs[1]].dtype == np.float32
+    assert g.initializers[pw.inputs[1]].dtype == np.float16
+    ref = run_model(m, {"input": xn})[0]
+    got = run_model(m16, {"input": xn})[0]
+    assert got.dtype == np.float32
+    assert float(np.abs(ref - got).max()) < 5e-3
+
+
+@pytest.mark.slow
+def test_mixed_fp16_full_arch(tmp_path):
+    """End-to-end mixed pass over a real arch export, optimizer included
+    (the convert_to_onnx.py bf16 path)."""
+    from trainner_redux_tpu.onnx.optimize import optimize_model
+    from trainner_redux_tpu.onnx.precision import to_mixed_fp16
+
+    fwd, xn = _fwd_and_sample({"type": "spanplus_st", "scale": 2})
+    m = export_onnx(fwd, xn, str(tmp_path / "m.onnx"))
+    m, _ = optimize_model(m)
+    m16 = to_mixed_fp16(m, exclude_depthwise=True, keep_io_types=True)
+    ref = np.asarray(fwd(jnp.asarray(xn)))
+    got = run_model(m16, {"input": xn})[0]
+    assert got.dtype == np.float32
+    assert float(np.abs(ref - got).max()) < 5e-2

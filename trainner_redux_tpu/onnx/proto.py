@@ -330,3 +330,60 @@ def parse_model(buf: bytes) -> Graph:
         nodes=nodes, initializers=inits,
         inputs=inputs, outputs=outputs, input_info=input_info,
     )
+
+
+def parse_io_info(model_bytes: bytes) -> tuple[dict[str, tuple], dict[str, int]]:
+    """Graph input+output value_info: name -> shape (ints and dim_param
+    strings) and name -> onnx dtype. parse_model keeps shapes only for
+    inputs and drops dtypes; the post-passes (optimize, precision) need
+    both to re-serialize a model unchanged."""
+    model = parse_message(model_bytes)
+    g = parse_message(model[7][0])
+    shapes: dict[str, tuple] = {}
+    dtypes: dict[str, int] = {}
+    for field_no in (11, 12):
+        for vb in g.get(field_no, []):
+            f = parse_message(vb)
+            name = f[1][0].decode()
+            shape: list = []
+            dt = FLOAT
+            try:
+                tp = parse_message(f[2][0])
+                tt = parse_message(tp[1][0])
+                dt = int(tt.get(1, [FLOAT])[0])
+                sh = parse_message(tt[2][0]) if 2 in tt else {}
+                for dim_buf in sh.get(1, []):
+                    d = parse_message(dim_buf)
+                    if 1 in d:
+                        shape.append(int(d[1][0]))
+                    else:
+                        shape.append(d.get(2, [b"?"])[0].decode())
+            except Exception:
+                pass
+            shapes[name] = tuple(shape)
+            dtypes[name] = dt
+    return shapes, dtypes
+
+
+def serialize_graph(
+    g: Graph,
+    io_dtypes: dict[str, int],
+    io_shapes: dict[str, tuple],
+    opset: int = 13,
+) -> bytes:
+    """Re-emit a parsed (and possibly rewritten) Graph as model bytes."""
+    node_bufs = [
+        node_proto(n.op_type, n.inputs, n.outputs, name=n.name, **n.attrs)
+        for n in g.nodes
+    ]
+    init_bufs = [tensor_proto(k, v) for k, v in g.initializers.items()]
+    in_bufs = [
+        value_info(n, io_dtypes.get(n, FLOAT), io_shapes.get(n, ()))
+        for n in g.inputs
+    ]
+    out_bufs = [
+        value_info(n, io_dtypes.get(n, FLOAT), io_shapes.get(n, ()))
+        for n in g.outputs
+    ]
+    graph = graph_proto(g.name or "main", node_bufs, init_bufs, in_bufs, out_bufs)
+    return model_proto(graph, opset=opset)
