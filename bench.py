@@ -20,7 +20,8 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401
+import numpy as np
 
 CONFIGS = {
     "swinir_m": {
@@ -79,6 +80,7 @@ def _bench_e2e(model, cfg, b: int, n_dev: int) -> float:
     from trainner_redux_tpu.data.data_sampler import EnlargedSampler
 
     scale = 4
+    k_steps = int(getattr(model, "steps_per_dispatch", 1) or 1)
     with tempfile.TemporaryDirectory() as root:
         _make_disk_dataset(root, n_images=48, hr=cfg["lq"] * scale * 2, scale=scale)
         ds_opt = DatasetOptions(
@@ -93,7 +95,10 @@ def _bench_e2e(model, cfg, b: int, n_dev: int) -> float:
         # pipeline rebuilds) over the same 48-image source set
         sampler = EnlargedSampler(len(dataset), 1, 0, 100)
         loader = build_dataloader(dataset, ds_opt, num_gpu=n_dev, sampler=sampler, seed=0)
-        prefetcher = DevicePrefetcher(loader, put_fn=model.shard_batch)
+        loader.batch_size *= k_steps  # mirror train.py's block batching
+        prefetcher = DevicePrefetcher(
+            loader, put_fn=getattr(model, "shard_train_batch", model.shard_batch)
+        )
         prefetcher.reset()
 
         def step(i: int) -> None:
@@ -107,7 +112,7 @@ def _bench_e2e(model, cfg, b: int, n_dev: int) -> float:
         # warmup: compile reuse + one full pass over the source images so the
         # steady-state decode cache is populated (training visits each image
         # enlarge_ratio times per epoch; steady state decodes each PNG once)
-        n_warm = max(4, 48 // cfg["batch_per_chip"] + 2)
+        n_warm = max(4, 48 // (cfg["batch_per_chip"] * k_steps) + 2)
         for i in range(100, 100 + n_warm):
             step(i)
         jax.block_until_ready(model.state.params_g)
@@ -117,7 +122,7 @@ def _bench_e2e(model, cfg, b: int, n_dev: int) -> float:
             step(i)
         jax.block_until_ready(model.state.params_g)
         dt = time.perf_counter() - t0
-    return iters * b / dt / n_dev
+    return iters * k_steps * b / dt / n_dev
 
 
 # Peak dense bf16 FLOP/s per chip (public spec sheets); longest-prefix match
@@ -134,17 +139,18 @@ _PEAK_BF16_FLOPS = {
 def _mfu(model, per_chip_img_s: float, batch_per_chip: int) -> float | None:
     """Model FLOPs utilization of the jitted train step, from XLA's own
     cost analysis (auditable: flops counted by the compiler, peak from the
-    device spec) — VERDICT r1 #6."""
+    device spec) — VERDICT r1 #6. The flops count covers one dispatched
+    BLOCK (steps_per_dispatch optimizer steps), so it is normalized by the
+    block's image count."""
     try:
-        key = jax.random.key(0)
         batch = {"lq": model.lq, "gt": model.gt}
-        ca = model._train_step.lower(model.state, batch, key).compile().cost_analysis()
+        ca = model._train_step.lower(model.state, batch).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_per_step = float(ca.get("flops", 0.0))
+        flops_per_block = float(ca.get("flops", 0.0))
     except Exception:
         return None
-    if flops_per_step <= 0:
+    if flops_per_block <= 0:
         return None
     kind = jax.devices()[0].device_kind
     peak = 197e12
@@ -153,8 +159,10 @@ def _mfu(model, per_chip_img_s: float, batch_per_chip: int) -> float | None:
             peak = _PEAK_BF16_FLOPS[prefix]
             break
     n_dev = len(jax.devices())
-    steps_per_sec = per_chip_img_s / batch_per_chip
-    return flops_per_step / n_dev * steps_per_sec / peak
+    k_steps = int(getattr(model, "steps_per_dispatch", 1) or 1)
+    imgs_per_block = batch_per_chip * k_steps
+    blocks_per_sec = per_chip_img_s / imgs_per_block
+    return flops_per_block / n_dev * blocks_per_sec / peak
 
 
 def main() -> None:
@@ -170,6 +178,7 @@ def main() -> None:
     n_dev = len(jax.devices())
     b = cfg["batch_per_chip"] * n_dev
     lq_size = cfg["lq"]
+    k_steps = 8  # steps_per_dispatch: the production train-loop setting
 
     opt = ReduxOptions(
         name="bench",
@@ -181,6 +190,7 @@ def main() -> None:
         is_train=True,
         compute_dtype="bfloat16",
         mesh={"data": n_dev},
+        steps_per_dispatch=k_steps,
         train=TrainOptions(
             total_iter=1000,
             ema_decay=0.999,
@@ -190,23 +200,25 @@ def main() -> None:
     )
     model = build_model(opt)
 
-    rng = jax.random.key(0)
-    lq = jax.random.uniform(rng, (b, lq_size, lq_size, 3), jnp.float32)
-    gt = jax.random.uniform(rng, (b, lq_size * 4, lq_size * 4, 3), jnp.float32)
+    rng = np.random.default_rng(0)
+    lq = (rng.random((k_steps * b, lq_size, lq_size, 3)) * 255).astype(np.uint8)
+    gt = (rng.random((k_steps * b, lq_size * 4, lq_size * 4, 3)) * 255).astype(
+        np.uint8
+    )
     model.feed_data({"lq": lq, "gt": gt})
 
     for i in range(1, 4):  # warmup/compile
-        model.optimize_parameters(i)
+        model.optimize_parameters(i * k_steps)
     jax.block_until_ready(model.state.params_g)
 
     iters = 30
     t0 = time.perf_counter()
     for i in range(4, 4 + iters):
-        model.optimize_parameters(i)
+        model.optimize_parameters(i * k_steps)
     jax.block_until_ready(model.state.params_g)
     dt = time.perf_counter() - t0
 
-    per_chip = iters * b / dt / n_dev
+    per_chip = iters * k_steps * b / dt / n_dev
 
     mfu = _mfu(model, per_chip, cfg["batch_per_chip"])
 

@@ -294,3 +294,56 @@ def test_remat_trains(tiny_dataset, tmp_path):
     model.optimize_parameters(1)
     log = model.get_current_log()
     assert np.isfinite(log["l_g_total"])
+
+
+def test_steps_per_dispatch_equivalence(tiny_dataset, tmp_path):
+    """K scanned steps inside one dispatch must train IDENTICALLY to K
+    sequential single-step dispatches: same batches in the same order,
+    same per-step RNG (keys derive from state.step inside the scan), same
+    EMA/optimizer updates."""
+    import jax
+    import numpy as np
+
+    from trainner_redux_tpu.models import build_model
+
+    rng = np.random.default_rng(7)
+    K, B, steps = 4, 2, 8
+    batches = [
+        {
+            "lq": (rng.random((B, 16, 16, 3)) * 255).astype(np.uint8),
+            "gt": (rng.random((B, 32, 32, 3)) * 255).astype(np.uint8),
+        }
+        for _ in range(steps)
+    ]
+
+    # sequential baseline
+    opt1 = make_opt(tiny_dataset, tmp_path / "seq")
+    model1 = build_model(opt1)
+    for i, b in enumerate(batches, 1):
+        model1.feed_data(b)
+        model1.optimize_parameters(i)
+    p1 = jax.device_get(model1.state.params_g)
+    e1 = jax.device_get(model1.state.ema_params_g)
+
+    # scanned blocks
+    opt2 = make_opt(tiny_dataset, tmp_path / "blk")
+    opt2.steps_per_dispatch = K
+    model2 = build_model(opt2)
+    assert model2.steps_per_dispatch == K
+    for blk in range(steps // K):
+        group = batches[blk * K : (blk + 1) * K]
+        stacked = {
+            k: np.concatenate([g[k] for g in group], axis=0) for k in ("lq", "gt")
+        }
+        model2.feed_data(stacked)
+        model2.optimize_parameters((blk + 1) * K)
+    assert int(jax.device_get(model2.state.step)) == steps
+    p2 = jax.device_get(model2.state.params_g)
+    e2 = jax.device_get(model2.state.ema_params_g)
+
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(b, a, atol=1e-6), p1, p2)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(b, a, atol=1e-6), e1, e2)
+    # logs from the block reflect its last step
+    log2 = model2.get_current_log()
+    log1 = model1.get_current_log()
+    assert abs(log2["l_g_total"] - log1["l_g_total"]) < 1e-5

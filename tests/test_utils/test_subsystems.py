@@ -150,3 +150,33 @@ def test_flatten_params_forces_c_order(tmp_path):
     back = BaseModel.unflatten_params(load_file(path))
     np.testing.assert_array_equal(back["conv"]["kernel"], base.T)
     np.testing.assert_array_equal(back["conv"]["bias"], params["conv"]["bias"])
+
+
+def test_preflight_memory_flow():
+    """model.preflight_memory lowers the REAL train step AOT and returns a
+    fitting (batch, lq_size) estimate; train.py uses it to downshift and
+    rebuild the loader before the run starts (reference vram_manager's
+    pre-run suggestion flow, redesigned as exact compile-time analysis)."""
+    from trainner_redux_tpu.models import build_model
+    from trainner_redux_tpu.utils.redux_options import (
+        PathOptions,
+        ReduxOptions,
+        TrainOptions,
+    )
+
+    opt = ReduxOptions(
+        name="preflight", scale=2, num_gpu=1, path=PathOptions(),
+        network_g={"type": "superultracompact"}, manual_seed=0, is_train=True,
+        train=TrainOptions(
+            total_iter=10,
+            optim_g={"type": "AdamW", "lr": 1e-4},
+            losses=[{"type": "l1loss", "loss_weight": 1.0}],
+        ),
+    )
+    model = build_model(opt)
+    est = model.preflight_memory(2, 16)
+    assert est.fits
+    assert (est.batch, est.lq_size) == (2, 16)
+    # the ladder bottoms out at the minimums instead of erroring
+    est2 = model.preflight_memory(2, 16, min_batch=1, min_patch=16)
+    assert est2.batch >= 1 and est2.lq_size >= 16

@@ -73,8 +73,10 @@ def create_train_val_dataloaders(opt, logger):
                 seed=opt.manual_seed,
             )
             accum = dataset_opt.accum_iter or 1
-            # loader batch = micro_batch * accum (step consumes full stack)
-            train_loader.batch_size *= accum
+            k_steps = max(1, int(opt.steps_per_dispatch or 1))
+            # loader batch = micro_batch * accum * steps_per_dispatch (one
+            # dispatched block consumes the full stack)
+            train_loader.batch_size *= accum * k_steps
             total_iters = int(opt.train.total_iter)
             iters_per_epoch = max(1, len(train_loader))
             logger.info(
@@ -155,6 +157,48 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
 
     model = build_model(opt)
 
+    # AOT HBM preflight (opt-in via the dynamic_batch_patch_optimizer
+    # automation): compile the real train step at the configured shape and
+    # read XLA's exact memory analysis; if it doesn't fit, downshift
+    # (batch, lq_size) along the ladder and rebuild the train loader —
+    # the TPU-native replacement for the reference's runtime OOM-retry.
+    autom = (opt.train.training_automations or {}) if opt.train else {}
+    bp_cfg = autom.get("dynamic_batch_patch_optimizer") or {}
+    if bp_cfg.get("enabled", False) and hasattr(model, "preflight_memory"):
+        train_ds_opt = next(
+            d for k, d in opt.datasets.items() if k.split("_")[0] == "train"
+        )
+        cfg_batch = int(train_ds_opt.batch_size_per_gpu or 1)
+        cfg_patch = int(
+            train_ds_opt.lq_size
+            or (train_ds_opt.gt_size or 32 * opt.scale) // opt.scale
+        )
+        est = model.preflight_memory(
+            cfg_batch, cfg_patch,
+            min_batch=int(bp_cfg.get("min_batch_size", 1)),
+            min_patch=int(bp_cfg.get("min_patch_size", 16)),
+        )
+        if est.total_bytes is not None:
+            logger.info(
+                f"AOT memory preflight: train step at batch {est.batch} "
+                f"lq {est.lq_size} compiles to "
+                f"{est.total_bytes / (1 << 30):.2f} GiB HBM."
+            )
+        if (est.batch, est.lq_size) != (cfg_batch, cfg_patch):
+            logger.warning(
+                f"Configured (batch {cfg_batch}, lq {cfg_patch}) does not fit "
+                f"HBM; downshifting to (batch {est.batch}, lq {est.lq_size}) "
+                "and rebuilding the train loader."
+            )
+            train_ds_opt.batch_size_per_gpu = est.batch
+            if train_ds_opt.lq_size:
+                train_ds_opt.lq_size = est.lq_size
+            if train_ds_opt.gt_size:
+                train_ds_opt.gt_size = est.lq_size * opt.scale
+            train_loader, train_sampler, _v, total_iters, iters_per_epoch = (
+                create_train_val_dataloaders(opt, logger)
+            )
+
     start_epoch, current_iter = 0, 0
     if resume_state_path:
         meta = model.resume_training(resume_state_path)
@@ -191,7 +235,19 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
     # here the same overlap falls out of sharded device_put + async dispatch.
     from trainner_redux_tpu.data import DevicePrefetcher
 
-    prefetcher = DevicePrefetcher(train_loader, put_fn=model.shard_batch)
+    prefetcher = DevicePrefetcher(
+        train_loader,
+        put_fn=getattr(model, "shard_train_batch", model.shard_batch),
+    )
+
+    # steps_per_dispatch: each loop iteration runs K optimizer steps in one
+    # jitted block; freq-gated actions fire when a boundary is crossed.
+    k_eff = int(getattr(model, "steps_per_dispatch", 1) or 1)
+
+    def crossed(freq: int | None) -> bool:
+        return bool(freq) and (current_iter // freq) != (
+            (current_iter - k_eff) // freq
+        )
 
     epoch = start_epoch
     try:
@@ -205,20 +261,20 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
                 data_timer.record()
                 if current_iter >= total_iters or interrupted["flag"]:
                     break
-                current_iter += 1
+                current_iter += k_eff
 
                 model.feed_data(train_data)
                 model.optimize_parameters(current_iter)
-                iter_timer.record()
+                iter_timer.record(count=k_eff)
 
-                if current_iter == 1:
+                if current_iter == k_eff:
                     msg_logger.reset_start_time()
-                if profile_dir and current_iter == 50:
+                if profile_dir and current_iter >= 50:
                     jax.profiler.stop_trace()
                     logger.info(f"Profile trace written to {profile_dir}")
                     profile_dir = None
 
-                if opt.logger and current_iter % opt.logger.print_freq == 0:
+                if opt.logger and crossed(opt.logger.print_freq):
                     log_vars = {
                         "epoch": epoch,
                         "iter": current_iter,
@@ -228,18 +284,14 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
                     log_vars.update(model.get_current_log())
                     msg_logger(log_vars)
 
-                if (
-                    opt.logger
-                    and current_iter % opt.logger.save_checkpoint_freq == 0
-                ):
+                if opt.logger and crossed(opt.logger.save_checkpoint_freq):
                     logger.info("Saving models and training states.")
                     model.save(epoch, current_iter)
 
                 if (
                     opt.val
                     and opt.val.val_enabled
-                    and opt.val.val_freq
-                    and current_iter % opt.val.val_freq == 0
+                    and crossed(opt.val.val_freq)
                 ):
                     for val_loader in val_loaders:
                         model.validation(

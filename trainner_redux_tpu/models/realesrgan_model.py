@@ -29,6 +29,12 @@ from trainner_redux_tpu.utils.registry import MODEL_REGISTRY
 @MODEL_REGISTRY.register()
 class RealESRGANModel(SRModel):
     def __init__(self, opt: ReduxOptions) -> None:
+        if int(opt.steps_per_dispatch or 1) > 1:
+            raise ValueError(
+                "steps_per_dispatch > 1 is not supported with the on-the-fly "
+                "degradation models yet: the degradation program and the "
+                "device ring-buffer pool operate on flat (B, ...) batches."
+            )
         super().__init__(opt)
         self.queue_size = int(opt.queue_size)
         self._pool: dict[str, Any] | None = None

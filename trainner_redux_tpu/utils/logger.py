@@ -29,10 +29,14 @@ class AvgTimer:
     def tic(self) -> None:
         self.start_time = time.time()
 
-    def record(self) -> None:
-        self.times.append(time.time() - self.start_time)
+    def record(self, count: int = 1) -> None:
+        """Record elapsed time since tic(); `count` > 1 splits it evenly
+        (a steps_per_dispatch block reports per-step time)."""
+        elapsed = (time.time() - self.start_time) / max(1, count)
+        for _ in range(max(1, count)):
+            self.times.append(elapsed)
         if len(self.times) > self.window:
-            self.times.pop(0)
+            del self.times[: len(self.times) - self.window]
         self.tic()
 
     def get_current_time(self) -> float:

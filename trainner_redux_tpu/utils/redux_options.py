@@ -414,3 +414,9 @@ class ReduxOptions:
     donate_state: bool = True
     # Remat (gradient checkpointing) policy for the generator.
     remat: bool = False
+    # Optimizer steps executed per device dispatch: the jitted train step
+    # lax.scan's over K micro-iterations, so Python/transfer overhead (one
+    # device_put + one dispatch) amortizes K-fold. Loader batches grow to
+    # K * batch_size_per_gpu * accum_iter; logs reflect the last step of
+    # each block. K=1 is the reference-identical per-step loop.
+    steps_per_dispatch: int = 1
