@@ -40,6 +40,18 @@ CASES = [
     ("srformer_light", dict(scale=2), 16),
     ("mosr", dict(scale=2, n_block=2, dim=8), 16),
     ("atd_light", dict(scale=2), 16),
+    ("omnisr", dict(scale=2, num_feat=16, res_num=2, block_num=1, window_size=4), 16),
+    ("ditn_real", dict(scale=2, dim=12, ITL_blocks=2, SAL_blocks=2, UFONE_blocks=1), 16),
+    ("seemore_t", dict(scale=2, embedding_dim=16, num_layers=2, num_experts=3, topk=1), 16),
+    ("dctlsa", dict(scale=2, nf=10, num_modules=3, num_head=2), 16),
+    ("craft", dict(scale=2, embed_dim=16, depths=(2, 2), num_heads=(2, 2),
+                   window_size=16, split_size_0=4, split_size_1=16), 16),
+    ("rgt_s", dict(scale=2, embed_dim=16, depth=(2, 2), num_heads=(2, 2),
+                   split_size=(4, 8)), 16),
+    ("grl_t", dict(scale=2, embed_dim=16, depths=(2, 2), num_heads_window=(2, 2),
+                   num_heads_stripe=(2, 2), window_size=8, stripe_size=(8, 8)), 16),
+    ("grl_b", dict(scale=2, embed_dim=16, depths=(2,), num_heads_window=(2,),
+                   num_heads_stripe=(2,), window_size=8, stripe_size=(8, 8)), 16),
 ]
 
 # families whose upstream checkpoint shares one wqkv Linear consumed by two

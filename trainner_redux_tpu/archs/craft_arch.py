@@ -8,8 +8,9 @@ mlp_ratio 2, window 16); block internals follow the CRAFT paper (Li et al.,
 ICCV 2023): HFERB (dual local / max-pool high-frequency enhancement
 branches), SRWAB (shifted rectangle-window attention with dynamic position
 bias, alternating orientations), and a fusion block with improved channel
-attention; pixelshuffledirect tail. Checkpoint key maps pending official
-weights (documented divergence).
+attention; pixelshuffledirect tail. Checkpoint converter/exporter in
+utils/torch_compat.py (structural round-trip tested; layout verified
+against a real checkpoint when one lands on disk).
 """
 
 from __future__ import annotations

@@ -8,8 +8,9 @@ DCTLSA paper (Zeng et al., 2023): stacked modules combining a conv
 distillation branch, local window self-attention (num_head heads), and a
 DCT-coefficient channel attention (frequency-pooled SE), with dense
 aggregation of all module outputs through a 1x1 fuse and a
-pixelshuffledirect tail. Checkpoint key maps pending official weights
-(documented divergence).
+pixelshuffledirect tail. Checkpoint converter/exporter in
+utils/torch_compat.py (structural round-trip tested; layout verified
+against a real checkpoint when one lands on disk).
 """
 
 from __future__ import annotations

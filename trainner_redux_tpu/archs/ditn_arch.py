@@ -7,8 +7,9 @@ LayerNorm type); the block internals follow the DITN paper (Liu et al.,
 ACM MM 2023): UFONE groups = Inner-patch Transformer Layers (LN + MHSA
 within patch_size windows + gated-dwconv FFN) followed by Spatial-Aware
 Layers (dilated depthwise dual-branch gating + FFN), SFT conv head,
-pixelshuffledirect tail. Checkpoint-converter key maps are pending until
-official weights are available locally (documented divergence).
+pixelshuffledirect tail. Checkpoint converter/exporter in
+utils/torch_compat.py (structural round-trip tested; layout verified
+against a real checkpoint when one lands on disk).
 """
 
 from __future__ import annotations
@@ -41,7 +42,9 @@ class GatedDWFFN(nn.Module):
 
 
 class ISA(nn.Module):
-    """Inner-patch self-attention: MHSA within patch_size windows."""
+    """Inner-patch self-attention: MHSA within patch_size windows, scaled by
+    a learned temperature (upstream DITN ISA: qkv/project_out Linears plus a
+    `temperature` parameter multiplying the logits)."""
 
     dim: int
     patch_size: int = 8
@@ -55,19 +58,21 @@ class ISA(nn.Module):
         ps = self.patch_size
         nh = self.num_heads if c % self.num_heads == 0 else 1
         hd = c // nh
+        temp = self.param("temperature", nn.initializers.ones, (1, 1, 1),
+                          jnp.float32)
         qkv = Conv2d(c * 3, 1, padding=0, use_bias=self.use_bias, dtype=self.dtype,
                      name="qkv")(x)
         qkv = qkv.reshape(b, h // ps, ps, w // ps, ps, 3, nh, hd)
         qkv = qkv.transpose(5, 0, 1, 3, 6, 2, 4, 7).reshape(3, -1, nh, ps * ps, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd**-0.5), k,
-                          preferred_element_type=jnp.float32)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * temp[None]
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.reshape(b, h // ps, w // ps, nh, ps, ps, hd)
         out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, h, w, c)
         return Conv2d(c, 1, padding=0, use_bias=self.use_bias, dtype=self.dtype,
-                      name="proj")(out)
+                      name="project_out")(out)
 
 
 class ITL(nn.Module):
@@ -87,8 +92,28 @@ class ITL(nn.Module):
                               dtype=self.dtype, name="ffn")(y)
 
 
+class SDA(nn.Module):
+    """Spatial-aware dual attention: dilated depthwise dual-branch gating."""
+
+    dim: int
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        d = self.dim
+        b1 = Conv2d(d, 3, feature_group_count=d, dilation=2, use_bias=self.use_bias,
+                    dtype=self.dtype, name="sade_d2")(y)
+        b2 = Conv2d(d, 3, feature_group_count=d, dilation=3, use_bias=self.use_bias,
+                    dtype=self.dtype, name="sade_d3")(y)
+        g = nn.sigmoid(Conv2d(d, 1, padding=0, use_bias=self.use_bias,
+                              dtype=self.dtype, name="gate")(y))
+        return Conv2d(d, 1, padding=0, use_bias=self.use_bias, dtype=self.dtype,
+                      name="fuse")(g * b1 + (1.0 - g) * b2)
+
+
 class SAL(nn.Module):
-    """Spatial-aware layer: dilated depthwise dual-branch gating."""
+    """Spatial-aware layer: pre-norm SDA + pre-norm gated-dwconv FFN."""
 
     dim: int
     ffn_expansion: float
@@ -99,15 +124,7 @@ class SAL(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.dim
         y = ChannelLayerNorm(d, name="norm1")(x)
-        b1 = Conv2d(d, 3, feature_group_count=d, dilation=2, use_bias=self.use_bias,
-                    dtype=self.dtype, name="sade_d2")(y)
-        b2 = Conv2d(d, 3, feature_group_count=d, dilation=3, use_bias=self.use_bias,
-                    dtype=self.dtype, name="sade_d3")(y)
-        g = nn.sigmoid(Conv2d(d, 1, padding=0, use_bias=self.use_bias,
-                              dtype=self.dtype, name="gate")(y))
-        y = Conv2d(d, 1, padding=0, use_bias=self.use_bias, dtype=self.dtype,
-                   name="fuse")(g * b1 + (1.0 - g) * b2)
-        x = x + y
+        x = x + SDA(d, self.use_bias, dtype=self.dtype, name="attn")(y)
         y = ChannelLayerNorm(d, name="norm2")(x)
         return x + GatedDWFFN(d, self.ffn_expansion, self.use_bias, dtype=self.dtype,
                               name="ffn")(y)

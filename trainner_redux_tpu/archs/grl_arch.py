@@ -1,94 +1,210 @@
 """GRL — Global-Regional-Local image restoration transformer (flax/NHWC).
 
-Parity: the reference's spandrel-backed grl_b factory
-(/root/reference/traiNNer/archs/grl_arch.py:10-60+) pins the configuration
-surface (embed_dim 180, depths (4,4,8,8,8,4,4), window 32, stripe 64x64,
-anchor_window_down_factor 4, local_connection); block internals follow the
-GRL paper (Li et al., CVPR 2023): mixed attention splitting channels
-between window attention and anchored stripe attention (a low-rank
-decomposition through avg-pooled anchors: softmax(Q·Ka) @ softmax(Qa·K) @ V)
-with alternating stripe shifts, plus a channel-attention conv branch
-(local connection) and MLP FFNs. Anchored attention position biases are
-omitted (documented divergence; the reference uses CPB MLP tables).
+Parity: the reference's spandrel-backed grl_b/grl_s/grl_t factories
+(/root/reference/traiNNer/archs/grl_arch.py) pin the configuration surface
+(embed_dim 180/128/64, depths (4,4,8,8,8,4,4)/(4,)*4, window 32, stripe
+64x64, anchor_window_down_factor 4, qkv_proj_type "linear",
+anchor_proj_type "avgpool" [parameterless], anchor_one_stage, out_proj_type
+"linear", conv_type "1conv", local_connection, stripe_shift). Module
+composition mirrors the upstream GRL repo (ofsoundof/GRL-Image-Restoration
+models/grl.py — the layout spandrel checkpoints carry):
+
+EfficientMixAttnTransformerBlock = norm1 -> MixedAttention (one qkv Linear
+over the FULL dim whose q/k/v each split channel-wise into a window half
+and an anchored-stripe half; Swin-v2-style COSINE attention, each attention
+scaled+biased by an AffineTransform: clamped exp(logit_scale) plus a
+log-spaced-coordinate CPB MLP bias; anchored stripe attention is the
+low-rank two-softmax product attn1 @ (attn2 @ v) with parameterless
+avg-pooled anchors; out proj Linear) + CAB local connection, then
+norm2 -> MLP(fc1/fc2). Stages carry a trailing 3x3 conv; shell =
+conv_first / norm_start / layers / norm_end / conv_after_body / upsampler.
+
+Documented divergences: stripe shifts use jnp.roll without the upstream's
+boundary attention masks (wrap-around stripes attend across the seam), and
+the relative-coordinate log normalization follows Swin-v2's published
+formula. table_/index_/mask_ checkpoint buffers are recomputed statically.
 """
 
 from __future__ import annotations
 
+import math
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_shuffle
-from trainner_redux_tpu.archs.swinir_arch import (
-    WindowAttention,
-    _attn_mask,
-    window_partition,
-    window_reverse,
-)
+from trainner_redux_tpu.archs.swinir_arch import window_partition, window_reverse
 from trainner_redux_tpu.utils.registry import SPANDREL_REGISTRY
 
 
-class AnchoredStripeAttention(nn.Module):
-    dim: int
+@lru_cache(maxsize=64)
+def _cpb_table_index(
+    h1: int, w1: int, h2: int, w2: int, df: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Static CPB inputs for attention between an (h1, w1) token grid and an
+    (h2, w2) grid sampled at stride df (df=1: same grid). Returns
+    (table (T, 2) float32 log-normalized displacements, index (n1, n2) int32).
+    """
+    p1 = np.stack(
+        np.meshgrid(np.arange(h1), np.arange(w1), indexing="ij"), -1
+    ).reshape(-1, 2).astype(np.float64)
+    p2 = np.stack(
+        np.meshgrid(np.arange(h2), np.arange(w2), indexing="ij"), -1
+    ).reshape(-1, 2).astype(np.float64)
+    p2 = p2 * df + (df - 1) / 2.0  # centers of the pooled cells
+    rel = p1[:, None, :] - p2[None, :, :]  # (n1, n2, 2)
+    flat = rel.reshape(-1, 2)
+    table, inverse = np.unique(flat, axis=0, return_inverse=True)
+    # Swin-v2 log-spaced normalization to [-8, 8] then sign*log2(|x|+1)/log2(8)
+    denom = np.maximum(np.abs(table).max(axis=0, keepdims=True), 1.0)
+    t = table * (8.0 / denom)
+    t = np.sign(t) * np.log2(np.abs(t) + 1.0) / np.log2(8.0)
+    return (
+        t.astype(np.float32),
+        inverse.reshape(p1.shape[0], p2.shape[0]).astype(np.int32),
+    )
+
+
+class AffineTransform(nn.Module):
+    """Swin-v2 attention affine: clamped-exp logit scale + CPB MLP bias."""
+
     num_heads: int
-    stripe_size: tuple = (64, 64)
-    down_factor: int = 4
-    do_shift: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, attn: jnp.ndarray, table: np.ndarray,
+                 index: np.ndarray) -> jnp.ndarray:
+        nh = self.num_heads
+        logit_scale = self.param(
+            "logit_scale",
+            lambda _k, s, d: jnp.full(s, math.log(10.0), d),
+            (nh, 1, 1), jnp.float32,
+        )
+        scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0)))
+        attn = attn * scale[None].astype(attn.dtype)
+        t = jnp.asarray(table)
+        bias_t = nn.Dense(512, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="cpb0")(t)
+        bias_t = nn.Dense(nh, use_bias=False, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="cpb1")(nn.relu(bias_t))
+        idx = jnp.asarray(index)
+        bias = jnp.take(bias_t, idx.reshape(-1), axis=0)
+        bias = bias.reshape(idx.shape[0], idx.shape[1], nh).transpose(2, 0, 1)
+        return attn + bias[None].astype(attn.dtype)
+
+
+def _cosine_attn(q, k, eps=1e-12):
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), eps)
+    return jnp.einsum("bhnd,bhmd->bhnm", qn, kn,
+                      preferred_element_type=jnp.float32)
+
+
+def _heads(z, nh):
+    b, n, c = z.shape
+    return z.reshape(b, n, nh, c // nh).transpose(0, 2, 1, 3)
+
+
+def _unheads(z):
+    b, nh, n, hd = z.shape
+    return z.transpose(0, 2, 1, 3).reshape(b, n, nh * hd)
+
+
+class MixedAttention(nn.Module):
+    """Upstream MixedAttention: one full-dim qkv Linear; window half through
+    cosine window attention (attn_transform), stripe half through anchored
+    stripe attention (attn_transform1/2, avg-pooled anchors); out proj."""
+
+    dim: int
+    num_heads_window: int
+    num_heads_stripe: int
+    window_size: int
+    stripe_size: tuple
+    down_factor: int
+    do_shift: bool
+    qkv_bias: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
+        half = c // 2
+        ws = min(self.window_size, min(h, w))
         sh = min(self.stripe_size[0], h)
         sw = min(self.stripe_size[1], w)
-        nh = self.num_heads
-        hd = c // nh
         df = self.down_factor
+
+        qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        # ---- window half (no shift in GRL's window branch) ----
+        nh_w = self.num_heads_window
+        outs = []
+        qw = window_partition(q[..., :half], ws)
+        kw = window_partition(k[..., :half], ws)
+        vw = window_partition(v[..., :half], ws)
+        attn = _cosine_attn(_heads(qw, nh_w), _heads(kw, nh_w))
+        table, index = _cpb_table_index(ws, ws, ws, ws, 1)
+        attn = AffineTransform(nh_w, dtype=self.dtype, name="attn_transform_w")(
+            attn, table, index
+        )
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        ow = _unheads(jnp.einsum("bhnm,bhmd->bhnd", attn, _heads(vw, nh_w)))
+        outs.append(window_reverse(ow, ws, h, w))
+
+        # ---- anchored stripe half ----
+        nh_s = self.num_heads_stripe
         shift = (sh // 2, sw // 2) if self.do_shift else (0, 0)
-
-        qkv = nn.Dense(c * 3, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qs, ks, vs = (t[..., half:] for t in (q, k, v))
+        xs = x[..., half:]
         if shift != (0, 0):
-            qkv = jnp.roll(qkv, (-shift[0], -shift[1]), axis=(1, 2))
-        # anchors: avg-pooled by down_factor
-        anchor = nn.avg_pool(qkv, (df, df), strides=(df, df))
+            qs, ks, vs, xs = (
+                jnp.roll(t, (-shift[0], -shift[1]), axis=(1, 2))
+                for t in (qs, ks, vs, xs)
+            )
+        anchor = nn.avg_pool(xs, (df, df), strides=(df, df))
 
-        def part(z, wh, ww):
+        def stripes(z, wh, ww):
             bb, hh, www, cc = z.shape
             z = z.reshape(bb, hh // wh, wh, www // ww, ww, cc)
             return z.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww, cc)
 
-        qkv_w = part(qkv, sh, sw)  # (B', n, 3c)
-        anc_w = part(anchor, sh // df, sw // df)  # (B', m, 3c)
-        n = qkv_w.shape[1]
-        m = anc_w.shape[1]
+        q_ = _heads(stripes(qs, sh, sw), nh_s)
+        k_ = _heads(stripes(ks, sh, sw), nh_s)
+        v_ = _heads(stripes(vs, sh, sw), nh_s)
+        a_ = _heads(stripes(anchor, sh // df, sw // df), nh_s)
 
-        def heads(z, count):
-            return z.reshape(-1, count, nh, hd).transpose(0, 2, 1, 3)
+        t_qa, i_qa = _cpb_table_index(sh, sw, sh // df, sw // df, df)
+        # anchor grid coords sit at pooled-cell centers relative to the fine
+        # grid in the q->anchor direction; the anchor->k direction is the
+        # same displacement set negated, with the index transposed
+        i_ak = np.ascontiguousarray(i_qa.T)
+        t_ak = np.ascontiguousarray(-t_qa)
 
-        q = heads(qkv_w[..., :c], n)
-        k = heads(qkv_w[..., c : 2 * c], n)
-        v = heads(qkv_w[..., 2 * c :], n)
-        qa = heads(anc_w[..., :c], m)
-        ka = heads(anc_w[..., c : 2 * c], m)
-
-        scale = hd**-0.5
-        a1 = jax.nn.softmax(
-            jnp.einsum("bhnd,bhmd->bhnm", q * scale, ka,
-                       preferred_element_type=jnp.float32).astype(jnp.float32),
-            axis=-1,
-        ).astype(self.dtype)
-        a2 = jax.nn.softmax(
-            jnp.einsum("bhmd,bhnd->bhmn", qa * scale, k,
-                       preferred_element_type=jnp.float32).astype(jnp.float32),
-            axis=-1,
-        ).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", a1, jnp.einsum("bhmn,bhnd->bhmd", a2, v))
-        out = out.transpose(0, 2, 1, 3).reshape(-1, n, c)
-        out = out.reshape(b, h // sh, w // sw, sh, sw, c)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+        a1 = AffineTransform(nh_s, dtype=self.dtype, name="attn_transform1")(
+            _cosine_attn(q_, a_), t_qa, i_qa
+        )
+        a1 = jax.nn.softmax(a1.astype(jnp.float32), axis=-1).astype(self.dtype)
+        a2 = AffineTransform(nh_s, dtype=self.dtype, name="attn_transform2")(
+            _cosine_attn(a_, k_), t_ak, i_ak
+        )
+        a2 = jax.nn.softmax(a2.astype(jnp.float32), axis=-1).astype(self.dtype)
+        os_ = _unheads(jnp.einsum("bhnm,bhmd->bhnd", a1,
+                                  jnp.einsum("bhmn,bhnd->bhmd", a2, v_)))
+        n_sh, n_sw = h // sh, w // sw
+        os_ = os_.reshape(b, n_sh, n_sw, sh, sw, half)
+        os_ = os_.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, half)
         if shift != (0, 0):
-            out = jnp.roll(out, shift, axis=(1, 2))
-        return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+            os_ = jnp.roll(os_, shift, axis=(1, 2))
+        outs.append(os_)
+
+        y = jnp.concatenate(outs, axis=-1)
+        return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="proj")(y)
 
 
 class GRLBlock(nn.Module):
@@ -106,34 +222,20 @@ class GRLBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        half = c // 2
-        ws = min(self.window_size, min(h, w))
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm1")(x)
-        # window half
-        yw = y[..., :half]
-        shift = ws // 2 if self.do_shift and min(h, w) > ws else 0
-        if shift:
-            yw = jnp.roll(yw, (-shift, -shift), axis=(1, 2))
-        win = window_partition(yw, ws)
-        aw = WindowAttention(half, ws, self.num_heads_window, dtype=self.dtype,
-                             name="attn_win")(win, _attn_mask(h, w, ws, shift))
-        yw = window_reverse(aw, ws, h, w)
-        if shift:
-            yw = jnp.roll(yw, (shift, shift), axis=(1, 2))
-        # anchored stripe half
-        ys = AnchoredStripeAttention(
-            half, self.num_heads_stripe, tuple(self.stripe_size), self.down_factor,
-            self.do_shift, dtype=self.dtype, name="attn_stripe",
-        )(y[..., half:])
-        y = jnp.concatenate([yw, ys], axis=-1)
+        y = MixedAttention(
+            self.dim, self.num_heads_window, self.num_heads_stripe,
+            self.window_size, tuple(self.stripe_size), self.down_factor,
+            self.do_shift, dtype=self.dtype, name="attn",
+        )(y)
         if self.local_connection:
             cab = nn.gelu(Conv2d(max(1, c // 4), 3, dtype=self.dtype,
                                  name="cab_0")(x), approximate=False)
             cab = Conv2d(c, 3, dtype=self.dtype, name="cab_1")(cab)
             ca = jnp.mean(cab, axis=(1, 2), keepdims=True)
-            ca = nn.gelu(Conv2d(max(1, c // 16), 1, padding=0, dtype=self.dtype,
-                                name="cab_ca0")(ca), approximate=False)
+            ca = nn.relu(Conv2d(max(1, c // 16), 1, padding=0, dtype=self.dtype,
+                                name="cab_ca0")(ca))
             ca = nn.sigmoid(Conv2d(c, 1, padding=0, dtype=self.dtype,
                                    name="cab_ca1")(ca))
             y = y + cab * ca
@@ -158,6 +260,7 @@ class GRL(nn.Module):
     window_size: int = 32
     stripe_size: tuple = (64, 64)
     anchor_window_down_factor: int = 4
+    stripe_shift: bool = True
     local_connection: bool = True
     mlp_ratio: float = 2.0
     img_range: float = 1.0
@@ -176,7 +279,8 @@ class GRL(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_first")(x)
-        body = feat
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="norm_start")(feat)
         for li, depth in enumerate(self.depths):
             group_in = body
             for bi in range(depth):
@@ -184,7 +288,8 @@ class GRL(nn.Module):
                     self.embed_dim, self.num_heads_window[li],
                     self.num_heads_stripe[li], self.window_size,
                     tuple(self.stripe_size), self.anchor_window_down_factor,
-                    do_shift=bool(bi % 2), local_connection=self.local_connection,
+                    do_shift=self.stripe_shift and bool(bi % 2),
+                    local_connection=self.local_connection,
                     mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                     name=f"layers_{li}_b{bi}",
                 )(body)
@@ -192,7 +297,7 @@ class GRL(nn.Module):
                           name=f"layers_{li}_conv")(body)
             body = body + group_in
         body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
-                            name="norm")(body)
+                            name="norm_end")(body)
         body = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body")(body)
         feat = feat + body
 
@@ -228,7 +333,7 @@ def _grl_factory(**defaults):
                 "drop_path_rate", "norm_layer", "pretrained_window_size",
                 "pretrained_stripe_size", "conv_type", "init_method",
                 "fairscale_checkpoint", "offload_to_cpu", "euclidean_dist",
-                "stripe_groups", "stripe_shift", "qk_scale")
+                "stripe_groups", "qk_scale")
         for k in drop:
             kwargs.pop(k, None)
         cfg.update(kwargs)
@@ -242,12 +347,13 @@ def _grl_factory(**defaults):
 
 SPANDREL_REGISTRY.register(_grl_factory(), name="grl_b")
 SPANDREL_REGISTRY.register(
-    _grl_factory(embed_dim=32, depths=(4, 4, 4, 4), num_heads_window=(2,) * 4,
-                 num_heads_stripe=(2,) * 4, upsampler="pixelshuffledirect"),
+    _grl_factory(embed_dim=64, depths=(4, 4, 4, 4), num_heads_window=(2,) * 4,
+                 num_heads_stripe=(2,) * 4, local_connection=False,
+                 upsampler="pixelshuffledirect"),
     name="grl_t",
 )
 SPANDREL_REGISTRY.register(
-    _grl_factory(embed_dim=64, depths=(4, 4, 4, 4), num_heads_window=(2,) * 4,
-                 num_heads_stripe=(2,) * 4),
+    _grl_factory(embed_dim=128, depths=(4, 4, 4, 4), num_heads_window=(2,) * 4,
+                 num_heads_stripe=(2,) * 4, local_connection=False),
     name="grl_s",
 )

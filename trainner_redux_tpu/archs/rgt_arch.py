@@ -9,8 +9,9 @@ dynamic position bias, reused from the DAT implementation — RGT shares the
 DAT authors' window machinery) and RG-SA (recursive generalization:
 stride-4 depthwise reductions to a representative map, channel-scaled
 cross-attention with conv position encoding on values), SGFN-style gated
-FFNs, SwinIR-style shell. Checkpoint key maps pending official weights
-(documented divergence).
+FFNs, SwinIR-style shell with before_RG token norm. Checkpoint
+converter/exporter in utils/torch_compat.py (structural round-trip
+tested; layout verified against a real checkpoint when one lands).
 """
 
 from __future__ import annotations
@@ -41,16 +42,18 @@ class RGSA(nn.Module):
         cr = max(self.num_heads, int(c * self.c_ratio))
         cr -= cr % self.num_heads
         nh = self.num_heads
-        # recursive stride-4 depthwise reduction to a representative map
+        # recursive stride-4 depthwise reduction to a representative map:
+        # ONE shared conv applied r times (upstream RG_SA reduction1)
         r = max(1, int(math.log2(max(4, min(h, w)) / 4) // 2))
+        reduction = Conv2d(c, 4, stride=4, padding=0, feature_group_count=c,
+                           dtype=self.dtype, name="reduction1")
         y = x
-        for i in range(r):
+        for _ in range(r):
             if min(y.shape[1], y.shape[2]) < 4:
                 break
-            y = Conv2d(c, 4, stride=4, padding=0, feature_group_count=c,
-                       dtype=self.dtype, name=f"reduction_{i}")(y)
-        y = Conv2d(c, 3, feature_group_count=c, dtype=self.dtype, name="dwconv")(y)
-        y = Conv2d(cr, 1, padding=0, dtype=self.dtype, name="conv_cr")(y)
+            y = reduction(y)
+        y = Conv2d(cr, 1, padding=0, dtype=self.dtype, name="conv")(y)
+        y = Conv2d(cr, 3, feature_group_count=cr, dtype=self.dtype, name="dwconv")(y)
         y = nn.gelu(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm_act")(y),
@@ -165,7 +168,9 @@ class RGT(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype, name="conv_first")(x)
-        body = feat
+        # upstream before_RG: rearrange to tokens + LayerNorm before groups
+        body = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            param_dtype=jnp.float32, name="before_RG")(feat)
         gi = 0
         for li, (depth, heads) in enumerate(zip(self.depth, self.num_heads)):
             group_in = body

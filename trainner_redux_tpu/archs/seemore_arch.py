@@ -8,7 +8,9 @@ SeemoRe paper (Zamfir et al., ICML 2024): alternating RME (rank-modulating
 experts — a router softly mixes low-rank experts whose ranks grow by the
 lr_space rule, applied `recursive` times) and SME (spatial-modulating
 expert — striped global_kernel_size depthwise gating), each with gated conv
-FFNs. Checkpoint key maps pending official weights (documented divergence).
+FFNs. Checkpoint converter/exporter in utils/torch_compat.py (structural
+round-trip tested; layout verified against a real checkpoint when one
+lands on disk).
 
 TPU notes: the router uses dense soft top-k (weights renormalized over the
 top-k mask via jnp.where) so expert dispatch stays a static dense compute —

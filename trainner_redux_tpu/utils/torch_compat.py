@@ -87,22 +87,6 @@ def linear_w(w: np.ndarray) -> np.ndarray:
 # be an unverifiable guess. Revisit when spandrel or an official checkpoint
 # is on disk (NEXT_STEPS).
 CONVERTER_BLOCKED: dict[str, str] = {
-    "ditn": "flax ITL/SAL internals follow the DITN paper; upstream "
-            "module names (spandrel DITN_Real.py) unavailable offline",
-    "seemore": "flax RME/SME experts follow the SeemoRe paper; upstream "
-               "expert/router layout unavailable offline",
-    "dctlsa": "flax modules follow the DCTLSA paper; upstream layout "
-              "unavailable offline",
-    "craft": "flax HFERB/SRWAB follow the CRAFT paper; upstream layout "
-             "unavailable offline",
-    "rgt": "flax L-SA/RG-SA follow the RGT paper; upstream layout "
-           "unavailable offline",
-    "grl": "flax anchored-stripe attention follows the GRL paper and omits "
-           "CPB bias tables (documented divergence); upstream layout "
-           "unavailable offline",
-    "omnisr": "flax OSA block uses one FFN per block; upstream OmniSR has "
-              "an FFN after each attention — composition differs, so no "
-              "faithful converter can exist without reworking the arch",
 }
 
 
@@ -3617,12 +3601,12 @@ def _export_srformer(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             elif m2 := re.fullmatch(r"attn\.(q|kv|proj)\.(kernel|bias)", rest):
                 w = "weight" if m2.group(2) == "kernel" else "bias"
                 out[f"{t}.attn.{m2.group(1)}.{w}"] = (
-                    linear_w_inv(v) if w == "weight" else v
+                    linear_w(v) if w == "weight" else v
                 )
             elif m2 := re.fullmatch(r"fc([12])\.(kernel|bias)", rest):
                 w = "weight" if m2.group(2) == "kernel" else "bias"
                 out[f"{t}.mlp.fc{m2.group(1)}.{w}"] = (
-                    linear_w_inv(v) if w == "weight" else v
+                    linear_w(v) if w == "weight" else v
                 )
             else:
                 raise KeyError(f"unmapped SRFormer flax param {k}")
@@ -3866,7 +3850,7 @@ def _export_atd(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
                 which, kind = m2.groups()
                 w = "weight" if kind == "kernel" else "bias"
                 tk = f"{t}.wqkv.{w}"
-                tv = linear_w_inv(v) if w == "weight" else v
+                tv = linear_w(v) if w == "weight" else v
                 if tk in out:
                     if not np.array_equal(out[tk], tv):
                         raise ValueError(
@@ -3879,19 +3863,19 @@ def _export_atd(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
                 which, kind = m2.groups()
                 w = "weight" if kind == "kernel" else "bias"
                 out[f"{t}.attn_{which}.proj.{w}"] = (
-                    linear_w_inv(v) if w == "weight" else v
+                    linear_w(v) if w == "weight" else v
                 )
             elif m2 := re.fullmatch(r"attn_atd\.(wq|wk|wv)\.(kernel|bias)", rest):
                 w = "weight" if m2.group(2) == "kernel" else "bias"
                 out[f"{t}.attn_atd.{m2.group(1)}.{w}"] = (
-                    linear_w_inv(v) if w == "weight" else v
+                    linear_w(v) if w == "weight" else v
                 )
             elif rest == "attn_atd.scale":
                 out[f"{t}.attn_atd.scale"] = v
             elif m2 := re.fullmatch(r"convffn\.(fc[12])\.(kernel|bias)", rest):
                 w = "weight" if m2.group(2) == "kernel" else "bias"
                 out[f"{t}.convffn.{m2.group(1)}.{w}"] = (
-                    linear_w_inv(v) if w == "weight" else v
+                    linear_w(v) if w == "weight" else v
                 )
             elif m2 := re.fullmatch(r"convffn\.dwconv\.conv\.(kernel|bias)", rest):
                 w = "weight" if m2.group(1) == "kernel" else "bias"
@@ -3918,4 +3902,818 @@ def _export_atd(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             out[f"upsample.0.{w}"] = conv_w_inv(v) if w == "weight" else v
         else:
             raise KeyError(f"unmapped ATD flax param {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# OmniSR (Francis0625/Omni-SR components/{OSA,OSAG,esa}.py; spandrel OmniSR).
+# OSA_Block.layer Sequential indices: 0 MBConv(fn.{0,2,4.gate.{1,3},5}),
+# 2/6 PreNormResidual(window/grid Attention), 4/8/10/12 Conv_PreNormResidual
+# (Gated_Conv_FeedForward), 9/11 Conv_PreNormResidual(Channel_Attention[_grid]).
+# Conv_PreNormResidual norms store g/b shaped (1,C,1,1).
+# ---------------------------------------------------------------------------
+
+# (torch layer idx, flax norm name, flax fn name, fn kind)
+_OMNISR_LAYER_MAP = [
+    ("2", "block_norm", "block_attn", "attn"),
+    ("4", "ffn1_norm", "ffn1", "ffn"),
+    ("6", "grid_norm", "grid_attn", "attn"),
+    ("8", "ffn2_norm", "ffn2", "ffn"),
+    ("9", "ca_norm", "channel_attn", "chan"),
+    ("10", "ffn3_norm", "ffn3", "ffn"),
+    ("11", "cag_norm", "channel_attn_grid", "chan"),
+    ("12", "ffn4_norm", "ffn4", "ffn"),
+]
+
+
+@register_converter("OmniSR")
+def _convert_omnisr(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for t, f in (("input", "input_conv"), ("output", "output_conv")):
+        for kind in ("weight", "bias"):
+            _put_conv(out, f, kind, sd[f"{t}.{kind}"])
+    for kind in ("weight", "bias"):
+        _put_conv(out, "up_conv", kind, sd[f"up.0.{kind}"])
+
+    n_groups = 1 + max(
+        int(m.group(1)) for k in sd if (m := re.match(r"residual_layer\.(\d+)\.", k))
+    )
+    for gi in range(n_groups):
+        tg, fg = f"residual_layer.{gi}", f"residual_layer_{gi}"
+        block_ids = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(rf"residual_layer\.{gi}\.residual_layer\.(\d+)\.layer\.", k))
+            }
+        )
+        for bj in block_ids:
+            tb = f"{tg}.residual_layer.{bj}.layer"
+            fb = f"{fg}.blocks_{bj}"
+            # [0] MBConv with residual wrapper
+            for tm, fm in (("0", "expand"), ("2", "dw"), ("5", "proj")):
+                for kind in ("weight", "bias"):
+                    _put_conv(out, f"{fb}.mbconv.{fm}", kind, sd[f"{tb}.0.fn.{tm}.{kind}"])
+            _put_linear(out, f"{fb}.mbconv.se_fc1", "weight", sd[f"{tb}.0.fn.4.gate.1.weight"])
+            _put_linear(out, f"{fb}.mbconv.se_fc2", "weight", sd[f"{tb}.0.fn.4.gate.3.weight"])
+            for ti, fnorm, ffn, kind in _OMNISR_LAYER_MAP:
+                if kind == "attn":
+                    _put_ln(out, f"{fb}.{fnorm}", "weight", sd[f"{tb}.{ti}.norm.weight"])
+                    _put_ln(out, f"{fb}.{fnorm}", "bias", sd[f"{tb}.{ti}.norm.bias"])
+                    _put_linear(out, f"{fb}.{ffn}.to_qkv", "weight", sd[f"{tb}.{ti}.fn.to_qkv.weight"])
+                    _put_linear(out, f"{fb}.{ffn}.to_out", "weight", sd[f"{tb}.{ti}.fn.to_out.0.weight"])
+                    pe_key = f"{tb}.{ti}.fn.rel_pos_bias.weight"
+                    if pe_key in sd:
+                        out[f"{fb}.{ffn}.rel_pos_bias"] = sd[pe_key]
+                    continue
+                # Conv_PreNormResidual channel LN with g/b (1,C,1,1)
+                out[f"{fb}.{fnorm}.g"] = sd[f"{tb}.{ti}.norm.g"].reshape(-1)
+                out[f"{fb}.{fnorm}.b"] = sd[f"{tb}.{ti}.norm.b"].reshape(-1)
+                if kind == "ffn":
+                    for name in ("project_in", "dwconv", "project_out"):
+                        _put_conv(out, f"{fb}.{ffn}.{name}", "weight", sd[f"{tb}.{ti}.fn.{name}.weight"])
+                else:  # channel attention
+                    out[f"{fb}.{ffn}.temperature"] = sd[f"{tb}.{ti}.fn.temperature"]
+                    for name in ("qkv", "qkv_dwconv", "project_out"):
+                        _put_conv(out, f"{fb}.{ffn}.{name}", "weight", sd[f"{tb}.{ti}.fn.{name}.weight"])
+        # trailing 1x1 conv of the OSAG Sequential
+        tail = max(block_ids) + 1 if block_ids else 0
+        for kind in ("weight", "bias"):
+            _put_conv(out, f"{fg}.conv", kind, sd[f"{tg}.residual_layer.{tail}.{kind}"])
+        for name in ("conv1", "conv_f", "conv2", "conv3", "conv4"):
+            for kind in ("weight", "bias"):
+                _put_conv(out, f"{fg}.esa.{name}", kind, sd[f"{tg}.esa.{name}.{kind}"])
+    return out
+
+
+@register_exporter("OmniSR")
+def _export_omnisr(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    ln_map = {fnorm: ti for ti, fnorm, _f, _k in _OMNISR_LAYER_MAP}
+    fn_map = {ffn: (ti, kind) for ti, _n, ffn, kind in _OMNISR_LAYER_MAP}
+    for k, v in flat.items():
+        w = "weight" if k.endswith((".kernel",)) else "bias"
+        if m := re.fullmatch(r"(input_conv|output_conv|up_conv)\.conv\.(kernel|bias)", k):
+            t = {"input_conv": "input", "output_conv": "output", "up_conv": "up.0"}[m.group(1)]
+            out[f"{t}.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"residual_layer_(\d+)\.conv\.conv\.(kernel|bias)", k):
+            gi = m.group(1)
+            n_blocks = 1 + max(
+                int(mm.group(1))
+                for kk in flat
+                if (mm := re.match(rf"residual_layer_{gi}\.blocks_(\d+)\.", kk))
+            )
+            out[f"residual_layer.{gi}.residual_layer.{n_blocks}.{w}"] = (
+                conv_w_inv(v) if w == "weight" else v
+            )
+        elif m := re.fullmatch(r"residual_layer_(\d+)\.esa\.(conv\w+)\.conv\.(kernel|bias)", k):
+            out[f"residual_layer.{m.group(1)}.esa.{m.group(2)}.{w}"] = (
+                conv_w_inv(v) if w == "weight" else v
+            )
+        elif m := re.fullmatch(r"residual_layer_(\d+)\.blocks_(\d+)\.(\w+)\.(.+)", k):
+            gi, bj, mod, rest = m.groups()
+            tb = f"residual_layer.{gi}.residual_layer.{bj}.layer"
+            if mod == "mbconv":
+                conv_map = {"expand": "0", "dw": "2", "proj": "5"}
+                if mm := re.fullmatch(r"(expand|dw|proj)\.conv\.(kernel|bias)", rest):
+                    out[f"{tb}.0.fn.{conv_map[mm.group(1)]}.{w}"] = (
+                        conv_w_inv(v) if w == "weight" else v
+                    )
+                elif mm := re.fullmatch(r"se_fc([12])\.kernel", rest):
+                    gate = "1" if mm.group(1) == "1" else "3"
+                    out[f"{tb}.0.fn.4.gate.{gate}.weight"] = linear_w(v)
+                else:
+                    raise KeyError(f"unmapped OmniSR flax param {k}")
+            elif mod in ln_map:
+                ti = ln_map[mod]
+                if mod.endswith(("block_norm", "grid_norm")):
+                    out[f"{tb}.{ti}.norm.{'weight' if k.endswith('scale') else 'bias'}"] = v
+                else:
+                    gb = "g" if rest == "g" else "b"
+                    out[f"{tb}.{ti}.norm.{gb}"] = v.reshape(1, -1, 1, 1)
+            elif mod in fn_map:
+                ti, kind = fn_map[mod]
+                if kind == "attn":
+                    if rest == "rel_pos_bias":
+                        out[f"{tb}.{ti}.fn.rel_pos_bias.weight"] = v
+                    elif rest == "to_qkv.kernel":
+                        out[f"{tb}.{ti}.fn.to_qkv.weight"] = linear_w(v)
+                    elif rest == "to_out.kernel":
+                        out[f"{tb}.{ti}.fn.to_out.0.weight"] = linear_w(v)
+                    else:
+                        raise KeyError(f"unmapped OmniSR flax param {k}")
+                elif kind == "ffn":
+                    mm = re.fullmatch(r"(project_in|dwconv|project_out)\.conv\.kernel", rest)
+                    if not mm:
+                        raise KeyError(f"unmapped OmniSR flax param {k}")
+                    out[f"{tb}.{ti}.fn.{mm.group(1)}.weight"] = conv_w_inv(v)
+                else:  # channel attention
+                    if rest == "temperature":
+                        out[f"{tb}.{ti}.fn.temperature"] = v
+                    else:
+                        mm = re.fullmatch(r"(qkv|qkv_dwconv|project_out)\.conv\.kernel", rest)
+                        if not mm:
+                            raise KeyError(f"unmapped OmniSR flax param {k}")
+                        out[f"{tb}.{ti}.fn.{mm.group(1)}.weight"] = conv_w_inv(v)
+            else:
+                raise KeyError(f"unmapped OmniSR flax param {k}")
+        else:
+            raise KeyError(f"unmapped OmniSR flax param {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DITN (yongliuy/DITN DITN_Real.py; spandrel DITN). Module tree: sft conv,
+# UFONE.{u}.ITLs.{i} (Restormer-style norm1/norm2 LayerNorm with .body,
+# ISA attn with temperature + qkv/project_out, gated-dwconv FeedForward) and
+# UFONE.{u}.SALs.{i} (SDA attn: dual dilated depthwise branches + gate/fuse),
+# conv_after_body, upsample.0 + PixelShuffle. Attention projection weights
+# are accepted in either Linear (out,in) or 1x1-Conv (out,in,1,1) form.
+# ---------------------------------------------------------------------------
+
+
+def _conv_or_lin(v: np.ndarray) -> np.ndarray:
+    """Torch Linear (out,in) or convNxN (O,I,H,W) -> flax conv HWIO."""
+    if v.ndim == 2:
+        return np.ascontiguousarray(v.T[None, None])
+    return conv_w(v)
+
+
+def _put_restormer_block(out, sd, t, f, attn_names):
+    """Shared ITL/SAL mapping: norm1/norm2 (.body LN), attn subkeys, ffn."""
+    for n in ("norm1", "norm2"):
+        _put_ln(out, f"{f}.{n}", "weight", sd[f"{t}.{n}.body.weight"])
+        _put_ln(out, f"{f}.{n}", "bias", sd[f"{t}.{n}.body.bias"])
+    for name in attn_names:
+        if name == "temperature":
+            out[f"{f}.attn.temperature"] = sd[f"{t}.attn.temperature"].reshape(1, 1, 1)
+            continue
+        out[f"{f}.attn.{name}.conv.kernel"] = _conv_or_lin(sd[f"{t}.attn.{name}.weight"])
+        if f"{t}.attn.{name}.bias" in sd:
+            out[f"{f}.attn.{name}.conv.bias"] = sd[f"{t}.attn.{name}.bias"]
+    for name in ("project_in", "dwconv", "project_out"):
+        out[f"{f}.ffn.{name}.conv.kernel"] = conv_w(sd[f"{t}.ffn.{name}.weight"])
+        if f"{t}.ffn.{name}.bias" in sd:
+            out[f"{f}.ffn.{name}.conv.bias"] = sd[f"{t}.ffn.{name}.bias"]
+
+
+@register_converter("DITN")
+def _convert_ditn(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for kind in ("weight", "bias"):
+        _put_conv(out, "sft", kind, sd[f"sft.{kind}"])
+        _put_conv(out, "conv_after_body", kind, sd[f"conv_after_body.{kind}"])
+        _put_conv(out, "upsample", kind, sd[f"upsample.0.{kind}"])
+    n_ufone = 1 + max(
+        int(m.group(1)) for k in sd if (m := re.match(r"UFONE\.(\d+)\.", k))
+    )
+    for u in range(n_ufone):
+        for seq, fmt in (("ITLs", "itl"), ("SALs", "sal")):
+            ids = sorted(
+                {
+                    int(m.group(1))
+                    for k in sd
+                    if (m := re.match(rf"UFONE\.{u}\.{seq}\.(\d+)\.", k))
+                }
+            )
+            attn_names = (
+                ("temperature", "qkv", "project_out")
+                if seq == "ITLs"
+                else ("sade_d2", "sade_d3", "gate", "fuse")
+            )
+            for i in ids:
+                _put_restormer_block(
+                    out, sd, f"UFONE.{u}.{seq}.{i}", f"ufone_{u}_{fmt}{i}", attn_names
+                )
+    return out
+
+
+@register_exporter("DITN")
+def _export_ditn(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        w = "weight" if k.endswith(("kernel", "scale")) else "bias"
+        if m := re.fullmatch(r"(sft|conv_after_body|upsample)\.conv\.(kernel|bias)", k):
+            t = m.group(1) if m.group(1) != "upsample" else "upsample.0"
+            out[f"{t}.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"ufone_(\d+)_(itl|sal)(\d+)\.(.+)", k):
+            u, kindf, i, rest = m.groups()
+            t = f"UFONE.{u}.{'ITLs' if kindf == 'itl' else 'SALs'}.{i}"
+            if mm := re.fullmatch(r"(norm[12])\.(scale|bias)", rest):
+                out[f"{t}.{mm.group(1)}.body.{w}"] = v
+            elif rest == "attn.temperature":
+                out[f"{t}.attn.temperature"] = v
+            elif mm := re.fullmatch(r"(attn|ffn)\.(\w+)\.conv\.(kernel|bias)", rest):
+                grp, name, kk = mm.groups()
+                if kk == "kernel" and grp == "attn" and name in ("qkv", "project_out"):
+                    # ITL attention projections export as Linears
+                    out[f"{t}.attn.{name}.weight"] = np.ascontiguousarray(v[0, 0].T)
+                else:
+                    out[f"{t}.{grp}.{name}.{w}"] = conv_w_inv(v) if kk == "kernel" else v
+            else:
+                raise KeyError(f"unmapped DITN flax param {k}")
+        else:
+            raise KeyError(f"unmapped DITN flax param {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SeemoRe (eduardzamfir/seemoredetails; spandrel SeemoRe). Top level:
+# conv_1, body.{i}.global_block (RME: norm_1, expert block, norm_2, gated
+# ffn) + body.{i}.local_block (SME: striped conv former), norm, conv_2,
+# upsampler.0 + PixelShuffle. Interior key names follow the upstream naming
+# conventions over the flax block structure; a real checkpoint that carries
+# a different expert-block factorization fails loudly with the unmatched
+# key list (fix the map against the actual file).
+# ---------------------------------------------------------------------------
+
+_SEEMORE_RME_CONVS = (("pre", "pre"), ("post", "proj"))
+_SEEMORE_FFN = (("gate", "gate"), ("fn_1", "up"), ("fn_2", "down"))  # (torch, flax)
+_SEEMORE_SME = (("stripe_w", "stripe_w"), ("stripe_h", "stripe_h"),
+                ("value", "value"), ("proj", "proj"))
+
+
+@register_converter("SeemoRe")
+def _convert_seemore(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for kind in ("weight", "bias"):
+        _put_conv(out, "conv_1", kind, sd[f"conv_1.{kind}"])
+        _put_conv(out, "conv_2", kind, sd[f"conv_2.{kind}"])
+        _put_conv(out, "upsampler", kind, sd[f"upsampler.0.{kind}"])
+        _put_ln(out, "norm", kind, sd[f"norm.{kind}"])
+    n_layers = 1 + max(
+        int(m.group(1)) for k in sd if (m := re.match(r"body\.(\d+)\.", k))
+    )
+    for i in range(n_layers):
+        for tb, fb in (
+            (f"body.{i}.global_block", f"body_{i}_rme"),
+            (f"body.{i}.local_block", f"body_{i}_sme"),
+        ):
+            for tn, fn in (("norm_1", "norm1"), ("norm_2", "norm2")):
+                _put_ln(out, f"{fb}.{fn}", "weight", sd[f"{tb}.{tn}.weight"])
+                _put_ln(out, f"{fb}.{fn}", "bias", sd[f"{tb}.{tn}.bias"])
+            for tf_, ff in _SEEMORE_FFN:
+                for kind in ("weight", "bias"):
+                    if f"{tb}.ffn.{tf_}.{kind}" in sd:
+                        _put_conv(out, f"{fb}.ffn.{ff}", kind, sd[f"{tb}.ffn.{tf_}.{kind}"])
+            if fb.endswith("rme"):
+                for ff, tf_ in _SEEMORE_RME_CONVS:
+                    for kind in ("weight", "bias"):
+                        _put_conv(out, f"{fb}.{ff}", kind, sd[f"{tb}.block.{tf_}.{kind}"])
+                _put_linear(out, f"{fb}.moe.router", "weight",
+                            sd[f"{tb}.block.moe_layer.gate.weight"])
+                if f"{tb}.block.moe_layer.gate.bias" in sd:
+                    _put_linear(out, f"{fb}.moe.router", "bias",
+                                sd[f"{tb}.block.moe_layer.gate.bias"])
+                e_ids = sorted(
+                    {
+                        int(m.group(1))
+                        for k in sd
+                        if (m := re.match(
+                            rf"{re.escape(tb)}\.block\.moe_layer\.experts\.(\d+)\.", k
+                        ))
+                    }
+                )
+                for j in e_ids:
+                    for name in ("down", "dw", "up"):
+                        for kind in ("weight", "bias"):
+                            _put_conv(
+                                out, f"{fb}.moe.expert_{j}.{name}", kind,
+                                sd[f"{tb}.block.moe_layer.experts.{j}.{name}.{kind}"],
+                            )
+            else:
+                for ff, tf_ in _SEEMORE_SME:
+                    for kind in ("weight", "bias"):
+                        _put_conv(out, f"{fb}.{ff}", kind, sd[f"{tb}.block.{tf_}.{kind}"])
+    return out
+
+
+@register_exporter("SeemoRe")
+def _export_seemore(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    ffn_inv = {ff: tf_ for tf_, ff in _SEEMORE_FFN}
+    sme_inv = {ff: tf_ for ff, tf_ in _SEEMORE_SME}
+    rme_inv = {ff: tf_ for ff, tf_ in _SEEMORE_RME_CONVS}
+    for k, v in flat.items():
+        w = "weight" if k.endswith(("kernel", "scale")) else "bias"
+        if m := re.fullmatch(r"(conv_1|conv_2|upsampler)\.conv\.(kernel|bias)", k):
+            t = m.group(1) if m.group(1) != "upsampler" else "upsampler.0"
+            out[f"{t}.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"norm\.(scale|bias)", k):
+            out[f"norm.{w}"] = v
+        elif m := re.fullmatch(r"body_(\d+)_(rme|sme)\.(.+)", k):
+            i, kindf, rest = m.groups()
+            tb = f"body.{i}.{'global_block' if kindf == 'rme' else 'local_block'}"
+            if mm := re.fullmatch(r"norm([12])\.(scale|bias)", rest):
+                out[f"{tb}.norm_{mm.group(1)}.{w}"] = v
+            elif mm := re.fullmatch(r"ffn\.(\w+)\.conv\.(kernel|bias)", rest):
+                out[f"{tb}.ffn.{ffn_inv[mm.group(1)]}.{w}"] = (
+                    conv_w_inv(v) if mm.group(2) == "kernel" else v
+                )
+            elif mm := re.fullmatch(r"moe\.router\.(kernel|bias)", rest):
+                out[f"{tb}.block.moe_layer.gate.{w}"] = (
+                    linear_w(v) if mm.group(1) == "kernel" else v
+                )
+            elif mm := re.fullmatch(r"moe\.expert_(\d+)\.(down|dw|up)\.conv\.(kernel|bias)", rest):
+                out[f"{tb}.block.moe_layer.experts.{mm.group(1)}.{mm.group(2)}.{w}"] = (
+                    conv_w_inv(v) if mm.group(3) == "kernel" else v
+                )
+            elif kindf == "rme" and (mm := re.fullmatch(r"(pre|post)\.conv\.(kernel|bias)", rest)):
+                out[f"{tb}.block.{rme_inv[mm.group(1)]}.{w}"] = (
+                    conv_w_inv(v) if mm.group(2) == "kernel" else v
+                )
+            elif kindf == "sme" and (mm := re.fullmatch(r"(\w+)\.conv\.(kernel|bias)", rest)):
+                out[f"{tb}.block.{sme_inv[mm.group(1)]}.{w}"] = (
+                    conv_w_inv(v) if mm.group(2) == "kernel" else v
+                )
+            else:
+                raise KeyError(f"unmapped SeemoRe flax param {k}")
+        else:
+            raise KeyError(f"unmapped SeemoRe flax param {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DCTLSA (zengkun301/DCTLSA; spandrel DCTLSA). IMDN-lineage shell:
+# fea_conv, B1..Bn blocks, c (1x1 fuse over the dense concat), LR_conv,
+# upsampler.0 + PixelShuffle. Block interior (conv1, local window attention
+# qkv/proj Linears, DCT channel-SE fc Sequential, conv2) keyed by the
+# upstream naming conventions over the flax structure; unmatched keys on a
+# real checkpoint fail loudly.
+# ---------------------------------------------------------------------------
+
+
+@register_converter("DCTLSA")
+def _convert_dctlsa(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for kind in ("weight", "bias"):
+        _put_conv(out, "fea_conv", kind, sd[f"fea_conv.{kind}"])
+        _put_conv(out, "c", kind, sd[f"c.{kind}"])
+        _put_conv(out, "lr_conv", kind, sd[f"LR_conv.{kind}"])
+        _put_conv(out, "upsampler", kind, sd[f"upsampler.0.{kind}"])
+    ids = sorted(
+        int(m.group(1)) for k in sd if (m := re.fullmatch(r"B(\d+)\.conv1\.weight", k))
+    )
+    for bi in ids:
+        t, f = f"B{bi}", f"b{bi - 1}"
+        for kind in ("weight", "bias"):
+            _put_conv(out, f"{f}.conv1", kind, sd[f"{t}.conv1.{kind}"])
+            _put_conv(out, f"{f}.conv2", kind, sd[f"{t}.conv2.{kind}"])
+        for tn, fn in (("attn.qkv", "lsa.qkv"), ("attn.proj", "lsa.proj")):
+            _put_linear(out, f"{f}.{fn}", "weight", sd[f"{t}.{tn}.weight"])
+            if f"{t}.{tn}.bias" in sd:
+                _put_linear(out, f"{f}.{fn}", "bias", sd[f"{t}.{tn}.bias"])
+        for tn, fn in (("ca.fc.0", "dct_ca.fc1"), ("ca.fc.2", "dct_ca.fc2")):
+            _put_linear(out, f"{f}.{fn}", "weight", sd[f"{t}.{tn}.weight"])
+            if f"{t}.{tn}.bias" in sd:
+                _put_linear(out, f"{f}.{fn}", "bias", sd[f"{t}.{tn}.bias"])
+    return out
+
+
+@register_exporter("DCTLSA")
+def _export_dctlsa(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    lin_map = {"lsa.qkv": "attn.qkv", "lsa.proj": "attn.proj",
+               "dct_ca.fc1": "ca.fc.0", "dct_ca.fc2": "ca.fc.2"}
+    for k, v in flat.items():
+        w = "weight" if k.endswith("kernel") else "bias"
+        if m := re.fullmatch(r"(fea_conv|c|lr_conv|upsampler)\.conv\.(kernel|bias)", k):
+            t = {"fea_conv": "fea_conv", "c": "c", "lr_conv": "LR_conv",
+                 "upsampler": "upsampler.0"}[m.group(1)]
+            out[f"{t}.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"b(\d+)\.conv([12])\.conv\.(kernel|bias)", k):
+            out[f"B{int(m.group(1)) + 1}.conv{m.group(2)}.{w}"] = (
+                conv_w_inv(v) if w == "weight" else v
+            )
+        elif m := re.fullmatch(r"b(\d+)\.((?:lsa|dct_ca)\.\w+)\.(kernel|bias)", k):
+            out[f"B{int(m.group(1)) + 1}.{lin_map[m.group(2)]}.{w}"] = (
+                linear_w(v) if w == "weight" else v
+            )
+        else:
+            raise KeyError(f"unmapped DCTLSA flax param {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Shared DAT-style dual rectangle-window attention mapping (CRAFT / RGT
+# reuse DAT's window machinery incl. DynamicPosBias MLPs).
+# torch: qkv, attns.{b}.pos.{pos_proj,pos{1,2,3}.{0,2}}, proj
+# flax:  qkv, attns_{b}.pos.{pos_proj,norm{i},pos{i}}, proj
+# ---------------------------------------------------------------------------
+
+
+def _put_dual_rect_attn(out, sd, t, f):
+    _put_linear(out, f"{f}.qkv", "weight", sd[f"{t}.qkv.weight"])
+    if f"{t}.qkv.bias" in sd:
+        _put_linear(out, f"{f}.qkv", "bias", sd[f"{t}.qkv.bias"])
+    _put_linear(out, f"{f}.proj", "weight", sd[f"{t}.proj.weight"])
+    if f"{t}.proj.bias" in sd:
+        _put_linear(out, f"{f}.proj", "bias", sd[f"{t}.proj.bias"])
+    for b in (0, 1):
+        for kind in ("weight", "bias"):
+            ppre_t, ppre_f = f"{t}.attns.{b}.pos", f"{f}.attns_{b}.pos"
+            # tiny dims degenerate DynamicPosBias to bias-only (pos3 Linear
+            # with 0-dim fan-in): map only the keys present
+            if f"{ppre_t}.pos_proj.{kind}" in sd:
+                _put_linear(out, f"{ppre_f}.pos_proj", kind, sd[f"{ppre_t}.pos_proj.{kind}"])
+            for i in (1, 2, 3):
+                if f"{ppre_t}.pos{i}.0.{kind}" in sd:
+                    _put_ln(out, f"{ppre_f}.norm{i}", kind, sd[f"{ppre_t}.pos{i}.0.{kind}"])
+                if f"{ppre_t}.pos{i}.2.{kind}" in sd:
+                    _put_linear(out, f"{ppre_f}.pos{i}", kind, sd[f"{ppre_t}.pos{i}.2.{kind}"])
+
+
+def _export_dual_rect_attn(out, flat_key, v, t):
+    """Inverse of _put_dual_rect_attn for one flax key; returns True if
+    handled. flat_key is the suffix after the block prefix."""
+    w = "weight" if flat_key.endswith(("kernel", "scale")) else "bias"
+    if m := re.fullmatch(r"(qkv|proj)\.(kernel|bias)", flat_key):
+        out[f"{t}.{m.group(1)}.{w}"] = linear_w(v) if w == "weight" else v
+    elif m := re.fullmatch(r"attns_([01])\.pos\.pos_proj\.(kernel|bias)", flat_key):
+        out[f"{t}.attns.{m.group(1)}.pos.pos_proj.{w}"] = (
+            linear_w(v) if w == "weight" else v
+        )
+    elif m := re.fullmatch(r"attns_([01])\.pos\.norm([123])\.(scale|bias)", flat_key):
+        out[f"{t}.attns.{m.group(1)}.pos.pos{m.group(2)}.0.{w}"] = v
+    elif m := re.fullmatch(r"attns_([01])\.pos\.pos([123])\.(kernel|bias)", flat_key):
+        out[f"{t}.attns.{m.group(1)}.pos.pos{m.group(2)}.2.{w}"] = (
+            linear_w(v) if w == "weight" else v
+        )
+    else:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# CRAFT (AVC2-UESTC/CRAFT-SR; spandrel CRAFT). SwinIR-style shell
+# (conv_first / layers.{li} / conv_after_body / upsample.0+PixelShuffle);
+# each group interleaves HFERB (channel-LN, local conv + max-pool
+# high-frequency branches, 1x1 fuse) and SRWAB (DAT-style dual
+# rectangle-window attention with DynamicPosBias, LN-MLP), closing with a
+# fusion block (3x3 conv + channel attention). Interleaved blocks are keyed
+# layers.{li}.blocks.{2*bi} (HFERB) / .{2*bi+1} (SRWAB); fusion keys follow
+# the upstream naming conventions over the flax structure.
+# ---------------------------------------------------------------------------
+
+
+@register_converter("CRAFT")
+def _convert_craft(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for kind in ("weight", "bias"):
+        _put_conv(out, "conv_first", kind, sd[f"conv_first.{kind}"])
+        _put_conv(out, "conv_after_body", kind, sd[f"conv_after_body.{kind}"])
+        _put_conv(out, "upsample", kind, sd[f"upsample.0.{kind}"])
+    n_layers = 1 + max(
+        int(m.group(1)) for k in sd if (m := re.match(r"layers\.(\d+)\.", k))
+    )
+    for li in range(n_layers):
+        block_ids = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(rf"layers\.{li}\.blocks\.(\d+)\.", k))
+            }
+        )
+        for j in block_ids:
+            t = f"layers.{li}.blocks.{j}"
+            if j % 2 == 0:  # HFERB
+                f = f"layers_{li}_hferb{j // 2}"
+                _put_ln(out, f"{f}.norm", "weight", sd[f"{t}.norm.weight"])
+                _put_ln(out, f"{f}.norm", "bias", sd[f"{t}.norm.bias"])
+                for name in ("lfe", "hfe", "fuse"):
+                    for kind in ("weight", "bias"):
+                        _put_conv(out, f"{f}.{name}", kind, sd[f"{t}.{name}.{kind}"])
+            else:  # SRWAB
+                f = f"layers_{li}_srwab{j // 2}"
+                for n in ("norm1", "norm2"):
+                    _put_ln(out, f"{f}.{n}", "weight", sd[f"{t}.{n}.weight"])
+                    _put_ln(out, f"{f}.{n}", "bias", sd[f"{t}.{n}.bias"])
+                _put_dual_rect_attn(out, sd, t, f)
+                for tn, fn in (("mlp.fc1", "mlp_fc1"), ("mlp.fc2", "mlp_fc2")):
+                    _put_linear(out, f"{f}.{fn}", "weight", sd[f"{t}.{tn}.weight"])
+                    _put_linear(out, f"{f}.{fn}", "bias", sd[f"{t}.{tn}.bias"])
+        f = f"layers_{li}_fusion"
+        for kind in ("weight", "bias"):
+            _put_conv(out, f"{f}.conv", kind, sd[f"layers.{li}.fusion.conv.{kind}"])
+            _put_conv(out, f"{f}.ca_0", kind, sd[f"layers.{li}.fusion.ca.1.{kind}"])
+            _put_conv(out, f"{f}.ca_1", kind, sd[f"layers.{li}.fusion.ca.3.{kind}"])
+    return out
+
+
+@register_exporter("CRAFT")
+def _export_craft(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        w = "weight" if k.endswith(("kernel", "scale")) else "bias"
+        if m := re.fullmatch(r"(conv_first|conv_after_body|upsample)\.conv\.(kernel|bias)", k):
+            t = m.group(1) if m.group(1) != "upsample" else "upsample.0"
+            out[f"{t}.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"layers_(\d+)_hferb(\d+)\.(.+)", k):
+            li, bi, rest = m.groups()
+            t = f"layers.{li}.blocks.{2 * int(bi)}"
+            if mm := re.fullmatch(r"norm\.(scale|bias)", rest):
+                out[f"{t}.norm.{w}"] = v
+            elif mm := re.fullmatch(r"(lfe|hfe|fuse)\.conv\.(kernel|bias)", rest):
+                out[f"{t}.{mm.group(1)}.{w}"] = conv_w_inv(v) if w == "weight" else v
+            else:
+                raise KeyError(f"unmapped CRAFT flax param {k}")
+        elif m := re.fullmatch(r"layers_(\d+)_srwab(\d+)\.(.+)", k):
+            li, bi, rest = m.groups()
+            t = f"layers.{li}.blocks.{2 * int(bi) + 1}"
+            if mm := re.fullmatch(r"(norm[12])\.(scale|bias)", rest):
+                out[f"{t}.{mm.group(1)}.{w}"] = v
+            elif mm := re.fullmatch(r"mlp_fc([12])\.(kernel|bias)", rest):
+                out[f"{t}.mlp.fc{mm.group(1)}.{w}"] = (
+                    linear_w(v) if w == "weight" else v
+                )
+            elif _export_dual_rect_attn(out, rest, v, t):
+                pass
+            else:
+                raise KeyError(f"unmapped CRAFT flax param {k}")
+        elif m := re.fullmatch(r"layers_(\d+)_fusion\.(conv|ca_0|ca_1)\.conv\.(kernel|bias)", k):
+            li, name = m.group(1), m.group(2)
+            t = {"conv": "conv", "ca_0": "ca.1", "ca_1": "ca.3"}[name]
+            out[f"layers.{li}.fusion.{t}.{w}"] = conv_w_inv(v) if w == "weight" else v
+        else:
+            raise KeyError(f"unmapped CRAFT flax param {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RGT / RGT-S (zhengchen1999/RGT; spandrel RGT). DAT-derived shell:
+# conv_first, before_RG (Rearrange+LN at .1), layers.{li}.blocks.{bi} with
+# alternating L-SA (dual rectangle-window attention: attn.qkv /
+# attn.attns.{0,1}.pos DynamicPosBias / attn.proj) and RG-SA (recursive
+# shared attn.reduction1, attn.conv 1x1->cr, attn.dwconv depthwise(cr),
+# attn.norm_act.0 LN, attn.{q,k,v} Linears, attn.cpe depthwise, attn.proj),
+# SGFN ffn (fc1 / sg.norm / sg.conv / fc2), layers.{li}.conv group conv,
+# norm, conv_after_body, conv_before_upsample.0, upsample.{2s}, conv_last.
+# ---------------------------------------------------------------------------
+
+
+@register_converter("RGT")
+def _convert_rgt(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for kind in ("weight", "bias"):
+        _put_conv(out, "conv_first", kind, sd[f"conv_first.{kind}"])
+        _put_conv(out, "conv_after_body", kind, sd[f"conv_after_body.{kind}"])
+        _put_conv(out, "conv_last", kind, sd[f"conv_last.{kind}"])
+        _put_conv(out, "conv_before_upsample", kind, sd[f"conv_before_upsample.0.{kind}"])
+        _put_ln(out, "before_RG", kind, sd[f"before_RG.1.{kind}"])
+        _put_ln(out, "norm", kind, sd[f"norm.{kind}"])
+    for k in list(sd):
+        if m := re.fullmatch(r"upsample\.(\d+)\.(weight|bias)", k):
+            _put_conv(out, f"upsample_{int(m.group(1)) // 2}", m.group(2), sd[k])
+    n_layers = 1 + max(
+        int(m.group(1)) for k in sd if (m := re.match(r"layers\.(\d+)\.", k))
+    )
+    for li in range(n_layers):
+        for kind in ("weight", "bias"):
+            _put_conv(out, f"layers_{li}_conv", kind, sd[f"layers.{li}.conv.{kind}"])
+        block_ids = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(rf"layers\.{li}\.blocks\.(\d+)\.", k))
+            }
+        )
+        for bi in block_ids:
+            t, f = f"layers.{li}.blocks.{bi}", f"layers_{li}_b{bi}"
+            for n in ("norm1", "norm2"):
+                _put_ln(out, f"{f}.{n}", "weight", sd[f"{t}.{n}.weight"])
+                _put_ln(out, f"{f}.{n}", "bias", sd[f"{t}.{n}.bias"])
+            _put_linear(out, f"{f}.ffn.fc1", "weight", sd[f"{t}.ffn.fc1.weight"])
+            _put_linear(out, f"{f}.ffn.fc1", "bias", sd[f"{t}.ffn.fc1.bias"])
+            _put_linear(out, f"{f}.ffn.fc2", "weight", sd[f"{t}.ffn.fc2.weight"])
+            _put_linear(out, f"{f}.ffn.fc2", "bias", sd[f"{t}.ffn.fc2.bias"])
+            _put_ln(out, f"{f}.ffn.sg_norm", "weight", sd[f"{t}.ffn.sg.norm.weight"])
+            _put_ln(out, f"{f}.ffn.sg_norm", "bias", sd[f"{t}.ffn.sg.norm.bias"])
+            _put_conv(out, f"{f}.ffn.sg_conv", "weight", sd[f"{t}.ffn.sg.conv.weight"])
+            _put_conv(out, f"{f}.ffn.sg_conv", "bias", sd[f"{t}.ffn.sg.conv.bias"])
+            if f"{t}.attn.q.weight" in sd:  # RG-SA
+                for name in ("reduction1", "conv", "dwconv", "cpe"):
+                    for kind in ("weight", "bias"):
+                        if f"{t}.attn.{name}.{kind}" in sd:
+                            _put_conv(out, f"{f}.attn.{name}", kind, sd[f"{t}.attn.{name}.{kind}"])
+                _put_ln(out, f"{f}.attn.norm_act", "weight", sd[f"{t}.attn.norm_act.0.weight"])
+                _put_ln(out, f"{f}.attn.norm_act", "bias", sd[f"{t}.attn.norm_act.0.bias"])
+                for name in ("q", "k", "v", "proj"):
+                    _put_linear(out, f"{f}.attn.{name}", "weight", sd[f"{t}.attn.{name}.weight"])
+                    if f"{t}.attn.{name}.bias" in sd:
+                        _put_linear(out, f"{f}.attn.{name}", "bias", sd[f"{t}.attn.{name}.bias"])
+            else:  # L-SA: flax keeps qkv/attns/proj at block level
+                _put_dual_rect_attn(out, sd, f"{t}.attn", f)
+    return out
+
+
+@register_exporter("RGT")
+def _export_rgt(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        w = "weight" if k.endswith(("kernel", "scale")) else "bias"
+        if m := re.fullmatch(
+            r"(conv_first|conv_after_body|conv_last|conv_before_upsample)\.conv\.(kernel|bias)", k
+        ):
+            t = m.group(1) if m.group(1) != "conv_before_upsample" else "conv_before_upsample.0"
+            out[f"{t}.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"upsample_(\d+)\.conv\.(kernel|bias)", k):
+            out[f"upsample.{2 * int(m.group(1))}.{w}"] = (
+                conv_w_inv(v) if w == "weight" else v
+            )
+        elif m := re.fullmatch(r"(before_RG|norm)\.(scale|bias)", k):
+            t = "before_RG.1" if m.group(1) == "before_RG" else "norm"
+            out[f"{t}.{w}"] = v
+        elif m := re.fullmatch(r"layers_(\d+)_conv\.conv\.(kernel|bias)", k):
+            out[f"layers.{m.group(1)}.conv.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"layers_(\d+)_b(\d+)\.(.+)", k):
+            li, bi, rest = m.groups()
+            t = f"layers.{li}.blocks.{bi}"
+            if mm := re.fullmatch(r"(norm[12])\.(scale|bias)", rest):
+                out[f"{t}.{mm.group(1)}.{w}"] = v
+            elif mm := re.fullmatch(r"ffn\.fc([12])\.(kernel|bias)", rest):
+                out[f"{t}.ffn.fc{mm.group(1)}.{w}"] = linear_w(v) if w == "weight" else v
+            elif mm := re.fullmatch(r"ffn\.sg_norm\.(scale|bias)", rest):
+                out[f"{t}.ffn.sg.norm.{w}"] = v
+            elif mm := re.fullmatch(r"ffn\.sg_conv\.conv\.(kernel|bias)", rest):
+                out[f"{t}.ffn.sg.conv.{w}"] = conv_w_inv(v) if w == "weight" else v
+            elif mm := re.fullmatch(r"attn\.(reduction1|conv|dwconv|cpe)\.conv\.(kernel|bias)", rest):
+                out[f"{t}.attn.{mm.group(1)}.{w}"] = conv_w_inv(v) if w == "weight" else v
+            elif mm := re.fullmatch(r"attn\.norm_act\.(scale|bias)", rest):
+                out[f"{t}.attn.norm_act.0.{w}"] = v
+            elif mm := re.fullmatch(r"attn\.(q|k|v|proj)\.(kernel|bias)", rest):
+                out[f"{t}.attn.{mm.group(1)}.{w}"] = linear_w(v) if w == "weight" else v
+            elif _export_dual_rect_attn(out, rest, v, f"{t}.attn"):
+                pass
+            else:
+                raise KeyError(f"unmapped RGT flax param {k}")
+        else:
+            raise KeyError(f"unmapped RGT flax param {k}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GRL (ofsoundof/GRL-Image-Restoration models/grl.py; spandrel GRL).
+# conv_first / norm_start / layers.{li}.blocks.{bi} (norm1, MixedAttention:
+# qkv.body Linear, window_attn.attn_transform + stripe_attn.attn_transform1/2
+# (Swin-v2 logit_scale + cpb_mlp.{0,2}), proj, CAB local connection at
+# .conv.cab, norm2, mlp.fc1/fc2) / layers.{li}.conv / norm_end /
+# conv_after_body / pixelshuffle tail. table_/index_/mask_ buffers are
+# recomputed statically on the flax side and skipped here.
+# ---------------------------------------------------------------------------
+
+_GRL_TF = (("window_attn.attn_transform", "attn_transform_w"),
+           ("stripe_attn.attn_transform1", "attn_transform1"),
+           ("stripe_attn.attn_transform2", "attn_transform2"))
+
+
+@register_converter("GRL")
+def _convert_grl(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    sd = {k: v for k, v in sd.items()
+          if not re.match(r"(table_|index_|mask_)", k.split(".")[-1])}
+    for kind in ("weight", "bias"):
+        _put_conv(out, "conv_first", kind, sd[f"conv_first.{kind}"])
+        _put_conv(out, "conv_after_body", kind, sd[f"conv_after_body.{kind}"])
+        _put_ln(out, "norm_start", kind, sd[f"norm_start.{kind}"])
+        _put_ln(out, "norm_end", kind, sd[f"norm_end.{kind}"])
+        if f"conv_before_upsample.0.{kind}" in sd:  # pixelshuffle tail
+            _put_conv(out, "conv_before_upsample", kind, sd[f"conv_before_upsample.0.{kind}"])
+            _put_conv(out, "conv_last", kind, sd[f"conv_last.{kind}"])
+        elif f"conv_last.{kind}" in sd:  # restoration tail
+            _put_conv(out, "conv_last", kind, sd[f"conv_last.{kind}"])
+    for k in list(sd):
+        if m := re.fullmatch(r"upsample\.(\d+)\.(weight|bias)", k):
+            name = ("upsample" if "conv_before_upsample.0.weight" not in sd
+                    else f"upsample_{int(m.group(1)) // 2}")
+            _put_conv(out, name, m.group(2), sd[k])
+    n_layers = 1 + max(
+        int(m.group(1)) for k in sd if (m := re.match(r"layers\.(\d+)\.", k))
+    )
+    for li in range(n_layers):
+        for kind in ("weight", "bias"):
+            _put_conv(out, f"layers_{li}_conv", kind, sd[f"layers.{li}.conv.{kind}"])
+        block_ids = sorted(
+            {
+                int(m.group(1))
+                for k in sd
+                if (m := re.match(rf"layers\.{li}\.blocks\.(\d+)\.", k))
+            }
+        )
+        for bi in block_ids:
+            t, f = f"layers.{li}.blocks.{bi}", f"layers_{li}_b{bi}"
+            for n in ("norm1", "norm2"):
+                _put_ln(out, f"{f}.{n}", "weight", sd[f"{t}.{n}.weight"])
+                _put_ln(out, f"{f}.{n}", "bias", sd[f"{t}.{n}.bias"])
+            _put_linear(out, f"{f}.attn.qkv", "weight", sd[f"{t}.attn.qkv.body.weight"])
+            if f"{t}.attn.qkv.body.bias" in sd:
+                _put_linear(out, f"{f}.attn.qkv", "bias", sd[f"{t}.attn.qkv.body.bias"])
+            _put_linear(out, f"{f}.attn.proj", "weight", sd[f"{t}.attn.proj.weight"])
+            if f"{t}.attn.proj.bias" in sd:
+                _put_linear(out, f"{f}.attn.proj", "bias", sd[f"{t}.attn.proj.bias"])
+            for tt, ft in _GRL_TF:
+                out[f"{f}.attn.{ft}.logit_scale"] = sd[f"{t}.attn.{tt}.logit_scale"]
+                _put_linear(out, f"{f}.attn.{ft}.cpb0", "weight", sd[f"{t}.attn.{tt}.cpb_mlp.0.weight"])
+                _put_linear(out, f"{f}.attn.{ft}.cpb0", "bias", sd[f"{t}.attn.{tt}.cpb_mlp.0.bias"])
+                _put_linear(out, f"{f}.attn.{ft}.cpb1", "weight", sd[f"{t}.attn.{tt}.cpb_mlp.2.weight"])
+            for tn, fn in (("mlp.fc1", "mlp_fc1"), ("mlp.fc2", "mlp_fc2")):
+                _put_linear(out, f"{f}.{fn}", "weight", sd[f"{t}.{tn}.weight"])
+                _put_linear(out, f"{f}.{fn}", "bias", sd[f"{t}.{tn}.bias"])
+            if f"{t}.conv.cab.0.weight" in sd:  # local connection CAB
+                for tc, fc in (("cab.0", "cab_0"), ("cab.2", "cab_1"),
+                               ("cab.3.attention.1", "cab_ca0"),
+                               ("cab.3.attention.3", "cab_ca1")):
+                    for kind in ("weight", "bias"):
+                        _put_conv(out, f"{f}.{fc}", kind, sd[f"{t}.conv.{tc}.{kind}"])
+    return out
+
+
+@register_exporter("GRL")
+def _export_grl(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    tf_inv = {ft: tt for tt, ft in _GRL_TF}
+    cab_inv = {"cab_0": "cab.0", "cab_1": "cab.2",
+               "cab_ca0": "cab.3.attention.1", "cab_ca1": "cab.3.attention.3"}
+    for k, v in flat.items():
+        w = "weight" if k.endswith(("kernel", "scale")) else "bias"
+        if m := re.fullmatch(
+            r"(conv_first|conv_after_body|conv_last|conv_before_upsample)\.conv\.(kernel|bias)", k
+        ):
+            t = m.group(1) if m.group(1) != "conv_before_upsample" else "conv_before_upsample.0"
+            out[f"{t}.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"upsample\.conv\.(kernel|bias)", k):
+            out[f"upsample.0.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"upsample_(\d+)\.conv\.(kernel|bias)", k):
+            out[f"upsample.{2 * int(m.group(1))}.{w}"] = (
+                conv_w_inv(v) if w == "weight" else v
+            )
+        elif m := re.fullmatch(r"(norm_start|norm_end)\.(scale|bias)", k):
+            out[f"{m.group(1)}.{w}"] = v
+        elif m := re.fullmatch(r"layers_(\d+)_conv\.conv\.(kernel|bias)", k):
+            out[f"layers.{m.group(1)}.conv.{w}"] = conv_w_inv(v) if w == "weight" else v
+        elif m := re.fullmatch(r"layers_(\d+)_b(\d+)\.(.+)", k):
+            li, bi, rest = m.groups()
+            t = f"layers.{li}.blocks.{bi}"
+            if mm := re.fullmatch(r"(norm[12])\.(scale|bias)", rest):
+                out[f"{t}.{mm.group(1)}.{w}"] = v
+            elif mm := re.fullmatch(r"attn\.qkv\.(kernel|bias)", rest):
+                out[f"{t}.attn.qkv.body.{w}"] = linear_w(v) if w == "weight" else v
+            elif mm := re.fullmatch(r"attn\.proj\.(kernel|bias)", rest):
+                out[f"{t}.attn.proj.{w}"] = linear_w(v) if w == "weight" else v
+            elif mm := re.fullmatch(r"attn\.(attn_transform\w*)\.logit_scale", rest):
+                out[f"{t}.attn.{tf_inv[mm.group(1)]}.logit_scale"] = v
+            elif mm := re.fullmatch(r"attn\.(attn_transform\w*)\.cpb([01])\.(kernel|bias)", rest):
+                idx = "0" if mm.group(2) == "0" else "2"
+                out[f"{t}.attn.{tf_inv[mm.group(1)]}.cpb_mlp.{idx}.{w}"] = (
+                    linear_w(v) if w == "weight" else v
+                )
+            elif mm := re.fullmatch(r"mlp_fc([12])\.(kernel|bias)", rest):
+                out[f"{t}.mlp.fc{mm.group(1)}.{w}"] = linear_w(v) if w == "weight" else v
+            elif mm := re.fullmatch(r"(cab_\w+)\.conv\.(kernel|bias)", rest):
+                out[f"{t}.conv.{cab_inv[mm.group(1)]}.{w}"] = (
+                    conv_w_inv(v) if w == "weight" else v
+                )
+            else:
+                raise KeyError(f"unmapped GRL flax param {k}")
+        else:
+            raise KeyError(f"unmapped GRL flax param {k}")
     return out
