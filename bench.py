@@ -11,6 +11,16 @@ SwinIR-M 4x on A100 (batch 32, 64x64 LR crops, AMP) trains at roughly
 `python bench.py span_s` benchmarks SPAN-S instead, against the reference's
 only *published* training anchor (~4.7 it/s x batch 8,
 /root/reference/docs/source/getting_started.md:30-33).
+
+Measurement method: on the tunneled TPU backend, `block_until_ready` was
+measured to return OPTIMISTICALLY (a data-dependent chain of N train steps
+"completed" faster than its compiled FLOPs could physically execute on the
+chip, e.g. 10.8 ms/step = 250 TFLOP/s on a 197-TFLOP/s v5e). Every number
+here therefore comes from a slope measurement forced by real data movement:
+time N1 and N2 chained steps, each ending with `jax.device_get` of a
+parameter leaf (the device must produce true bytes), and report
+(T2 - T1) / (N2 - N1). Fixed costs (dispatch ramp, the device_get transfer
+itself) cancel in the slope.
 """
 
 from __future__ import annotations
@@ -45,6 +55,15 @@ CONFIGS = {
         "baseline": 4.7 * 8,
         "metric": "esrgan_4x_train_images_per_sec_per_chip",
     },
+    # smoke config: exercises the full measurement path in seconds on any
+    # backend (incl. CPU); numbers are meaningless, plumbing is real
+    "tiny": {
+        "network": {"type": "superultracompact"},
+        "batch_per_chip": 2,
+        "lq": 16,
+        "baseline": 1.0,
+        "metric": "tiny_smoke_images_per_sec_per_chip",
+    },
 }
 
 
@@ -67,6 +86,21 @@ def _make_disk_dataset(root: str, n_images: int, hr: int, scale: int) -> None:
         cv2.imwrite(f"{root}/gt/{i:04d}.png", img)
         lq = cv2.resize(img, (hr // scale, hr // scale), interpolation=cv2.INTER_CUBIC)
         cv2.imwrite(f"{root}/lq/{i:04d}.png", lq)
+
+
+def _force_done(model) -> None:
+    """Force TRUE completion of every queued step: fetch real parameter
+    bytes (the tunnel cannot fabricate data, unlike readiness signals)."""
+    leaf = jax.tree.leaves(model.state.params_g)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
+def _slope_time(run_n, n1: int, n2: int) -> float:
+    """Seconds per unit from a two-point slope; run_n(n) runs n units and
+    forces completion. Fixed per-measurement costs cancel."""
+    t1 = run_n(n1)
+    t2 = run_n(n2)
+    return (t2 - t1) / (n2 - n1)
 
 
 def _bench_e2e(model, cfg, b: int, n_dev: int) -> float:
@@ -113,16 +147,20 @@ def _bench_e2e(model, cfg, b: int, n_dev: int) -> float:
         # steady-state decode cache is populated (training visits each image
         # enlarge_ratio times per epoch; steady state decodes each PNG once)
         n_warm = max(4, 48 // (cfg["batch_per_chip"] * k_steps) + 2)
-        for i in range(100, 100 + n_warm):
-            step(i)
-        jax.block_until_ready(model.state.params_g)
-        iters = 30
-        t0 = time.perf_counter()
-        for i in range(100 + n_warm, 100 + n_warm + iters):
-            step(i)
-        jax.block_until_ready(model.state.params_g)
-        dt = time.perf_counter() - t0
-    return iters * k_steps * b / dt / n_dev
+        it = iter(range(100, 10_000))
+        for _ in range(n_warm):
+            step(next(it))
+        _force_done(model)
+
+        def run_n(n: int) -> float:
+            t0 = time.perf_counter()
+            for _ in range(n):
+                step(next(it))
+            _force_done(model)
+            return time.perf_counter() - t0
+
+        per_block = _slope_time(run_n, 8, 32)
+    return k_steps * b / per_block / n_dev
 
 
 # Peak dense bf16 FLOP/s per chip (public spec sheets); longest-prefix match
@@ -174,6 +212,10 @@ def main() -> None:
     )
 
     name = sys.argv[1] if len(sys.argv) > 1 else "swinir_m"
+    if "--cpu" in sys.argv:
+        # the host sitecustomize pins the TPU backend; the env var alone is
+        # not enough (verify-skill gotcha) — force before backend init
+        jax.config.update("jax_platforms", "cpu")
     cfg = CONFIGS[name]
     n_dev = len(jax.devices())
     b = cfg["batch_per_chip"] * n_dev
@@ -207,18 +249,20 @@ def main() -> None:
     )
     model.feed_data({"lq": lq, "gt": gt})
 
-    for i in range(1, 4):  # warmup/compile
-        model.optimize_parameters(i * k_steps)
-    jax.block_until_ready(model.state.params_g)
+    it = iter(range(1, 10_000))
+    for _ in range(3):  # warmup/compile
+        model.optimize_parameters(next(it) * k_steps)
+    _force_done(model)
 
-    iters = 30
-    t0 = time.perf_counter()
-    for i in range(4, 4 + iters):
-        model.optimize_parameters(i * k_steps)
-    jax.block_until_ready(model.state.params_g)
-    dt = time.perf_counter() - t0
+    def run_n(n: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            model.optimize_parameters(next(it) * k_steps)
+        _force_done(model)
+        return time.perf_counter() - t0
 
-    per_chip = iters * k_steps * b / dt / n_dev
+    per_block = _slope_time(run_n, 8, 32)
+    per_chip = k_steps * b / per_block / n_dev
 
     mfu = _mfu(model, per_chip, cfg["batch_per_chip"])
 
@@ -236,6 +280,7 @@ def main() -> None:
                 "e2e_images_per_sec_per_chip": round(e2e, 2),
                 "e2e_fraction_of_step_only": round(e2e / per_chip, 3),
                 "mfu": round(mfu, 4) if mfu is not None else None,
+                "measurement": "device_get_slope",
             }
         )
     )

@@ -229,7 +229,7 @@ GRAD_SWEEP = [
 
 
 # families exercised in the default (fast) run; the rest only in `-m ""`
-FAST_SWEEP_FAMILIES = {"compact", "span_f32", "swinir_s"}
+FAST_SWEEP_FAMILIES = {"compact", "swinir_s"}
 GRAD_SWEEP_PARAMS = [
     o if o["type"] in FAST_SWEEP_FAMILIES else pytest.param(o, marks=pytest.mark.slow)
     for o in GRAD_SWEEP

@@ -26,7 +26,7 @@ def _build(name, **kw):
     [
         ("superultracompact", {"scale": 2}, 16),
         ("compact", {"scale": 2, "num_feat": 16, "num_conv": 4}, 24),
-        ("span_f32", {"scale": 2}, 48),
+        pytest.param("span_f32", {"scale": 2}, 48, marks=pytest.mark.slow),
     ],
 )
 def test_spatial_matches_single_device(name, kw, halo):

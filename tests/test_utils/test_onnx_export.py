@@ -96,6 +96,7 @@ def test_export_zoo(opt, hw, tmp_path):
     _export_case(opt, hw, tmp_path)
 
 
+@pytest.mark.slow
 def test_export_fft_archs(tmp_path):
     """FFT-based archs: rfft2/irfft2 lower to DFT-matrix Einsums with
     complex tensors carried as (re, im) pairs."""
@@ -105,6 +106,7 @@ def test_export_fft_archs(tmp_path):
     _export_case({"type": "lawfft", "scale": 2}, 16, tmp_path, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_export_atd(tmp_path):
     """ATD: stable argsort token grouping lowers via unique-composite TopK +
     GatherElements. Tolerance is loose because near-tie category argmaxes

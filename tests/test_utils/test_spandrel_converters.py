@@ -33,6 +33,8 @@ from trainner_redux_tpu.utils.torch_compat import (
 )
 
 # (registry factory name, tiny kwargs, input hw)
+# a representative subset runs in the fast suite; the rest are slow-marked
+_FAST = {"plksr", "omnisr", "grl_t"}
 CASES = [
     ("safmn", dict(scale=2, dim=8, n_blocks=2), 16),
     ("plksr", dict(scale=2, dim=8, n_blocks=2), 16),
@@ -71,7 +73,11 @@ def _prepare(name: str, flat: dict) -> dict:
     return flat
 
 
-@pytest.mark.parametrize("name,kwargs,hw", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize(
+    "name,kwargs,hw",
+    [c if c[0] in _FAST else pytest.param(*c, marks=pytest.mark.slow) for c in CASES],
+    ids=[c[0] for c in CASES],
+)
 def test_spandrel_converter_roundtrip(name, kwargs, hw):
     import jax
     import jax.numpy as jnp
@@ -98,7 +104,11 @@ def test_spandrel_converter_roundtrip(name, kwargs, hw):
         )
 
 
-@pytest.mark.parametrize("name,kwargs,hw", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize(
+    "name,kwargs,hw",
+    [c if c[0] in _FAST else pytest.param(*c, marks=pytest.mark.slow) for c in CASES],
+    ids=[c[0] for c in CASES],
+)
 def test_spandrel_converted_forward_runs(name, kwargs, hw):
     """The converted tree must load and run a forward at the right scale."""
     import jax

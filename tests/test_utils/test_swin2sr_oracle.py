@@ -1,0 +1,137 @@
+"""Numeric oracle for the Swin2SR converter + flax arch (VERDICT r1 weak #9:
+the converter was structural-only).
+
+The `transformers` package ships a faithful torch port of mv-lab/swin2sr
+(modeling_swin2sr.py — validated by HF against the original weights), so it
+serves as a local oracle: build a tiny HF model, rewrite its state dict into
+the ORIGINAL mv-lab key layout (the layout spandrel checkpoints carry and
+`_convert_swin2sr` consumes), convert to flax, and require the forwards to
+match. HF inserts per-stage 1x1 `projection` convs that do not exist in the
+original layout; the test forces them to identity so both graphs compute the
+same function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _hf_to_original(sd: dict) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    qkv_parts: dict[str, dict[str, np.ndarray]] = {}
+    for k, t in sd.items():
+        v = t.detach().numpy()
+        k = k.removeprefix("swin2sr.")
+        if "patch_embed" in k and "projection" in k:
+            continue  # identity-forced HF extras
+        if k.startswith("embeddings.patch_embeddings.layernorm."):
+            out["patch_embed.norm." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("first_convolution."):
+            out[k.replace("first_convolution", "conv_first")] = v
+        elif k.startswith("layernorm."):
+            out[k.replace("layernorm", "norm")] = v
+        elif k.startswith("conv_after_body."):
+            out[k] = v
+        elif k.startswith("upsample.conv_before_upsample."):
+            out[k.replace("upsample.conv_before_upsample", "conv_before_upsample.0")] = v
+        elif (m := __import__("re").fullmatch(
+            r"upsample\.upsample\.convolution_(\d+)\.(weight|bias)", k
+        )):
+            out[f"upsample.{2 * int(m.group(1))}.{m.group(2)}"] = v
+        elif k.startswith("upsample.final_convolution."):
+            out[k.replace("upsample.final_convolution", "conv_last")] = v
+        elif (m := __import__("re").fullmatch(
+            r"encoder\.stages\.(\d+)\.conv\.(weight|bias)", k
+        )):
+            out[f"layers.{m.group(1)}.conv.{m.group(2)}"] = v
+        elif (m := __import__("re").fullmatch(
+            r"encoder\.stages\.(\d+)\.layers\.(\d+)\.(.+)", k
+        )):
+            pre = f"layers.{m.group(1)}.residual_group.blocks.{m.group(2)}"
+            rest = m.group(3)
+            ren = {
+                "attention.self.logit_scale": "attn.logit_scale",
+                "attention.output.dense.weight": "attn.proj.weight",
+                "attention.output.dense.bias": "attn.proj.bias",
+                "layernorm_before.weight": "norm1.weight",
+                "layernorm_before.bias": "norm1.bias",
+                "layernorm_after.weight": "norm2.weight",
+                "layernorm_after.bias": "norm2.bias",
+                "intermediate.dense.weight": "mlp.fc1.weight",
+                "intermediate.dense.bias": "mlp.fc1.bias",
+                "output.dense.weight": "mlp.fc2.weight",
+                "output.dense.bias": "mlp.fc2.bias",
+            }
+            for i in (0, 2):
+                ren[f"attention.self.continuous_position_bias_mlp.{i}.weight"] = (
+                    f"attn.cpb_mlp.{i}.weight"
+                )
+                ren[f"attention.self.continuous_position_bias_mlp.{i}.bias"] = (
+                    f"attn.cpb_mlp.{i}.bias"
+                )
+            if rest in ren:
+                out[f"{pre}.{ren[rest]}"] = v
+            elif (mm := __import__("re").fullmatch(
+                r"attention\.self\.(query|key|value)\.(weight|bias)", rest
+            )):
+                qkv_parts.setdefault(pre, {})[f"{mm.group(1)}.{mm.group(2)}"] = v
+            else:
+                raise KeyError(f"unmapped HF block key {k}")
+        else:
+            raise KeyError(f"unmapped HF key {k}")
+    for pre, parts in qkv_parts.items():
+        out[f"{pre}.attn.qkv.weight"] = np.concatenate(
+            [parts["query.weight"], parts["key.weight"], parts["value.weight"]], 0
+        )
+        out[f"{pre}.attn.q_bias"] = parts["query.bias"]
+        out[f"{pre}.attn.v_bias"] = parts["value.bias"]
+    return out
+
+
+def test_swin2sr_matches_transformers_oracle():
+    import jax
+    import torch
+    from transformers import Swin2SRConfig, Swin2SRForImageSuperResolution
+
+    import trainner_redux_tpu.archs  # noqa: F401
+    from trainner_redux_tpu.models.base_model import BaseModel
+    from trainner_redux_tpu.utils.registry import SPANDREL_REGISTRY
+    from trainner_redux_tpu.utils.torch_compat import _CONVERTERS
+
+    torch.manual_seed(0)
+    cfg = Swin2SRConfig(
+        image_size=16, patch_size=1, embed_dim=16, depths=[2, 2],
+        num_heads=[2, 2], window_size=4, mlp_ratio=2.0, upscale=2,
+        img_range=1.0, resi_connection="1conv", upsampler="pixelshuffle",
+    )
+    hf = Swin2SRForImageSuperResolution(cfg).eval()
+    with torch.no_grad():
+        eye = torch.eye(16).reshape(16, 16, 1, 1)
+        for name, mod in hf.named_modules():
+            if name.endswith("projection"):
+                mod.weight.copy_(eye)
+                mod.bias.zero_()
+
+    x = np.linspace(0, 1, 16 * 16 * 3, dtype=np.float32).reshape(1, 16, 16, 3)
+    with torch.no_grad():
+        y_ref = (
+            hf(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            .reconstruction.numpy()
+            .transpose(0, 2, 3, 1)
+        )
+
+    net = SPANDREL_REGISTRY.get("swin2sr_m")(
+        scale=2, embed_dim=16, depths=[2, 2], num_heads=[2, 2], window_size=4,
+        mlp_ratio=2.0, upsampler="pixelshuffle", drop_path_rate=0.0,
+    )
+    sd = _hf_to_original(hf.state_dict())
+    flat = _CONVERTERS["swin2sr"](sd, net)
+    params = BaseModel.unflatten_params(
+        {k: v for k, v in flat.items() if not k.startswith("__")}
+    )
+    y = np.asarray(net.apply({"params": params}, x, train=False))
+    assert y.shape == y_ref.shape == (1, 32, 32, 3)
+    np.testing.assert_allclose(y, y_ref, atol=2e-4)
