@@ -181,7 +181,7 @@ def _mfu(model, per_chip_img_s: float, batch_per_chip: int) -> float | None:
     BLOCK (steps_per_dispatch optimizer steps), so it is normalized by the
     block's image count."""
     try:
-        batch = {"lq": model.lq, "gt": model.gt}
+        batch = {"lq": model.lq, "gt": model.gt, "key": jax.random.key(0)}
         ca = model._train_step.lower(model.state, batch).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]

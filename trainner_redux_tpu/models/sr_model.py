@@ -506,17 +506,20 @@ class SRModel(BaseModel):
                 )
             return total, (logs, new_extra)
 
-        base_key = jax.random.key(self.opt.manual_seed or 0)
-
         def step_fn(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
             # uint8 batches convert IN-TRACE: the loop then needs exactly one
             # device dispatch per step (separate _u8_to_f32 / fold_in calls
-            # each cost a round-trip on a tunneled TPU backend)
+            # each cost a round-trip on a tunneled TPU backend). The master
+            # key arrives as a BATCH INPUT (not a closure constant: a
+            # captured typed-key constant was measured to compile to a ~5x
+            # slower executable on the v5e) and derives per-step keys from
+            # state.step, so a scanned block is bit-identical to sequential
+            # single-step dispatches.
             def as_float(x):
                 return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
 
             lq, gt = as_float(batch["lq"]), as_float(batch["gt"])
-            key = jax.random.fold_in(base_key, state.step)
+            key = jax.random.fold_in(batch["key"], state.step)
             dyn_w = batch.get("dyn_w")
             cur_iter = state.step
 
@@ -726,7 +729,9 @@ class SRModel(BaseModel):
 
     def optimize_parameters(self, current_iter: int) -> None:
         assert self._train_step is not None
-        batch = {"lq": self.lq, "gt": self.gt}
+        if not hasattr(self, "_master_key"):
+            self._master_key = jax.random.key(self.opt.manual_seed or 0)
+        batch = {"lq": self.lq, "gt": self.gt, "key": self._master_key}
         mgr = getattr(self, "automation_manager", None)
         if mgr is not None:
             prev = getattr(self, "_pending_logs", None)
@@ -794,7 +799,10 @@ class SRModel(BaseModel):
             gt = jax.ShapeDtypeStruct(
                 (*lead, p * scale, p * scale, 3), jnp.uint8
             )
-            return self._train_step.lower(self.state, {"lq": lq, "gt": gt})
+            key = jax.random.key(0)
+            return self._train_step.lower(
+                self.state, {"lq": lq, "gt": gt, "key": key}
+            )
 
         return ParameterOptimizer(
             min_batch=min_batch, min_patch=min_patch
