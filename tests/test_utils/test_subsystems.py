@@ -180,3 +180,27 @@ def test_preflight_memory_flow():
     # the ladder bottoms out at the minimums instead of erroring
     est2 = model.preflight_memory(2, 16, min_batch=1, min_patch=16)
     assert est2.batch >= 1 and est2.lq_size >= 16
+
+
+def test_diff_user_vs_template(tmp_path):
+    """Startup template-diff report (reference options.py:411-427 +
+    train.py:330): the user YAML's deviations from the generated default
+    template are extracted as a nested tree."""
+    import yaml
+
+    from trainner_redux_tpu.utils.options import diff_user_vs_template, yaml_load
+
+    import glob, os
+    tmpl = glob.glob("configs/_templates/train/*/span_s_fidelity.yml")[0]
+    cfg = yaml.safe_load(open(tmpl))
+    cfg["name"] = "my_run"
+    cfg["train"]["optim_g"]["lr"] = 12.5
+    p = tmp_path / "user.yml"
+    p.write_text(yaml.dump(cfg, sort_keys=False))
+    opt, _ = yaml_load(str(p))
+    diff, template_name = diff_user_vs_template(opt, str(p))
+    assert template_name == "span_s_fidelity.yml"
+    tree = yaml.safe_load(diff)
+    assert tree["name"] == "my_run"
+    assert tree["train"]["optim_g"]["lr"] == 12.5
+    assert "scale" not in tree  # unchanged keys are not reported

@@ -145,6 +145,13 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
     logger = get_root_logger(log_file=log_file)
     logger.info(get_env_info())
     logger.info(dict2str(opt))
+    # how this run deviates from the generated default template
+    # (reference train.py:330-332)
+    from trainner_redux_tpu.utils.options import diff_user_vs_template
+
+    diff, template_name = diff_user_vs_template(opt, args.opt)
+    if diff and template_name:
+        logger.info("Diff with default config (%s):\n%s", template_name, diff)
 
     tb_logger = None
     if opt.logger and opt.logger.use_tb_logger and "debug" not in opt.name:

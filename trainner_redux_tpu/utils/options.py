@@ -54,6 +54,68 @@ def dict2str(opt: Any, indent_level: int = 1) -> str:
     return msg
 
 
+def _recursive_diff(user: Any, template: Any, path: str = "") -> list[tuple[str, Any]]:
+    """Leaves present in the user config that differ from (or are absent in)
+    the generated default template."""
+    if isinstance(user, dict) and isinstance(template, dict):
+        out: list[tuple[str, Any]] = []
+        for k, v in user.items():
+            sub = f"{path}.{k}" if path else str(k)
+            if k in template:
+                out.extend(_recursive_diff(v, template[k], sub))
+            else:
+                out.append((sub, v))
+        return out
+    if user != template:
+        return [(path, user)]
+    return []
+
+
+def diff_user_vs_template(opt: ReduxOptions, opt_path: str) -> tuple[str, str]:
+    """Diff the user's YAML against the matching generated default template
+    (reference options.py:411-427: logged at startup so runs record exactly
+    how they deviate from the defaults). Returns (diff_yaml, template_name)
+    or ("", "") when no template matches."""
+    import glob
+
+    if not opt.network_g or not opt.network_g.get("type"):
+        return "", ""
+    name = str(opt.network_g["type"]).lower()
+    if opt.high_order_degradation:
+        kind = "otf"
+    elif opt.network_d or (
+        opt.train and any("gan" in str(lo.get("type", "")).lower()
+                          for lo in (opt.train.losses or []))
+    ):
+        kind = "gan"
+    else:
+        kind = "fidelity"
+    repo_root = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+    matches = glob.glob(
+        osp.join(repo_root, "configs", "_templates", "train", "*", f"{name}_{kind}.yml")
+    )
+    if not matches:
+        return "", ""
+    with open(matches[0], encoding="utf-8") as f:
+        template_cfg = yaml.safe_load(f)
+    with open(opt_path, encoding="utf-8") as f:
+        user_cfg = yaml.safe_load(f)
+    diffs = _recursive_diff(user_cfg, template_cfg)
+    if not diffs:
+        return "", osp.basename(matches[0])
+    tree: dict = {}
+    for p, v in diffs:
+        node = tree
+        keys = p.split(".")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = v
+    return (
+        yaml.dump(tree, sort_keys=False, allow_unicode=True),
+        osp.basename(matches[0]),
+    )
+
+
 def assert_not_using_template(opt_path: str) -> None:
     """Refuse to train directly on a template config (reference options.py:27-54)."""
     parts = osp.normpath(osp.abspath(opt_path)).split(osp.sep)

@@ -77,6 +77,14 @@ class ZeroConfigTrainingManager:
                     {"type": "l1loss", "loss_weight": 1.0},
                     {"type": "mssimloss", "loss_weight": 1.0},
                 ],
+                # derive loss-scheduler hyperparameters from the arch size
+                # class / run length (dynamic_loss_scheduling auto-calibration)
+                "dynamic_loss_scheduling": {"enabled": True, "auto_calibrate": True},
+                # train.py's AOT HBM preflight compiles the real step and
+                # downshifts (batch, lq_size) BEFORE the run if it won't fit
+                "training_automations": {
+                    "dynamic_batch_patch_optimizer": {"enabled": True}
+                },
             },
             "val": {"val_enabled": False, "save_img": False},
             "logger": {
