@@ -24,6 +24,16 @@ import jax  # noqa: E402
 # interpreter start; config.update wins as long as no backend is live yet.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound on a single-core
+# host; cached executables make repeated runs (CI, local re-runs) several
+# minutes faster. Keyed by HLO + jax/XLA version, so it is always safe.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TRAINNER_TEST_CACHE", os.path.expanduser("~/.cache/trainner_jax_tests")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -74,8 +74,8 @@ SHAPE_CASES = [
 
 
 SHAPE_PARAMS = [
-    (o if i < 6 else pytest.param(*o, marks=pytest.mark.slow))
-    if not isinstance(o, tuple) or i < 6
+    (o if i < 4 else pytest.param(*o, marks=pytest.mark.slow))
+    if not isinstance(o, tuple) or i < 4
     else pytest.param(*o, marks=pytest.mark.slow)
     for i, o in enumerate(SHAPE_CASES)
 ]
@@ -113,8 +113,7 @@ def test_train_step_no_nans():
 
     # span/transformer gradient coverage lives in test_grad_sweep; this
     # smoke test keeps the fast suite lean with the two smallest convnets
-    for opt_dict in ({"type": "compact", "scale": 2, "num_feat": 8, "num_conv": 1},
-                     {"type": "superultracompact", "scale": 2}):
+    for opt_dict in ({"type": "superultracompact", "scale": 2},):
         net = build_network(opt_dict)
         x = jax.random.uniform(jax.random.key(1), (2, 8, 8, 3))
         gt = jax.random.uniform(jax.random.key(2), (2, 16, 16, 3))
@@ -229,7 +228,7 @@ GRAD_SWEEP = [
 
 
 # families exercised in the default (fast) run; the rest only in `-m ""`
-FAST_SWEEP_FAMILIES = {"compact", "swinir_s"}
+FAST_SWEEP_FAMILIES = {"compact"}
 GRAD_SWEEP_PARAMS = [
     o if o["type"] in FAST_SWEEP_FAMILIES else pytest.param(o, marks=pytest.mark.slow)
     for o in GRAD_SWEEP

@@ -25,7 +25,8 @@ def _build(name, **kw):
     "name,kw,halo",
     [
         ("superultracompact", {"scale": 2}, 16),
-        ("compact", {"scale": 2, "num_feat": 16, "num_conv": 4}, 24),
+        pytest.param("compact", {"scale": 2, "num_feat": 16, "num_conv": 4}, 24,
+                     marks=pytest.mark.slow),
         pytest.param("span_f32", {"scale": 2}, 48, marks=pytest.mark.slow),
     ],
 )

@@ -34,7 +34,7 @@ from trainner_redux_tpu.utils.torch_compat import (
 
 # (registry factory name, tiny kwargs, input hw)
 # a representative subset runs in the fast suite; the rest are slow-marked
-_FAST = {"plksr", "omnisr", "grl_t"}
+_FAST = {"plksr", "mosr", "grl_t"}
 CASES = [
     ("safmn", dict(scale=2, dim=8, n_blocks=2), 16),
     ("plksr", dict(scale=2, dim=8, n_blocks=2), 16),
