@@ -63,3 +63,37 @@ def test_spatial_rejects_bad_shapes():
             spatial_sharded_apply(
                 lambda v: net.apply(params, v, train=False), x2, mesh, 2, halo=8
             )
+
+
+def test_val_spatial_shard_matches_plain_test():
+    """val.spatial_shard routes model.test() through the mesh-sharded
+    forward; output must match the replicated single-device forward."""
+    import numpy as np
+
+    from trainner_redux_tpu.models import build_model
+    from trainner_redux_tpu.utils.redux_options import (
+        PathOptions,
+        ReduxOptions,
+        ValOptions,
+    )
+
+    def make(spatial):
+        opt = ReduxOptions(
+            name="sp_val", scale=2, num_gpu=8, path=PathOptions(),
+            network_g={"type": "superultracompact"}, manual_seed=0,
+            is_train=False, mesh={"data": 8},
+            val=ValOptions(val_enabled=True, save_img=False,
+                           spatial_shard=spatial, spatial_halo=16),
+        )
+        return build_model(opt)
+
+    rng = np.random.default_rng(3)
+    img = rng.random((1, 100, 40, 3)).astype(np.float32)  # odd H: pad path
+    m0 = make(False)
+    ref = m0.test(img)
+    m1 = make(True)
+    # reuse the same params (fresh init differs per model instance)
+    m1.state = m0.state
+    got = m1.test(img)
+    assert got.shape == ref.shape == (1, 200, 80, 3)
+    np.testing.assert_allclose(got, ref, atol=2e-5)

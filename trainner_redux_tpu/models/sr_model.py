@@ -901,10 +901,36 @@ class SRModel(BaseModel):
         if lq.ndim == 3:
             lq = lq[None]
         tile = self.opt.val.tile_size if self.opt.val else 0
+        n_spatial = dict(self.mesh.shape).get("data", 1) if self.mesh else 1
         if tile and tile > 0 and lq.ndim == 4:
             out = self.infer_tiled(
                 lq, tile_size=tile, tile_overlap=self.opt.val.tile_overlap or 0
             )
+        elif (
+            self.opt.val
+            and self.opt.val.spatial_shard
+            and n_spatial > 1
+            and lq.ndim == 4
+        ):
+            # mesh-sharded single-image forward (val.spatial_shard)
+            from trainner_redux_tpu.parallel.spatial import spatial_infer
+
+            halo = int(self.opt.val.spatial_halo or 32)
+            h, w = lq.shape[1], lq.shape[2]
+            mult_h = n_spatial * 16
+            ph = (-h) % mult_h
+            while (h + ph) // n_spatial < 2 * halo:  # shard must cover 2*halo
+                ph += mult_h
+            pw = (-w) % 16
+            lq_pad = (
+                np.pad(lq, [(0, 0), (0, ph), (0, pw), (0, 0)], mode="reflect")
+                if (ph or pw)
+                else lq
+            )
+            out = np.asarray(
+                jax.device_get(spatial_infer(self, jnp.asarray(lq_pad), halo=halo))
+            )
+            out = out[:, : h * self.scale, : w * self.scale, :]
         else:
             h, w = lq.shape[-3], lq.shape[-2]
             mult = 16

@@ -208,6 +208,12 @@ class ValOptions:
     tile_overlap: int = 0
     val_freq: int | None = None
     suffix: str | None = None
+    # TPU extra: shard each val image's H axis over the mesh data axis with
+    # ppermute halo exchange (parallel/spatial.py) instead of replicating the
+    # forward — the multi-chip path for large single images (conv families;
+    # halo must cover the receptive-field radius in input pixels)
+    spatial_shard: bool = False
+    spatial_halo: int = 32
 
     metrics_enabled: bool = False
     metrics: dict[str, Any] | None = None
