@@ -89,6 +89,16 @@ def test_export_span(tmp_path):
         ({"type": "fdat", "scale": 2, "embed_dim": 16, "num_groups": 1,
           "depth_per_group": 1, "num_heads": 2, "window_size": 4,
           "drop_path_rate": 0.0}, 32),
+        # upstream-composition rebuilds (spandrel families)
+        ({"type": "omnisr", "scale": 2, "num_feat": 16, "res_num": 1,
+          "block_num": 1, "window_size": 4}, 16),
+        ({"type": "ditn_real", "scale": 2, "dim": 12, "ITL_blocks": 1,
+          "SAL_blocks": 1}, 16),
+        ({"type": "rgt_s", "scale": 2, "embed_dim": 16, "depth": (2,),
+          "num_heads": (2,), "split_size": (4, 8)}, 16),
+        ({"type": "grl_t", "scale": 2, "embed_dim": 16, "depths": (2,),
+          "num_heads_window": (2,), "num_heads_stripe": (2,),
+          "window_size": 8, "stripe_size": (8, 8)}, 16),
     ],
     ids=lambda o: o["type"] if isinstance(o, dict) else str(o),
 )
