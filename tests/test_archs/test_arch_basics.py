@@ -391,3 +391,19 @@ def test_metagan3_feature_discriminator():
     y, _ = net.apply(variables, x, train=True, mutable=["spectral"])
     assert y.shape == (2, 1, 1, 20)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+@pytest.mark.slow
+def test_tscunet_sequence_mode_matches_sliding_clips():
+    """Streaming video inference (t > clip_size): every pyramid level runs
+    once over all consecutive triples; outputs must be bit-identical to the
+    reference-style sliding clip windows."""
+    net = build_network({"type": "tscunet", "scale": 2, "clip_size": 5, "dim": 16})
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 7, 16, 16, 3)).astype(np.float32)
+    params = net.init(jax.random.key(0), jnp.asarray(x[:, :5]), train=True)
+    seq = np.asarray(net.apply(params, jnp.asarray(x), train=True))
+    assert seq.shape == (1, 3, 32, 32, 3)
+    for i in range(3):
+        clip = np.asarray(net.apply(params, jnp.asarray(x[:, i : i + 5]), train=True))
+        np.testing.assert_array_equal(seq[:, i], clip)

@@ -116,8 +116,16 @@ class TSCUNet(nn.Module):
         if self.clip_size % 2 == 0:
             raise ValueError("TSCUNet clip_size must be odd")
         b, t, h, w, c = x.shape
-        if t != self.clip_size:
-            raise ValueError(f"input clip size {t} != model clip size {self.clip_size}")
+        if t < self.clip_size:
+            raise ValueError(
+                f"input clip size {t} < model clip size {self.clip_size}"
+            )
+        # t == clip_size: the reference's single-output clip forward.
+        # t > clip_size (beyond reference): STREAMING sequence inference —
+        # every pyramid level runs once over all consecutive frame triples,
+        # so the per-frame features that sliding clip windows would
+        # recompute ~3x per level are shared; returns t - (clip_size-1)
+        # output frames as (B, T', H*s, W*s, C).
         x = x.astype(self.dtype)
 
         # reflect-pad H/W to a 64 multiple (U-Net downsamples 8x, windows 8)
@@ -145,18 +153,23 @@ class TSCUNet(nn.Module):
                 self.dim, self.config, dtype=self.dtype, name=f"m_layers_{li}"
             )
             tt = cur.shape[1]
-            outs = []
-            for i in range(tt - 2):
-                trip = cur[:, i : i + 3].transpose(0, 2, 3, 1, 4).reshape(
-                    b, hp, wp, 3 * self.dim
-                )
-                outs.append(block(trip, train))
-            cur = jnp.stack(outs, axis=1)
+            # ALL consecutive triples in one batched block call: identical
+            # math to the reference's per-window loop (the block is
+            # batch-independent), one conv dispatch instead of tt-2, and in
+            # sequence mode each triple is computed exactly once
+            trip = jnp.concatenate(
+                [cur[:, : tt - 2], cur[:, 1 : tt - 1], cur[:, 2:]], axis=-1
+            )  # (b, tt-2, hp, wp, 3*dim)
+            trip = trip.reshape(b * (tt - 2), hp, wp, 3 * self.dim)
+            out = block(trip, train)
+            cur = out.reshape(b, tt - 2, hp, wp, self.dim)
 
-        y = cur[:, 0]
+        r = self.clip_size // 2
+        n_out = cur.shape[1]  # == t - 2r
+        y = cur.reshape(b * n_out, hp, wp, self.dim)
         if self.residual:
-            center = frames0[:, self.clip_size // 2]
-            y = y + Conv2d(self.dim, 3, use_bias=False, dtype=self.dtype, name="m_res")(center)
+            centers = frames0[:, r : r + n_out].reshape(b * n_out, hp, wp, self.dim)
+            y = y + Conv2d(self.dim, 3, use_bias=False, dtype=self.dtype, name="m_res")(centers)
 
         # RRDB upsample tail
         for i in range(2):
@@ -173,10 +186,13 @@ class TSCUNet(nn.Module):
         out = Conv2d(self.out_nc, 3, use_bias=False, dtype=self.dtype, name="m_tail")(y)
 
         # crop the padding back out at output scale
-        return out[
+        out = out[
             :, pt * self.scale : (pt + h) * self.scale,
             pl_ * self.scale : (pl_ + w) * self.scale, :,
         ].astype(jnp.float32)
+        if n_out == 1:
+            return out  # reference-identical single-frame clip contract
+        return out.reshape(b, n_out, h * self.scale, w * self.scale, self.out_nc)
 
 
 @ARCH_REGISTRY.register(name="tscunet")
