@@ -216,6 +216,29 @@ def main() -> None:
         # the host sitecustomize pins the TPU backend; the env var alone is
         # not enough (verify-skill gotcha) — force before backend init
         jax.config.update("jax_platforms", "cpu")
+    elif "--no-probe" not in sys.argv:
+        # the tunneled TPU can wedge such that backend init hangs forever
+        # (observed 2026-08-17); probe in a bounded subprocess first so the
+        # bench emits a diagnosable JSON line instead of hanging the driver
+        import subprocess
+
+        try:
+            ok = (
+                subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    capture_output=True, timeout=180,
+                ).returncode
+                == 0
+            )
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print(json.dumps({
+                "metric": CONFIGS[name]["metric"], "value": 0.0,
+                "unit": "images/sec/chip", "vs_baseline": 0.0,
+                "error": "TPU backend unreachable (init probe failed/timed out)",
+            }))
+            return
     cfg = CONFIGS[name]
     n_dev = len(jax.devices())
     b = cfg["batch_per_chip"] * n_dev
