@@ -15,23 +15,33 @@ numeric oracle inside fixture generation, never shipped.
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    """Stub with a real ModuleSpec: third-party availability probes
+    (e.g. transformers' importlib.util.find_spec) crash on spec-less
+    sys.modules entries."""
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
 
 
 def install_stubs() -> None:
     import torch
 
     # --- torchvision ---
-    tv = types.ModuleType("torchvision")
+    tv = _stub_module("torchvision")
     tv.__version__ = "0.0-stub"
-    tv_utils = types.ModuleType("torchvision.utils")
+    tv_utils = _stub_module("torchvision.utils")
     tv_utils.make_grid = lambda *a, **k: a[0]
     tv_utils.save_image = lambda *a, **k: None
     tv.utils = tv_utils
-    tv_transforms = types.ModuleType("torchvision.transforms")
+    tv_transforms = _stub_module("torchvision.transforms")
     tv_transforms.Normalize = lambda *a, **k: (lambda x: x)
-    tv_functional = types.ModuleType("torchvision.transforms.functional")
+    tv_functional = _stub_module("torchvision.transforms.functional")
 
     def _tvf_pad(img, padding, fill=0, padding_mode="constant"):
         # hit_sng uses TF.pad with a 4-list (left, top, right, bottom)
@@ -55,8 +65,8 @@ def install_stubs() -> None:
     sys.modules.setdefault("torchvision.transforms.functional", tv_functional)
 
     # --- spandrel.util(.timm) ---
-    spandrel = types.ModuleType("spandrel")
-    sp_util = types.ModuleType("spandrel.util")
+    spandrel = _stub_module("spandrel")
+    sp_util = _stub_module("spandrel.util")
 
     def store_hyperparameters(*args, **kwargs):
         def deco(cls):
@@ -68,7 +78,7 @@ def install_stubs() -> None:
         return deco
 
     sp_util.store_hyperparameters = store_hyperparameters
-    sp_timm = types.ModuleType("spandrel.util.timm")
+    sp_timm = _stub_module("spandrel.util.timm")
 
     class DropPath(torch.nn.Module):
         def __init__(self, drop_prob: float = 0.0, *a, **k) -> None:
@@ -98,8 +108,8 @@ def install_stubs() -> None:
     sys.modules.setdefault("spandrel.util.timm", sp_timm)
 
     # spandrel.__helpers.model_descriptor.StateDict is a dict type alias
-    sp_helpers = types.ModuleType("spandrel.__helpers")
-    sp_md = types.ModuleType("spandrel.__helpers.model_descriptor")
+    sp_helpers = _stub_module("spandrel.__helpers")
+    sp_md = _stub_module("spandrel.__helpers.model_descriptor")
     sp_md.StateDict = dict
     sys.modules.setdefault("spandrel.__helpers", sp_helpers)
     sys.modules.setdefault("spandrel.__helpers.model_descriptor", sp_md)
@@ -109,10 +119,10 @@ def install_stubs() -> None:
     # DySample import-only stub (fixtures pick non-dysample upsamplers).
     import torch.nn.functional as F
 
-    sp_archs = types.ModuleType("spandrel.architectures")
+    sp_archs = _stub_module("spandrel.architectures")
     sp_archs.__path__ = []
-    sp_ah = types.ModuleType("spandrel.architectures.__arch_helpers")
-    sp_pad = types.ModuleType("spandrel.architectures.__arch_helpers.padding")
+    sp_ah = _stub_module("spandrel.architectures.__arch_helpers")
+    sp_pad = _stub_module("spandrel.architectures.__arch_helpers.padding")
 
     def pad_to_multiple(t, multiple, *, mode="reflect", value=0.0):
         h, w = t.shape[-2:]
@@ -124,7 +134,7 @@ def install_stubs() -> None:
         return t
 
     sp_pad.pad_to_multiple = pad_to_multiple
-    sp_dys = types.ModuleType("spandrel.architectures.__arch_helpers.dysample")
+    sp_dys = _stub_module("spandrel.architectures.__arch_helpers.dysample")
 
     class DySample(torch.nn.Module):
         def __init__(self, *a, **k) -> None:
@@ -137,7 +147,7 @@ def install_stubs() -> None:
             )
 
     sp_dys.DySample = DySample
-    sp_block = types.ModuleType("spandrel.architectures.__arch_helpers.block")
+    sp_block = _stub_module("spandrel.architectures.__arch_helpers.block")
     sp_block.RRDB = type("RRDB", (torch.nn.Module,), {})
     sp_ah.padding = sp_pad
     sp_ah.dysample = sp_dys
@@ -152,16 +162,16 @@ def install_stubs() -> None:
         sys.modules.setdefault(name, mod)
 
     # --- timm (some archs import DropPath/trunc_normal_ from timm) ---
-    timm = types.ModuleType("timm")
-    timm_models = types.ModuleType("timm.models")
-    timm_layers = types.ModuleType("timm.models.layers")
+    timm = _stub_module("timm")
+    timm_models = _stub_module("timm.models")
+    timm_layers = _stub_module("timm.models.layers")
     timm_layers.DropPath = DropPath
     timm_layers.trunc_normal_ = trunc_normal_
     timm_layers.to_2tuple = to_2tuple
     timm_models.layers = timm_layers
     timm_models.register_notrace_function = lambda fn: fn
     timm.models = timm_models
-    timm_layers2 = types.ModuleType("timm.layers")
+    timm_layers2 = _stub_module("timm.layers")
     timm_layers2.__path__ = []  # package: some archs import timm.layers.drop
     timm_layers2.DropPath = DropPath
     timm_layers2.trunc_normal_ = trunc_normal_
@@ -172,16 +182,16 @@ def install_stubs() -> None:
 
     timm_layers2._assert = _assert
     timm_layers._assert = _assert
-    timm_drop = types.ModuleType("timm.layers.drop")
+    timm_drop = _stub_module("timm.layers.drop")
     timm_drop.DropPath = DropPath
 
     def drop_path(x, drop_prob=0.0, training=False, scale_by_keep=True):
         return x
 
     timm_drop.drop_path = drop_path
-    timm_weight_init = types.ModuleType("timm.layers.weight_init")
+    timm_weight_init = _stub_module("timm.layers.weight_init")
     timm_weight_init.trunc_normal_ = trunc_normal_
-    timm_helpers = types.ModuleType("timm.layers.helpers")
+    timm_helpers = _stub_module("timm.layers.helpers")
     timm_helpers.to_2tuple = to_2tuple
     timm.layers = timm_layers2
     sys.modules.setdefault("timm", timm)
@@ -193,7 +203,7 @@ def install_stubs() -> None:
     sys.modules.setdefault("timm.layers.helpers", timm_helpers)
 
     # --- pyvips (img_util does `pyvips.Image` in annotations/attrs) ---
-    pyvips = types.ModuleType("pyvips")
+    pyvips = _stub_module("pyvips")
 
     class _VipsImage:  # attribute access only; never executed
         pass
@@ -204,7 +214,7 @@ def install_stubs() -> None:
 
     # --- msgspec (redux_options defines Structs at import time) ---
     if "msgspec" not in sys.modules:
-        msgspec = types.ModuleType("msgspec")
+        msgspec = _stub_module("msgspec")
 
         class Struct:
             def __init_subclass__(cls, **kwargs) -> None:
@@ -270,7 +280,7 @@ def import_ref_arch(module_name: str):
     if "traiNNer.archs" not in sys.modules:
         import traiNNer  # real (empty) package init
 
-        pkg = types.ModuleType("traiNNer.archs")
+        pkg = _stub_module("traiNNer.archs")
         pkg.__path__ = ["/root/reference/traiNNer/archs"]
         pkg.__package__ = "traiNNer.archs"
         sys.modules["traiNNer.archs"] = pkg
