@@ -243,7 +243,11 @@ def main() -> None:
     n_dev = len(jax.devices())
     b = cfg["batch_per_chip"] * n_dev
     lq_size = cfg["lq"]
-    k_steps = 8  # steps_per_dispatch: the production train-loop setting
+    # steps_per_dispatch: the production train-loop setting; overridable to
+    # separate per-dispatch tunnel overhead from true compute (--k N)
+    k_steps = 8
+    if "--k" in sys.argv:
+        k_steps = int(sys.argv[sys.argv.index("--k") + 1])
 
     opt = ReduxOptions(
         name="bench",

@@ -151,11 +151,20 @@ class ATDLayer(nn.Module):
 
         # (1) shifted window self-attention
         xs = jnp.roll(xn, (-shift, -shift), axis=(1, 2)) if shift else xn
-        win = window_partition(xs, ws)
-        attn_win = WindowAttention(
+        from trainner_redux_tpu.ops.pallas.window_attention import (
+            fused_window_mhsa_supported,
+        )
+
+        attn_mod = WindowAttention(
             self.dim, ws, self.num_heads, dtype=self.dtype, name="attn_win"
-        )(win, _attn_mask(h, w, ws, shift))
-        x_win = window_reverse(attn_win, ws, h, w)
+        )
+        if fused_window_mhsa_supported(h, w, ws, self.dim):
+            x_win = attn_mod(xs, None, fused_shift=shift)
+        else:
+            win = window_partition(xs, ws)
+            x_win = window_reverse(
+                attn_mod(win, _attn_mask(h, w, ws, shift)), ws, h, w
+            )
         if shift:
             x_win = jnp.roll(x_win, (shift, shift), axis=(1, 2))
 

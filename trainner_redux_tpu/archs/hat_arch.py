@@ -86,13 +86,20 @@ class HAB(nn.Module):
             xs = jnp.roll(xn, (-shift, -shift), axis=(1, 2))
         else:
             xs = xn
-        windows = window_partition(xs, ws)
-        mask = _attn_mask(h, w, ws, shift)
-        attn = WindowAttention(
+        from trainner_redux_tpu.ops.pallas.window_attention import (
+            fused_window_mhsa_supported,
+        )
+
+        attn_mod = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
             dtype=self.dtype, name="attn",
-        )(windows, mask)
-        attn_x = window_reverse(attn, ws, h, w)
+        )
+        if self.qk_scale is None and fused_window_mhsa_supported(h, w, ws, self.dim):
+            attn_x = attn_mod(xs, None, fused_shift=shift)
+        else:
+            windows = window_partition(xs, ws)
+            mask = _attn_mask(h, w, ws, shift)
+            attn_x = window_reverse(attn_mod(windows, mask), ws, h, w)
         if shift > 0:
             attn_x = jnp.roll(attn_x, (shift, shift), axis=(1, 2))
 

@@ -95,21 +95,26 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: np.ndarray | None) -> jnp.ndarray:
-        b_, n, c = x.shape
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: np.ndarray | None,
+        *,
+        fused_shift: int | None = None,
+    ) -> jnp.ndarray:
         nh = self.num_heads
         hd = self.dim // nh
+        ws = self.window_size
+        n = ws * ws
         scale = self.qk_scale or hd**-0.5
 
-        qkv = nn.Dense(
+        qkv_dense = nn.Dense(
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
             param_dtype=jnp.float32, name="qkv",
-        )(x)
-        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (b_, nh, n, hd)
-
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
-
+        )
+        proj_dense = nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
+        )
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
@@ -120,7 +125,33 @@ class WindowAttention(nn.Module):
         # jnp.take: robust when params arrive as numpy leaves (a numpy
         # table indexed by a tracer would call __array__ and fail)
         bias = jnp.take(bias_table, idx.reshape(-1), axis=0)
-        bias = bias.reshape(n, n, nh).transpose(2, 0, 1)
+        bias = bias.reshape(n, n, nh).transpose(2, 0, 1)  # (nh, n, n)
+
+        if fused_shift is not None:
+            # x is the full (B, H, W, C) map (already cyclically shifted by
+            # the caller); window partition/reverse never materialize — the
+            # Pallas kernel cuts windows by BlockSpec indexing and fuses
+            # QK^T + bias + mask + fp32 softmax + PV in VMEM.
+            from trainner_redux_tpu.ops.pallas.window_attention import (
+                fused_window_mhsa,
+                shift_mask_kinds,
+            )
+
+            qkv = qkv_dense(x)  # (B, H, W, 3C), channel groups [q|k|v]
+            if fused_shift > 0:
+                masks = jnp.asarray(shift_mask_kinds(ws, fused_shift))
+                bias_kinds = bias[None] + masks[:, None]  # (4, nh, n, n)
+            else:
+                bias_kinds = bias[None]  # (1, nh, n, n)
+            out = fused_window_mhsa(qkv, bias_kinds, nh, hd, ws)
+            return proj_dense(out)
+
+        b_, _, c = x.shape
+        qkv = qkv_dense(x)
+        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (b_, nh, n, hd)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
         attn = attn + bias[None]
 
         if mask is not None:
@@ -132,9 +163,7 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(self.dtype))
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, self.dim)
-        return nn.Dense(
-            self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
-        )(out)
+        return proj_dense(out)
 
 
 class DropPath(nn.Module):
@@ -173,13 +202,20 @@ class SwinBlock(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        windows = window_partition(x, ws)
-        mask = _attn_mask(h, w, ws, shift)
-        attn_out = WindowAttention(
+        from trainner_redux_tpu.ops.pallas.window_attention import (
+            fused_window_mhsa_supported,
+        )
+
+        attn_mod = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
             dtype=self.dtype, name="attn",
-        )(windows, mask)
-        x = window_reverse(attn_out, ws, h, w)
+        )
+        if self.qk_scale is None and fused_window_mhsa_supported(h, w, ws, self.dim):
+            x = attn_mod(x, None, fused_shift=shift)
+        else:
+            windows = window_partition(x, ws)
+            mask = _attn_mask(h, w, ws, shift)
+            x = window_reverse(attn_mod(windows, mask), ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(x, train)
