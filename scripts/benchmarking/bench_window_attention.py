@@ -60,7 +60,9 @@ def _slope_ms(fn, args, n1=100, n2=500) -> float:
     def run(n: int) -> float:
         t0 = time.perf_counter()
         out = chain(qkv, n)
-        np.asarray(jax.device_get(out)).ravel()[:1]
+        # fetch a TINY data-dependent slice: forces completion while keeping
+        # the host transfer (tunnel jitter) negligible vs the signal
+        np.asarray(jax.device_get(out[0, 0, 0, :8]))
         return time.perf_counter() - t0
 
     chain(qkv, n1), chain(qkv, n2)  # compile both lengths

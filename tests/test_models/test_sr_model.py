@@ -296,6 +296,41 @@ def test_remat_trains(tiny_dataset, tmp_path):
     assert np.isfinite(log["l_g_total"])
 
 
+def test_compute_dtype_reaches_network(tiny_dataset, tmp_path):
+    """compute_dtype must actually govern the training net's compute
+    precision (the reference's AMP analogue, use_amp/amp_bf16 at
+    redux_options.py:464): the train net runs bf16, the validation twin
+    stays fp32 sharing the same params, and a step produces finite losses."""
+    import jax.numpy as jnp
+
+    from trainner_redux_tpu.models import build_model
+
+    opt = make_opt(tiny_dataset, tmp_path)
+    opt.compute_dtype = "bfloat16"
+    model = build_model(opt)
+    assert model.net_g.dtype == jnp.bfloat16
+    assert model.net_g_eval.dtype == jnp.float32
+    rng = np.random.default_rng(5)
+    batch = {
+        "lq": rng.random((4, 16, 16, 3), np.float32),
+        "gt": rng.random((4, 32, 32, 3), np.float32),
+    }
+    model.feed_data(batch)
+    model.optimize_parameters(1)
+    log = model.get_current_log()
+    assert np.isfinite(log["l_g_total"])
+    # fp32 eval twin consumes the (fp32) trained params directly
+    out = model.test(batch["lq"])
+    assert out.dtype == np.float32 and np.isfinite(out).all()
+
+    # the reference's use_amp flag maps onto the same policy
+    opt2 = make_opt(tiny_dataset, tmp_path)
+    opt2.compute_dtype = "float32"
+    opt2.use_amp = True
+    model2 = build_model(opt2)
+    assert model2.net_g.dtype == jnp.bfloat16
+
+
 def test_steps_per_dispatch_equivalence(tiny_dataset, tmp_path):
     """K scanned steps inside one dispatch must train IDENTICALLY to K
     sequential single-step dispatches: same batches in the same order,

@@ -56,3 +56,18 @@ def build_network(opt: dict[str, Any]):
             f"Known: {sorted(set(SPANDREL_REGISTRY.keys()) | set(ARCH_REGISTRY.keys()))}"
         )
     return cls(**opt)
+
+
+def build_network_cast(opt: dict[str, Any], dtype):
+    """build_network with the model's compute dtype injected (the AMP
+    analogue: the reference trains under torch.autocast bf16,
+    /root/reference/traiNNer/models/base_model.py amp plumbing). Every flax
+    arch exposes a `dtype` field for its compute precision (params stay
+    fp32 via explicit param_dtype); factories that reject unknown kwargs
+    fall back to their default dtype rather than failing."""
+    if dtype is None or "dtype" in opt:
+        return build_network(opt)
+    try:
+        return build_network({**opt, "dtype": dtype})
+    except TypeError:
+        return build_network(opt)

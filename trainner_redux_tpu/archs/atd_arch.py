@@ -158,7 +158,7 @@ class ATDLayer(nn.Module):
         attn_mod = WindowAttention(
             self.dim, ws, self.num_heads, dtype=self.dtype, name="attn_win"
         )
-        if fused_window_mhsa_supported(h, w, ws, self.dim):
+        if fused_window_mhsa_supported(h, w, ws, self.dim, self.num_heads):
             x_win = attn_mod(xs, None, fused_shift=shift)
         else:
             win = window_partition(xs, ws)

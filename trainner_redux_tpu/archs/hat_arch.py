@@ -94,7 +94,7 @@ class HAB(nn.Module):
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
             dtype=self.dtype, name="attn",
         )
-        if self.qk_scale is None and fused_window_mhsa_supported(h, w, ws, self.dim):
+        if self.qk_scale is None and fused_window_mhsa_supported(h, w, ws, self.dim, self.num_heads):
             attn_x = attn_mod(xs, None, fused_shift=shift)
         else:
             windows = window_partition(xs, ws)

@@ -210,7 +210,7 @@ class SwinBlock(nn.Module):
             self.dim, ws, self.num_heads, self.qkv_bias, self.qk_scale,
             dtype=self.dtype, name="attn",
         )
-        if self.qk_scale is None and fused_window_mhsa_supported(h, w, ws, self.dim):
+        if self.qk_scale is None and fused_window_mhsa_supported(h, w, ws, self.dim, self.num_heads):
             x = attn_mod(x, None, fused_shift=shift)
         else:
             windows = window_partition(x, ws)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from trainner_redux_tpu.archs import build_network
+from trainner_redux_tpu.archs import build_network_cast
 from trainner_redux_tpu.losses import IterativeLossWrapper, build_loss, loss_log_key
 from trainner_redux_tpu.models.base_model import BaseModel
 from trainner_redux_tpu.models.sr_model import SRModel, TrainState
@@ -33,7 +33,9 @@ class AEModel(SRModel):
         self._freeze_decoder = bool(opt.network_ae.get("freeze_decoder", False))
         BaseModel.__init__(self, opt)
         self.scale = opt.scale
-        self.net_g = build_network({**opt.network_ae, "scale": opt.scale})
+        self.net_g = build_network_cast(
+            {**opt.network_ae, "scale": opt.scale}, self.compute_dtype
+        )
         self.net_d = None
         self.accum_iter = 1
         self.ema_decay = 0.0

@@ -40,8 +40,14 @@ class BaseModel:
         self.is_train = bool(opt.is_train)
         self.logger = get_root_logger()
         self.mesh = make_mesh(opt.mesh)
+        # compute_dtype is the TPU-native AMP policy knob (default bf16);
+        # the reference's use_amp flag (reference redux_options.py:464, fp16
+        # or bf16 autocast) also forces the low-precision path so imported
+        # configs behave as written — on TPU both map to bf16
         self.compute_dtype = (
-            jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
+            jnp.bfloat16
+            if opt.compute_dtype == "bfloat16" or opt.use_amp
+            else jnp.float32
         )
         self.log_dict: dict[str, float] = {}
         self.best_metric_results: dict[str, Any] = {}

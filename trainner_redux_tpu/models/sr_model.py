@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from trainner_redux_tpu.archs import build_network
+from trainner_redux_tpu.archs import build_network, build_network_cast
 from trainner_redux_tpu.losses import IterativeLossWrapper, build_loss, loss_log_key
 from trainner_redux_tpu.metrics import calculate_metric
 from trainner_redux_tpu.models.base_model import BaseModel
@@ -65,7 +65,19 @@ class SRModel(BaseModel):
         super().__init__(opt)
         assert opt.network_g is not None, "network_g is required"
         self.scale = opt.scale
-        self.net_g = build_network({**opt.network_g, "scale": opt.scale})
+        # training net computes in compute_dtype (bf16 by default: the AMP
+        # analogue); a structurally identical fp32 twin SHARES the params for
+        # validation/inference so metric parity is unaffected by bf16 rounding
+        self.net_g = build_network_cast(
+            {**opt.network_g, "scale": opt.scale}, self.compute_dtype
+        )
+        self.net_g_eval = (
+            self.net_g
+            if self.compute_dtype == jnp.float32
+            else build_network_cast(
+                {**opt.network_g, "scale": opt.scale}, jnp.float32
+            )
+        )
         self.net_d = None
         self.accum_iter = 1
         self.steps_per_dispatch = max(1, int(opt.steps_per_dispatch or 1))
@@ -182,7 +194,7 @@ class SRModel(BaseModel):
         extra_d = None
         if self.has_gan:
             assert opt.network_d is not None, "GAN losses require network_d"
-            self.net_d = build_network(opt.network_d)
+            self.net_d = build_network_cast(dict(opt.network_d), self.compute_dtype)
             d_key = jax.random.key((opt.manual_seed or 0) + 1)
             gt_size = (train_ds.lq_size or 32) * self.scale if train_ds else 64
             d_sample = jnp.zeros((1, gt_size, gt_size, 3), jnp.float32)
@@ -883,7 +895,7 @@ class SRModel(BaseModel):
             from trainner_redux_tpu.utils.color_util import rgb2ycbcr as _r2y
 
             lq = _r2y(lq)
-        out = self.net_g.apply({"params": params}, lq, train=False)
+        out = self.net_g_eval.apply({"params": params}, lq, train=False)
         if self.opt.output_pixel_format == "ycbcr":
             from trainner_redux_tpu.utils.color_util import ycbcr2rgb as _y2r
 
