@@ -26,12 +26,24 @@ itself) cancel in the slope.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp  # noqa: F401
 import numpy as np
+
+# Persistent compilation cache: on the remote-compile TPU backend a cold
+# Pallas-kernel backward costs minutes of compile; cached executables make
+# repeat bench runs start in seconds. Keyed by HLO + jax/XLA version.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "TRAINNER_JIT_CACHE", os.path.expanduser("~/.cache/trainner_jax_bench")
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CONFIGS = {
     "swinir_m": {

@@ -71,37 +71,3 @@ def test_quant_span():
     y_q = net.apply({**variables, "quant": quant}, x, train=False)
     psnr = _psnr(jnp.clip(y_q, 0, 1), jnp.clip(y_f32, 0, 1))
     assert psnr > 25, f"span int8 vs f32 PSNR {psnr:.1f} dB"
-
-
-def test_pallas_conv3x3_w8a8_interpret():
-    """Fused Pallas W8A8 conv (ops/pallas/conv_int8.py) vs emulated int8
-    reference, interpret mode (runs on the CPU test mesh)."""
-    from jax import lax
-
-    from trainner_redux_tpu.ops.pallas.conv_int8 import (
-        conv3x3_w8a8,
-        pack_weights,
-    )
-
-    rng = np.random.default_rng(0)
-    B, H, W, C, O = 1, 20, 24, 8, 8
-    x = jnp.asarray(rng.random((B, H, W, C)), jnp.float32)
-    wf = jnp.asarray(rng.normal(0, 0.2, (3, 3, C, O)), jnp.float32)
-    bias = jnp.asarray(rng.normal(0, 0.1, (O,)), jnp.float32)
-    w_scale = jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0
-    wq = jnp.clip(jnp.round(wf / w_scale), -127, 127).astype(jnp.int8)
-    s_in = jnp.float32(jnp.max(jnp.abs(x)) / 127.0)
-
-    y = conv3x3_w8a8(
-        x, pack_weights(wq), s_in * w_scale, bias, 1.0 / s_in, O,
-        act="lrelu", interpret=True,
-    )
-    dn = lax.conv_dimension_numbers(x.shape, wf.shape, ("NHWC", "HWIO", "NHWC"))
-    xq = jnp.clip(jnp.round(x / s_in), -127, 127)
-    ref = lax.conv_general_dilated(
-        xq, wq.astype(jnp.float32), (1, 1), "SAME", dimension_numbers=dn
-    )
-    ref = ref * (s_in * w_scale) + bias
-    ref = jnp.where(ref >= 0, ref, ref * 0.01)
-    assert y.shape == ref.shape
-    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)

@@ -110,6 +110,17 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
 
     import jax
 
+    # Persistent compilation cache: a cold Pallas-kernel backward costs
+    # minutes on the remote-compile TPU backend; resumed/repeated runs of
+    # the same config then start in seconds. Keyed by HLO + jax/XLA
+    # version, so reuse is always safe. Opt out with TRAINNER_JIT_CACHE=0.
+    _cache = os.environ.get(
+        "TRAINNER_JIT_CACHE", osp.expanduser("~/.cache/trainner_jax_bench")
+    )
+    if _cache != "0":
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if opt.detect_anomaly:
         # reference: torch detect_anomaly (train.py:273-283); JAX equivalent
         jax.config.update("jax_debug_nans", True)
