@@ -37,13 +37,13 @@ import numpy as np
 # Persistent compilation cache: on the remote-compile TPU backend a cold
 # Pallas-kernel backward costs minutes of compile; cached executables make
 # repeat bench runs start in seconds. Keyed by HLO + jax/XLA version.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get(
-        "TRAINNER_JIT_CACHE", os.path.expanduser("~/.cache/trainner_jax_bench")
-    ),
+# Opt out with TRAINNER_JIT_CACHE=0 (same contract as train.py).
+_cache = os.environ.get(
+    "TRAINNER_JIT_CACHE", os.path.expanduser("~/.cache/trainner_jax_bench")
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if _cache != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CONFIGS = {
     "swinir_m": {
