@@ -39,6 +39,7 @@ CASES = [
     ("safmn", dict(scale=2, dim=8, n_blocks=2), 16),
     ("plksr", dict(scale=2, dim=8, n_blocks=2), 16),
     ("realcugan", dict(scale=2), 48),
+    ("realcugan", dict(scale=2, fast=True), 48),  # UpCunet2x_fast layout
     ("srformer_light", dict(scale=2), 16),
     ("mosr", dict(scale=2, n_block=2, dim=8), 16),
     ("atd_light", dict(scale=2), 16),

@@ -10,8 +10,12 @@ expect.
 
 TPU notes: transposed convs are `nn.Conv` with `input_dilation` (XLA lowers
 to one conv_general_dilated on the MXU); non-overlapping 2x2-stride-2
-deconvs become dense + depth-to-space. The `fast` 2x variant (pixel-unshuffled
-input) is gated NotImplemented pending checkpoint validation.
+deconvs become dense + depth-to-space. The `fast` 2x variant (upstream
+UpCunet2x_fast) is the 4x trunk applied to a pixel-unshuffled input: 3ch ->
+unshuffle(2) -> 12ch at half res, border 19, UNet1(64)/UNet2(64), conv_final
+-> 12ch, crop 1, pixel-shuffle(2) back to 2x, plus a nearest-2x skip of the
+original input — every crop margin closes exactly against the 4x shape
+algebra (U-40 trunk output, 2U-88 final).
 """
 
 from __future__ import annotations
@@ -19,7 +23,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from trainner_redux_tpu.archs.arch_util import Conv2d, Dtype, pixel_shuffle
+from trainner_redux_tpu.archs.arch_util import (
+    Conv2d,
+    Dtype,
+    pixel_shuffle,
+    pixel_unshuffle,
+)
 from trainner_redux_tpu.utils.registry import SPANDREL_REGISTRY
 
 
@@ -158,6 +167,7 @@ class UpCunet(nn.Module):
     in_chans: int = 3
     out_chans: int = 3
     pro: bool = False
+    fast: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -167,6 +177,26 @@ class UpCunet(nn.Module):
         x00 = x
         if self.pro:
             x = x * 0.7 + 0.15
+
+        if self.fast:  # UpCunet2x_fast: the 4x trunk on a pixel-unshuffled input
+            if h0 % 2 or w0 % 2:  # unshuffle needs even dims
+                x = jnp.pad(
+                    x, ((0, 0), (0, h0 % 2), (0, w0 % 2), (0, 0)), mode="reflect"
+                )
+            xi = pixel_unshuffle(x, 2)  # (h/2, w/2, 4*in)
+            xp = _reflect_pad_to(xi, 2, 19)
+            u1_out = UNet1(64, dtype=self.dtype, name="unet1")(xp)
+            res = UNet2(64, dtype=self.dtype, name="unet2")(u1_out)
+            out = res + _crop(u1_out, 20)
+            out = Conv2d(
+                self.out_chans * 4, 3, padding=0, dtype=self.dtype, name="conv_final"
+            )(out)
+            out = _crop(out, 1)
+            out = pixel_shuffle(out, 2)
+            out = out[:, : h0 * 2, : w0 * 2, :]
+            up = jnp.repeat(jnp.repeat(x00, 2, axis=1), 2, axis=2)
+            out = out + up[:, : h0 * 2, : w0 * 2, :]
+            return out.astype(jnp.float32)
 
         if self.scale == 3:
             xp = _reflect_pad_to(x, 4, 14)
@@ -210,14 +240,17 @@ def realcugan(
     out_channels: int = 3,
     **kwargs,
 ) -> UpCunet:
-    if fast:
-        raise NotImplementedError(
-            "realcugan fast=True (pixel-unshuffled UpCunet2x_fast) is not ported "
-            "yet; use fast=False (documented divergence, see NEXT_STEPS.md)"
+    if fast and scale != 2:
+        raise ValueError("Fast is only supported with a scale of 2.")
+    if pro and fast:
+        raise ValueError(
+            "Pro is not supported with fast enabled, disable pro or disable fast."
         )
     if scale not in (2, 3, 4):
         raise ValueError(f"Scale must be 2, 3, or 4, not: {scale}")
-    return UpCunet(scale=scale, in_chans=in_channels, out_chans=out_channels, pro=pro)
+    return UpCunet(
+        scale=scale, in_chans=in_channels, out_chans=out_channels, pro=pro, fast=fast
+    )
 
 
 SPANDREL_REGISTRY.register(realcugan, name="realcugan")
