@@ -1,19 +1,27 @@
-"""Component-level attribution of the SwinIR-M forward (VERDICT r3 #1a).
+"""Component-level attribution of the SwinIR-M step (VERDICT r3 #1a).
 
-Slope-times each building block of a SwinBlock at the flagship bench shape
-(B=8, 64x64 LR, C=180, window 8, heads 6) so the ~42-48 ms forward can be
-attributed op-by-op: LayerNorm, qkv/proj Dense, MLP (exact vs tanh gelu),
-jnp.roll, the XLA einsum attention path, the Pallas fused attention kernel,
-and the row-bias expansion that feeds it. Each row reports ms per call and
-the ms contribution to one SwinIR-M forward (36 blocks, 18 shifted).
+Two instruments, both robust to the tunneled backend's noisy per-dispatch
+timing (micro-op slope timing measured +-5 ms noise — useless at sub-ms op
+scale):
 
-Usage: python scripts/benchmarking/profile_components.py
+1. XLA cost analysis of compiled programs (deterministic): flops and HBM
+   bytes accessed for the full train step, the forward, and a single
+   SwinBlock — plus an ANALYTIC MAC count (the compiler's flops include the
+   Pallas kernel as custom-call estimates and rematerialization, so both are
+   reported). Roofline verdict: which of compute (197 TFLOP/s bf16 v5e) or
+   HBM (819 GB/s v5e) binds.
+
+2. Slope-timed `lax.scan` ablations at 36-block granularity (heavy enough
+   that the two-point device_get slope is trustworthy): the full SwinBlock
+   chain vs. chains with attention / MLP / LN / roll knocked out. The
+   differences attribute the forward time per subcomponent x 36.
+
+Usage: python scripts/benchmarking/profile_components.py [--train]
 Writes docs/perf/components_swinir_m.json.
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -35,7 +43,11 @@ if _cache != "0":
 B, H, W, C = 8, 64, 64, 180
 NH, WS = 6, 8
 HID = 360
-N_BLOCKS, N_SHIFTED = 36, 18
+N_BLOCKS = 36
+
+# v5e public specs
+PEAK_FLOPS = 197e12
+PEAK_HBM = 819e9
 
 
 def _force(x):
@@ -43,162 +55,228 @@ def _force(x):
     np.asarray(jax.device_get(leaf)).ravel()[:1]
 
 
-def slope(fn, *args, n1=5, n2=20):
-    r = fn(*args)
-    _force(r)  # compile
+def slope(fn, x0, n1=2, n2=8):
+    """Per-call seconds of x->x-like `fn`, measured with the repeat loop
+    INSIDE one jitted dispatch (lax.fori_loop): the tunneled backend's
+    per-dispatch overhead is tens of ms and variable, so host-side chaining
+    is hopeless; an internal loop makes each measurement a single dispatch
+    whose fixed overhead cancels in the two-point slope over loop count."""
+
+    @jax.jit
+    def looped(x, n):  # dynamic trip count: ONE compile per variant
+        return jax.lax.fori_loop(0, n, lambda i, v: fn(v), x)
+
+    _force(looped(x0, 1))  # compile
 
     def run(n):
         t0 = time.perf_counter()
-        for _ in range(n):
-            r = fn(*args)
-        _force(r)
+        _force(looped(x0, n))
         return time.perf_counter() - t0
 
-    t1, t2 = run(n1), run(n2)
+    t1 = min(run(n1) for _ in range(2))
+    t2 = min(run(n2) for _ in range(2))
     return (t2 - t1) / (n2 - n1)
+
+
+def cost(jitted, *args):
+    c = jitted.lower(*args).compile()
+    ca = c.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    return flops, byts
+
+
+def analytic_fwd_macs(batch: int) -> dict:
+    """Hand-counted MACs for one SwinIR-M forward at (batch,64,64) LR."""
+    tok = H * W
+    per_tok = {
+        "qkv": C * 3 * C,
+        "proj": C * C,
+        "mlp": 2 * C * HID,
+        # useful attention MACs: per window of n=64 tokens, S and PV are
+        # n*n*hd per head -> per token n*hd per dot
+        "attn_useful": 2 * (WS * WS) * (C // NH) * NH,
+    }
+    macs = {k: v * tok * N_BLOCKS * batch for k, v in per_tok.items()}
+    # convs: conv_first 3->180, 6 RSTB convs + conv_after_body 180->180,
+    # upsample chain at 64x64 then 128x128
+    macs["convs"] = batch * tok * 9 * (
+        3 * C + 7 * C * C + C * 64 + 64 * 256
+    ) + batch * (4 * tok) * 9 * (64 * 256) + batch * (16 * tok) * 9 * (64 * 3)
+    # the Pallas block-diagonal kernel's ACTUAL issued MACs (T x T dots)
+    t = WS * W
+    macs["attn_issued_blockdiag"] = (
+        2 * t * t * (C // NH) * NH * (H // WS) * N_BLOCKS * batch
+    )
+    macs["total_useful"] = sum(
+        v for k, v in macs.items() if k != "attn_issued_blockdiag"
+    )
+    return macs
+
+
+class _Blocks:
+    """A scan over N identical SwinBlock-shaped computations, pieces
+    toggleable, sharing one (C-in == C-out) carry so calls chain."""
+
+    def __init__(self, rng):
+        self.gamma1 = jnp.ones((C,), jnp.float32)
+        self.beta1 = jnp.zeros((C,), jnp.float32)
+        self.gamma2 = jnp.ones((C,), jnp.float32)
+        self.beta2 = jnp.zeros((C,), jnp.float32)
+        self.w_qkv = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.02, jnp.bfloat16)
+        self.w_proj = jnp.asarray(rng.standard_normal((C, C)) * 0.02, jnp.bfloat16)
+        self.w1 = jnp.asarray(rng.standard_normal((C, HID)) * 0.02, jnp.bfloat16)
+        self.w2 = jnp.asarray(rng.standard_normal((HID, C)) * 0.02, jnp.bfloat16)
+        bias = rng.standard_normal((1, NH, WS * WS, WS * WS)).astype(np.float32)
+        self.bias_kinds = jnp.asarray(bias)
+        nw = (H // WS) * (W // WS)
+        self.bias_full = jnp.broadcast_to(
+            jnp.asarray(bias[0])[None], (nw, NH, WS * WS, WS * WS)
+        )
+
+    def ln(self, x, g, b):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * g + b).astype(x.dtype)
+
+    def block(self, x, *, attn="pallas", mlp=True, lnorm=True, roll=False):
+        from trainner_redux_tpu.ops.pallas.window_attention import (
+            fused_window_mhsa,
+            reference_window_mhsa,
+        )
+
+        shortcut = x
+        y = self.ln(x, self.gamma1, self.beta1) if lnorm else x
+        if roll:
+            y = jnp.roll(y, (-4, -4), axis=(1, 2))
+        if attn != "none":
+            qkv = jnp.einsum("bhwc,cd->bhwd", y, self.w_qkv)
+            if attn == "pallas":
+                o = fused_window_mhsa(qkv, self.bias_kinds, NH, C // NH, WS)
+            else:
+                o = reference_window_mhsa(qkv, self.bias_full, NH, C // NH, WS)
+            y = jnp.einsum("bhwc,cd->bhwd", o, self.w_proj)
+        if roll:
+            y = jnp.roll(y, (4, 4), axis=(1, 2))
+        x = shortcut + y
+        if mlp:
+            z = self.ln(x, self.gamma2, self.beta2) if lnorm else x
+            z = jnp.einsum("bhwc,cd->bhwd", z, self.w1)
+            z = jax.nn.gelu(z, approximate=False)
+            x = x + jnp.einsum("bhwd,dc->bhwc", z, self.w2)
+        return x
+
+    def chain(self, **kw):
+        def f(x):
+            for _ in range(N_BLOCKS):
+                x = self.block(x, **kw)
+            return x
+
+        return jax.jit(f)
 
 
 def main():
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
-    xg = jnp.asarray(rng.standard_normal((B, H, W, 3 * C)), jnp.bfloat16)
-    gamma = jnp.ones((C,), jnp.float32)
-    beta = jnp.zeros((C,), jnp.float32)
-    w_qkv = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.02, jnp.bfloat16)
-    w_proj = jnp.asarray(rng.standard_normal((C, C)) * 0.02, jnp.bfloat16)
-    w1 = jnp.asarray(rng.standard_normal((C, HID)) * 0.02, jnp.bfloat16)
-    w2 = jnp.asarray(rng.standard_normal((HID, C)) * 0.02, jnp.bfloat16)
-    bias_kinds = jnp.asarray(rng.standard_normal((4, NH, WS * WS, WS * WS)), jnp.float32)
-
     rows = []
 
-    def note(name, sec, count):
-        rows.append(
-            {"name": name, "ms": round(sec * 1e3, 3),
-             "count_per_fwd": count, "fwd_ms": round(sec * 1e3 * count, 2)}
+    def note(name, sec, flops=None, byts=None):
+        row = {"name": name, "ms": round(sec * 1e3, 2)}
+        if flops is not None:
+            row["xla_gflop"] = round(flops / 1e9, 1)
+            row["xla_gb"] = round(byts / 1e9, 2)
+            row["ms_flop_bound"] = round(flops / PEAK_FLOPS * 1e3, 2)
+            row["ms_hbm_bound"] = round(byts / PEAK_HBM * 1e3, 2)
+        rows.append(row)
+        extra = (
+            f"  xla {row['xla_gflop']:8.1f} GF {row['xla_gb']:7.2f} GB"
+            f"  bounds: flop {row['ms_flop_bound']:6.2f} / hbm {row['ms_hbm_bound']:6.2f} ms"
+            if flops is not None
+            else ""
         )
-        print(f"{name:40s} {sec*1e3:8.3f} ms x{count:3d} = {sec*1e3*count:7.2f} ms/fwd")
+        print(f"{name:34s} {sec*1e3:9.2f} ms{extra}", flush=True)
 
-    @jax.jit
-    def ln(x):
-        xf = x.astype(jnp.float32)
-        mu = jnp.mean(xf, -1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
-        return ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta).astype(x.dtype)
+    blocks = _Blocks(rng)
+    x0 = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
 
-    note("layernorm fp32", slope(ln, x), 2 * N_BLOCKS + 7)
+    variants = [
+        ("36xblock pallas-attn", dict(attn="pallas")),
+        ("36xblock xla-attn", dict(attn="xla")),
+        ("36xblock no-attn", dict(attn="none")),
+        ("36xblock no-mlp", dict(attn="pallas", mlp=False)),
+        ("36xblock no-ln", dict(attn="pallas", lnorm=False)),
+        ("36xblock attn-only no-ln", dict(attn="pallas", mlp=False, lnorm=False)),
+        ("36xblock pallas+roll", dict(attn="pallas", roll=True)),
+        ("36xblock empty (ln only)", dict(attn="none", mlp=False)),
+    ]
+    for name, kw in variants:
+        fn = blocks.chain(**kw)
+        sec = slope(fn, x0)
+        f, by = cost(fn, x0)
+        note(name, sec, f, by)
 
-    @jax.jit
-    def dense_qkv(x):
-        return jnp.einsum("bhwc,cd->bhwd", x, w_qkv)
+    # full-model anchors + cost analysis (fwd and train step)
+    import trainner_redux_tpu.archs  # registries  # noqa: F401
+    from trainner_redux_tpu.utils.registry import SPANDREL_REGISTRY
 
-    note("qkv dense (C->3C)", slope(dense_qkv, x), N_BLOCKS)
-
-    @jax.jit
-    def dense_proj(x):
-        return jnp.einsum("bhwc,cd->bhwd", x, w_proj)
-
-    note("proj dense (C->C)", slope(dense_proj, x), N_BLOCKS)
-
-    @jax.jit
-    def mlp_exact(x):
-        h = jnp.einsum("bhwc,cd->bhwd", x, w1)
-        h = jax.nn.gelu(h, approximate=False)
-        return jnp.einsum("bhwd,dc->bhwc", h, w2)
-
-    note("mlp gelu-exact", slope(mlp_exact, x), N_BLOCKS)
-
-    @jax.jit
-    def mlp_tanh(x):
-        h = jnp.einsum("bhwc,cd->bhwd", x, w1)
-        h = jax.nn.gelu(h, approximate=True)
-        return jnp.einsum("bhwd,dc->bhwc", h, w2)
-
-    note("mlp gelu-tanh", slope(mlp_tanh, x), N_BLOCKS)
-
-    @jax.jit
-    def roll2(x):
-        return jnp.roll(x, (-4, -4), axis=(1, 2))
-
-    note("jnp.roll", slope(roll2, x), 2 * N_SHIFTED)
-
-    @jax.jit
-    def residual_add(x):
-        return x + x
-
-    note("residual add", slope(residual_add, x), 2 * N_BLOCKS)
-
-    # XLA einsum attention path on pre-computed qkv (partition..reverse)
-    from trainner_redux_tpu.ops.pallas.window_attention import (
-        _expand_row_bias,
-        fused_window_mhsa,
-        reference_window_mhsa,
-    )
-
-    n = WS * WS
-    nw = (H // WS) * (W // WS)
-    bias_full = jnp.broadcast_to(bias_kinds[0][None], (nw, NH, n, n))
-
-    @jax.jit
-    def xla_attn(qkv):
-        return reference_window_mhsa(qkv, bias_full, NH, C // NH, WS)
-
-    note("attention XLA einsum (given qkv)", slope(xla_attn, xg), N_BLOCKS)
-
-    @jax.jit
-    def pallas_attn(qkv):
-        return fused_window_mhsa(qkv, bias_kinds[:1], NH, C // NH, WS)
-
-    note("attention Pallas fused (given qkv)", slope(pallas_attn, xg), N_BLOCKS)
-
-    @jax.jit
-    def pallas_attn_shifted(qkv):
-        return fused_window_mhsa(qkv, bias_kinds, NH, C // NH, WS)
-
-    note("attention Pallas shifted (given qkv)", slope(pallas_attn_shifted, xg), 0)
-
-    @jax.jit
-    def bias_expand(b):
-        return _expand_row_bias(b, WS, W)
-
-    note("_expand_row_bias (4 kinds)", slope(bias_expand, bias_kinds), N_SHIFTED)
-
-    @jax.jit
-    def bias_expand1(b):
-        return _expand_row_bias(b, WS, W)
-
-    note("_expand_row_bias (1 kind)", slope(bias_expand1, bias_kinds[:1]), N_SHIFTED)
-
-    # conv contribution: RSTB 3x3 conv + the head/tail convs
-    wc = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.02, jnp.bfloat16)
-
-    @jax.jit
-    def conv3(x):
-        return jax.lax.conv_general_dilated(
-            x, wc, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        )
-
-    note("3x3 conv 180->180", slope(conv3, x), 7)
-
-    # whole-model anchors, fused vs not (forward only)
     for fused in (True, False):
         os.environ["TRAINNER_FUSED_ATTN"] = "1" if fused else "0"
-        from trainner_redux_tpu.utils.registry import SPANDREL_REGISTRY
-
         net = SPANDREL_REGISTRY.get("swinir_m")(scale=4, dtype=jnp.bfloat16)
         params = net.init(
             jax.random.key(0), jnp.zeros((1, 16, 16, 3), jnp.float32), train=False
         )["params"]
         lq = jnp.asarray(rng.random((B, H, W, 3)), jnp.float32)
 
+        def fwd_x_to_x(x):
+            out = net.apply(
+                {"params": params}, x, train=True,
+                rngs={"dropout": jax.random.key(0)},
+            )
+            return out[:, :H, :W, :]  # chainable carry
+
         @jax.jit
         def fwd(p, x):
-            return net.apply({"params": p}, x, train=True,
-                             rngs={"dropout": jax.random.key(0)})
+            return net.apply(
+                {"params": p}, x, train=True, rngs={"dropout": jax.random.key(0)}
+            )
 
-        sec = slope(fwd, params, lq, n1=3, n2=9)
-        note(f"FULL swinir_m fwd ({'fused' if fused else 'xla'})", sec, 1)
+        sec = slope(fwd_x_to_x, lq)
+        f, by = cost(fwd, params, lq)
+        note(f"FULL fwd ({'fused' if fused else 'xla'})", sec, f, by)
     os.environ["TRAINNER_FUSED_ATTN"] = "1"
+
+    if "--train" in sys.argv:
+        from trainner_redux_tpu.models import build_model
+        from trainner_redux_tpu.utils.redux_options import (
+            PathOptions, ReduxOptions, TrainOptions,
+        )
+
+        opt = ReduxOptions(
+            name="prof", scale=4, num_gpu=len(jax.devices()), path=PathOptions(),
+            network_g={"type": "swinir_m"}, manual_seed=0, is_train=True,
+            compute_dtype="bfloat16", mesh={"data": len(jax.devices())},
+            steps_per_dispatch=1,
+            train=TrainOptions(
+                total_iter=1000, ema_decay=0.999,
+                optim_g={"type": "AdamW", "lr": 2e-4},
+                losses=[{"type": "l1loss", "loss_weight": 1.0}],
+            ),
+        )
+        model = build_model(opt)
+        lqa = (rng.random((B, H, W, 3)) * 255).astype(np.uint8)
+        gta = (rng.random((B, H * 4, W * 4, 3)) * 255).astype(np.uint8)
+        model.feed_data({"lq": lqa, "gt": gta})
+        batch = {"lq": model.lq, "gt": model.gt, "key": jax.random.key(0)}
+        f, by = cost(model._train_step, model.state, batch)
+        note("TRAIN step (xla cost only)", 0.0, f, by)
+
+    macs = analytic_fwd_macs(B)
+    print("\nanalytic fwd MACs (batch 8):")
+    for k, v in macs.items():
+        print(f"  {k:24s} {v/1e9:9.2f} GMAC = {2*v/1e9:9.2f} GFLOP")
+    rows.append({"analytic_fwd_gmac": {k: round(v / 1e9, 2) for k, v in macs.items()}})
 
     os.makedirs("docs/perf", exist_ok=True)
     with open("docs/perf/components_swinir_m.json", "w") as f:

@@ -3,47 +3,48 @@
 Why this exists: profiled on a v5e chip, the XLA lowering of SwinIR-style
 window attention (reference swinir_arch.py WindowAttention, torch's
 einsum/permutation formulation) is bandwidth-bound, not FLOP-bound: XLA's
-own cost analysis counts ~44 GB of memory traffic for one SwinIR-M batch-8
-forward (~0.9 TFLOP), because window partition/reverse reshape chains, the
-5D qkv transpose, and the fp32 attention maps all materialize in HBM.
+own cost analysis counts ~54 GB of HBM traffic for a batch-8 36-block
+SwinIR-M-shaped chain (~0.7 TFLOP useful), because window partition/reverse
+reshape chains, the 5D qkv transpose, and the fp32 attention maps all
+materialize in HBM.
 
-A first kernel that looped windows x heads as (64, 30) x (30, 64) dots kept
-everything in VMEM but starved the MXU (128x128 systolic array) with tiny
-matmuls and measured ~35 ms of a 57 ms forward. This version instead
-processes ONE WINDOW-ROW PER HEAD as a single block-diagonal attention:
-
-  T = window_size * W tokens of a row-strip form Q,K,V of shape (T, hd);
-  S = QK^T is ONE (T, T) MXU pass; a precomputed row bias holds the
-  relative-position bias + cyclic-shift mask on the block diagonal and
-  -1e9 everywhere else, so the fp32 row softmax factorizes into the exact
-  per-window softmax; PV is one (T, T) x (T, hd) pass.
-
-The block-diagonal form issues window_count x more MAC than the minimal
-per-window dots (off-diagonal blocks are wasted) but runs them at near-peak
-MXU utilization instead of ~10%, a large net win; S/P never leave VMEM.
+Kernel evolution (each step measured on-chip):
+ 1. windows x heads as (64, hd) x (hd, 64) dots: VMEM-resident but starved
+    the 128x128 MXU (~10% util) — ~35 ms of a 57 ms forward.
+ 2. ONE WINDOW-ROW PER HEAD as a (T, T) block-diagonal attention, T = ws*W:
+    near-peak MXU shapes, but issues window_count x the useful MACs on
+    off-diagonal blocks and pads the hd=30 contraction to 128 lanes — a
+    combined ~34x MAC inflation that made the kernel itself compute-bound
+    (~1.7 ms per SwinIR-M block), plus a 12.6 MB (V, nh, T, T) row-bias
+    expansion in XLA feeding it.
+ 3. (this version) WINDOW-GROUP TILES: windows of a row-strip are packed in
+    groups of g = max(1, 128 // n) along the M/N dims, so each S tile is an
+    MXU-native (g*n, g*n) = (128, 128) dot with only g x diagonal waste
+    (2x for ws=8 instead of 8x), and the attention bias + shift mask tile is
+    assembled IN-KERNEL from the tiny (K, nh, n, n) kind table — no HBM
+    bias expansion at all, and the backward's dbias accumulator shrinks from
+    (V, nh, T, T) (12.6 MB) to the kind table's own shape (~400 KB).
 
 Layout contract (chosen so the surrounding flax module needs NO transposes):
   qkv  (B, H, W, 3*C) — the output of one Dense over NHWC, channel groups
        [q | k | v], each C = num_heads * head_dim with heads contiguous.
-       Mosaic requires block trailing dims to be 8/128-aligned or full, so
-       the kernel loads full (1, ws, W, 3C) strips and slices heads on the
-       lane axis in-kernel (head loop statically unrolled).
+       The kernel loads full (1, ws, W, 3C) strips; window slices on the
+       second-to-minor axis and head slices on the lane axis happen
+       in-kernel (both loops statically unrolled).
   bias (K, nh, n, n) fp32 — per-mask-kind attention bias: relative-position
        bias (+ cyclic-shift mask when shifted), n = window_size**2.
        K = 1 (unshifted: all windows share kind 0) or 4 (shifted: interior /
        right-edge / bottom-row / corner — cyclic shift masks only differ for
-       windows wrapping the image edge). Expanded OUTSIDE the kernel (a
-       differentiable gather) to (V, nh, T, T) row variants, V = 1 or 2
-       (interior rows / bottom row), so d(bias) flows back into the
-       relative_position_bias_table gather via plain autodiff.
+       windows wrapping the image edge). Kind per window = 2*is_bottom_row +
+       is_rightmost_window; is_rightmost is static per window index, so the
+       in-kernel select is a single where() on the row coordinate.
   out  (B, H, W, C)
 
-Grid (nwh, B), batch innermost: the per-variant row-bias block is indexed by
-the row coordinate only (stays VMEM-resident across the batch sweep), and
-the backward's dbias accumulator is the FULL (V, nh, T, T) array as one
-never-moving output block (Pallas output accumulation requires consecutive
-grid steps to map to the same block). The backward recomputes softmax from
-qkv (flash-attention style — nothing besides qkv/bias is saved).
+Grid (nwh, B), batch innermost: the bias table and the backward's dbias
+accumulator are never-moving full-array blocks (Pallas output accumulation
+requires consecutive grid steps to map to the same block). The backward
+recomputes softmax from qkv (flash-attention style — nothing besides
+qkv/bias is saved).
 
 Reference semantics: /root/reference/traiNNer/archs/swinir_arch.py:77-136
 (WindowAttention) and :231-266 (cyclic shift + mask).
@@ -70,12 +71,10 @@ def fused_window_mhsa_supported(
     num_heads: int | None = None,
     dtype_bytes: int = 2,
 ) -> bool:
-    """Whether the fused kernel applies: TPU backend, window-aligned spatial
-    dims, and a row-strip small enough that the (T, T) attention tile, its
-    per-variant row bias, and the backward's full dbias accumulator fit VMEM
-    (T = window_size * w; nh * T^2 bounded). Large inference widths fall
-    back to the XLA path. Respects TRAINNER_FUSED_ATTN=0 as a global off
-    switch."""
+    """Whether the fused kernel applies: TPU backend and window-aligned
+    spatial dims, with the (1, ws, W, 3C) qkv strip + per-tile fp32
+    scratch small enough for VMEM. Large inference widths fall back to the
+    XLA path. Respects TRAINNER_FUSED_ATTN=0 as a global off switch."""
     import os
 
     if os.environ.get("TRAINNER_FUSED_ATTN", "1") == "0":
@@ -87,10 +86,11 @@ def fused_window_mhsa_supported(
         return False
     if h % window_size or w % window_size:
         return False
-    t = window_size * w
-    nh = num_heads if num_heads else 8  # conservative when not provided
-    # bwd VMEM: bias block + dbias accumulator, both (<=2, nh, T, T) fp32
-    return 2 * 2 * nh * t * t * 4 <= 32 * 1024 * 1024
+    n = window_size * window_size
+    # strip (x + qkv grads) + kind bias + S/P tiles, with headroom
+    strip = window_size * w * 3 * channels * dtype_bytes
+    bias = 4 * (num_heads or 8) * n * n * 4
+    return strip * 4 + bias * 2 + 4 * 128 * max(n, 128) * 16 <= 24 * 1024 * 1024
 
 
 def shift_mask_kinds(window_size: int, shift: int) -> np.ndarray:
@@ -122,44 +122,58 @@ def shift_mask_kinds(window_size: int, shift: int) -> np.ndarray:
     return masks
 
 
-@functools.lru_cache(maxsize=64)
-def _kind_rows(nww: int, kinds: int) -> np.ndarray:
-    """Per-row-variant window->kind map (V, nww): V=1 trivial when unshifted;
-    shifted rows split into interior (kinds 0/1) and bottom (kinds 2/3), the
-    last window of a row being the right-edge one."""
+def _window_groups(nww: int, n: int) -> list[list[int]]:
+    """Pack window indices into MXU-friendly tiles: groups of
+    g = max(1, 128 // n) windows (the trailing group may be smaller)."""
+    g = max(1, 128 // n)
+    return [list(range(a, min(a + g, nww))) for a in range(0, nww, g)]
+
+
+def _gather_windows(x, group, ws: int, cols: int):
+    """(ws, W, cols) strip -> (len(group)*n, cols) tile with each window's
+    n = ws*ws tokens contiguous. Window slices land on the second-to-minor
+    axis at ws multiples; the (ws, ws, cols) -> (n, cols) reshape collapses
+    leading dims only, so both are layout-preserving."""
+    parts = [
+        x[:, j * ws : (j + 1) * ws, :].reshape(ws * ws, cols) for j in group
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _scatter_windows(o_ref, tile, group, ws: int, cols: int):
+    n = ws * ws
+    for idx, j in enumerate(group):
+        o_ref[0, :, j * ws : (j + 1) * ws, :] = tile[
+            idx * n : (idx + 1) * n
+        ].reshape(ws, ws, cols)
+
+
+def _bias_block(bias_ref, h: int, j: int, nww: int, kinds: int, is_bottom):
+    """(n, n) fp32 bias for window j of the current row-strip. is_rightmost
+    is static in j; only the bottom-row condition is traced."""
     if kinds == 1:
-        return np.zeros((1, nww), np.int32)
-    return np.stack(
-        [
-            np.where(np.arange(nww) == nww - 1, 1, 0),  # interior rows
-            np.where(np.arange(nww) == nww - 1, 3, 2),  # bottom row
-        ]
-    ).astype(np.int32)
+        return bias_ref[0, h]
+    base = 1 if j == nww - 1 else 0
+    return jnp.where(is_bottom, bias_ref[base + 2, h], bias_ref[base, h])
 
 
-def _expand_row_bias(bias, ws: int, w: int) -> jnp.ndarray:
-    """(K, nh, n, n) kind bias -> (V, nh, T, T) block-diagonal row bias with
-    _NEG off the diagonal. Built from reshape/broadcast/where only (an
-    elementwise TPU gather at this size costs more than the attention
-    itself); autodiff carries d(row_bias) back onto the kind tables and from
-    there to the relative_position_bias_table."""
-    kinds, nh, n, _ = bias.shape
-    nww = w // ws
-    km = _kind_rows(nww, kinds)  # (V, nww)
-    n_var = km.shape[0]
-    t = ws * w
-    # token t = r*W + x with x = win*ws + p  =>  axis order (r, win, p);
-    # intra-window index = r*ws + p  =>  (n, n) splits to (r1, p1, r2, p2)
-    b6 = bias.reshape(kinds, nh, ws, ws, ws, ws)
-    sel = jnp.take(b6, jnp.asarray(km.reshape(-1)), axis=0)
-    sel = sel.reshape(n_var, nww, nh, ws, ws, ws, ws)  # [v,w1,h,r1,p1,r2,p2]
-    sel = sel.transpose(0, 2, 3, 1, 4, 5, 6)  # [v,h,r1,w1,p1,r2,p2]
-    sel = sel[:, :, :, :, :, :, None, :]  # w2 axis (broadcast)
-    eye = np.eye(nww, dtype=bool)[None, None, None, :, None, None, :, None]
-    big = jnp.where(jnp.asarray(eye), sel, _NEG)
-    return jnp.broadcast_to(
-        big, (n_var, nh, ws, nww, ws, ws, nww, ws)
-    ).reshape(n_var, nh, t, t)
+def _bias_tile(bias_ref, h: int, group, nww: int, kinds: int, is_bottom):
+    """Block-diagonal (len(group)*n, len(group)*n) bias tile with _NEG off
+    the diagonal, assembled from (n, n) kind blocks."""
+    n = bias_ref.shape[-1]
+    g = len(group)
+    if g == 1:
+        return _bias_block(bias_ref, h, group[0], nww, kinds, is_bottom)
+    neg = jnp.full((n, n), _NEG, jnp.float32)
+    rows = []
+    for a, j in enumerate(group):
+        blk = _bias_block(bias_ref, h, j, nww, kinds, is_bottom)
+        rows.append(
+            jnp.concatenate(
+                [blk if b == a else neg for b in range(g)], axis=1
+            )
+        )
+    return jnp.concatenate(rows, axis=0)
 
 
 def _head_qkv(x, h: int, nh: int, hd: int):
@@ -170,89 +184,107 @@ def _head_qkv(x, h: int, nh: int, hd: int):
     return q, k, v
 
 
-def _fwd_kernel(x_ref, bias_ref, o_ref, *, nh, hd, ws, w, scale):
-    t = ws * w
-    x = x_ref[0].reshape(t, 3 * nh * hd)
-    outs = []
-    for h in range(nh):
-        q, k, v = _head_qkv(x, h, nh, hd)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+def _fwd_kernel(x_ref, bias_ref, o_ref, *, nh, hd, ws, w, scale, nwh, kinds):
+    n = ws * ws
+    nww = w // ws
+    is_bottom = pl.program_id(0) == nwh - 1
+    x = x_ref[0]  # (ws, W, 3C)
+    for group in _window_groups(nww, n):
+        tile = _gather_windows(x, group, ws, 3 * nh * hd)  # (g*n, 3C)
+        outs = []
+        for h in range(nh):
+            q, k, v = _head_qkv(tile, h, nh, hd)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale + _bias_tile(bias_ref, h, group, nww, kinds, is_bottom)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append(o.astype(o_ref.dtype))
+        _scatter_windows(
+            o_ref, jnp.concatenate(outs, axis=-1), group, ws, nh * hd
         )
-        s = s * scale + bias_ref[0, h]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outs.append(o.astype(o_ref.dtype))
-    o_ref[0] = jnp.concatenate(outs, axis=-1).reshape(ws, w, nh * hd)
 
 
 def _bwd_kernel(
     x_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, dbias_ref,
-    *, nh, hd, ws, w, scale, nwh, n_var,
+    *, nh, hd, ws, w, scale, nwh, kinds,
 ):
-    t = ws * w
+    n = ws * ws
+    nww = w // ws
     c = nh * hd
     i = pl.program_id(0)
     b = pl.program_id(1)
-    x = x_ref[0].reshape(t, 3 * c)
-    do = do_ref[0].reshape(t, c)
+    is_bottom = i == nwh - 1
+    x = x_ref[0]
+    do_strip = do_ref[0]
 
-    # the full (V, nh, T, T) dbias accumulator is one never-moving block;
+    # the full (K, nh, n, n) dbias accumulator is one never-moving block;
     # zero it exactly once, on the first grid step
     @pl.when((i == 0) & (b == 0))
     def _init():
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    variant = jnp.where(i == nwh - 1, n_var - 1, 0)
-    head_dq, head_dk, head_dv = [], [], []
-    for h in range(nh):
-        q, k, v = _head_qkv(x, h, nh, hd)
-        doh = do[:, h * hd : (h + 1) * hd].astype(jnp.float32)
-        bias_h = bias_ref[0, h]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * scale + bias_h
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        # forward downcast p->input dtype before PV; mirror it exactly so
-        # fused grads match the unfused reference path
-        p_lo = p.astype(x.dtype)
-        dv = jax.lax.dot_general(
-            p_lo, doh.astype(x.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            doh.astype(x.dtype), v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        if n_var == 1:
-            dbias_ref[0, h] += ds
-        else:
-            for kk in range(n_var):
-                dbias_ref[kk, h] += jnp.where(variant == kk, ds, 0.0)
-        ds_lo = (ds * scale).astype(x.dtype)
-        dq = jax.lax.dot_general(
-            ds_lo, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk = jax.lax.dot_general(
-            ds_lo, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        head_dq.append(dq.astype(dq_ref.dtype))
-        head_dk.append(dk.astype(dk_ref.dtype))
-        head_dv.append(dv.astype(dv_ref.dtype))
-    dq_ref[0] = jnp.concatenate(head_dq, axis=-1).reshape(ws, w, c)
-    dk_ref[0] = jnp.concatenate(head_dk, axis=-1).reshape(ws, w, c)
-    dv_ref[0] = jnp.concatenate(head_dv, axis=-1).reshape(ws, w, c)
+    for group in _window_groups(nww, n):
+        tile = _gather_windows(x, group, ws, 3 * c)
+        do_tile = _gather_windows(do_strip, group, ws, c)
+        head_dq, head_dk, head_dv = [], [], []
+        for h in range(nh):
+            q, k, v = _head_qkv(tile, h, nh, hd)
+            doh = do_tile[:, h * hd : (h + 1) * hd].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale + _bias_tile(
+                bias_ref, h, group, nww, kinds, is_bottom
+            )
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # forward downcast p->input dtype before PV; mirror it exactly so
+            # fused grads match the unfused reference path
+            p_lo = p.astype(x.dtype)
+            dv = jax.lax.dot_general(
+                p_lo, doh.astype(x.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                doh.astype(x.dtype), v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            # accumulate the diagonal (n, n) blocks of ds onto their kinds
+            for a, j in enumerate(group):
+                blk = ds[a * n : (a + 1) * n, a * n : (a + 1) * n]
+                if kinds == 1:
+                    dbias_ref[0, h] += blk
+                else:
+                    base = 1 if j == nww - 1 else 0
+                    zero = jnp.zeros_like(blk)
+                    dbias_ref[base, h] += jnp.where(is_bottom, zero, blk)
+                    dbias_ref[base + 2, h] += jnp.where(is_bottom, blk, zero)
+            ds_lo = (ds * scale).astype(x.dtype)
+            dq = jax.lax.dot_general(
+                ds_lo, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                ds_lo, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            head_dq.append(dq.astype(dq_ref.dtype))
+            head_dk.append(dk.astype(dk_ref.dtype))
+            head_dv.append(dv.astype(dv_ref.dtype))
+        _scatter_windows(dq_ref, jnp.concatenate(head_dq, -1), group, ws, c)
+        _scatter_windows(dk_ref, jnp.concatenate(head_dk, -1), group, ws, c)
+        _scatter_windows(dv_ref, jnp.concatenate(head_dv, -1), group, ws, c)
 
 
 def _strip_spec(ws, w, ch):
@@ -261,13 +293,9 @@ def _strip_spec(ws, w, ch):
     )
 
 
-def _bias_spec(nh, t_tokens, n_var, nwh):
-    def index(i, bb):
-        v = jnp.where(i == nwh - 1, n_var - 1, 0)
-        return (v, 0, 0, 0)
-
+def _full_spec(shape):
     return pl.BlockSpec(
-        (1, nh, t_tokens, t_tokens), index, memory_space=pltpu.VMEM
+        shape, lambda i, bb: (0,) * len(shape), memory_space=pltpu.VMEM
     )
 
 
@@ -282,16 +310,12 @@ def _mhsa_fwd_impl(qkv, bias, num_heads, head_dim, window_size, interpret):
     c = num_heads * head_dim
     assert c3 == 3 * c, (c3, c)
     ws = window_size
-    t = ws * ww
     nwh = hh // ws
+    kinds = bias.shape[0]
     scale = head_dim**-0.5
-    row_bias = _expand_row_bias(bias.astype(jnp.float32), ws, ww)
-    if nwh == 1 and row_bias.shape[0] > 1:
-        # a single window-row is entirely the "bottom" variant
-        row_bias = row_bias[1:]
-    n_var = row_bias.shape[0]
     kernel = functools.partial(
-        _fwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww, scale=scale
+        _fwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww, scale=scale,
+        nwh=nwh, kinds=kinds,
     )
     return pl.pallas_call(
         kernel,
@@ -299,14 +323,12 @@ def _mhsa_fwd_impl(qkv, bias, num_heads, head_dim, window_size, interpret):
         grid=(nwh, b),
         in_specs=[
             _strip_spec(ws, ww, 3 * c),
-            _bias_spec(num_heads, t, n_var, nwh),
+            _full_spec(bias.shape),
         ],
         out_specs=_strip_spec(ws, ww, c),
-        # the double-buffered row-bias block alone exceeds the default 16 MB
-        # scoped-VMEM budget; raise it (v5e has 128 MB VMEM per core)
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(qkv, row_bias)
+    )(qkv, bias.astype(jnp.float32))
 
 
 def _mhsa_fwd(qkv, bias, num_heads, head_dim, window_size, interpret):
@@ -319,33 +341,26 @@ def _mhsa_bwd(num_heads, head_dim, window_size, interpret, res, g):
     b, hh, ww, _ = qkv.shape
     c = num_heads * head_dim
     ws = window_size
-    t = ws * ww
+    n = ws * ws
     nwh = hh // ws
+    kinds = bias.shape[0]
     scale = head_dim**-0.5
-    collapse = nwh == 1 and bias.shape[0] > 1
-
-    def expand(bias_f32):
-        big = _expand_row_bias(bias_f32, ws, ww)
-        return big[1:] if collapse else big
-
-    row_bias, expand_vjp = jax.vjp(expand, bias.astype(jnp.float32))
-    n_var = row_bias.shape[0]
     kernel = functools.partial(
         _bwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww, scale=scale,
-        nwh=nwh, n_var=n_var,
+        nwh=nwh, kinds=kinds,
     )
-    dq, dk, dv, drow = pl.pallas_call(
+    dq, dk, dv, dbias = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, hh, ww, c), qkv.dtype),
             jax.ShapeDtypeStruct((b, hh, ww, c), qkv.dtype),
             jax.ShapeDtypeStruct((b, hh, ww, c), qkv.dtype),
-            jax.ShapeDtypeStruct((n_var, num_heads, t, t), jnp.float32),
+            jax.ShapeDtypeStruct((kinds, num_heads, n, n), jnp.float32),
         ),
         grid=(nwh, b),
         in_specs=[
             _strip_spec(ws, ww, 3 * c),
-            _bias_spec(num_heads, t, n_var, nwh),
+            _full_spec(bias.shape),
             _strip_spec(ws, ww, c),
         ],
         out_specs=(
@@ -353,17 +368,12 @@ def _mhsa_bwd(num_heads, head_dim, window_size, interpret, res, g):
             _strip_spec(ws, ww, c),
             _strip_spec(ws, ww, c),
             # full-array block: never moves, accumulates across the grid
-            pl.BlockSpec(
-                (n_var, num_heads, t, t),
-                lambda i, bb: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            _full_spec((kinds, num_heads, n, n)),
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(qkv, row_bias, g)
+    )(qkv, bias.astype(jnp.float32), g)
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
-    (dbias,) = expand_vjp(drow)
     return dqkv, dbias.astype(bias.dtype)
 
 
