@@ -1,0 +1,169 @@
+"""Analytic FLOP and HBM-traffic accounting for a jitted step (VERDICT r2 #2).
+
+XLA's ``cost_analysis()`` is blind to Pallas custom calls, so the MFU it
+implies cannot steer kernel work. This module counts FLOPs *analytically* by
+walking the step's jaxpr: every ``dot_general`` and ``conv_general_dilated``
+is counted from its shapes (2 FLOPs per MAC), inner jaxprs (scan / while /
+cond / pjit / remat / custom_vjp) are recursed with the right multipliers,
+and ``pallas_call`` primitives are counted by a per-kernel model that counts
+only USEFUL MACs (e.g. the window-attention kernel's on-diagonal attention
+blocks, not the off-diagonal waste its MXU tiling issues).
+
+The analogue on the reference side is the per-arch speed/VRAM tables of
+/root/reference/docs/source/benchmarks.md; here the count feeds
+``bench.py``'s ``mfu_analytic`` so "fast" is provable, not inferred.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+def _dot_flops(eqn) -> float:
+    (contract, batch_dims) = eqn.params["dimension_numbers"]
+    (lc, rc), (lb, rb) = contract, batch_dims
+    lhs = eqn.invars[0].aval.shape
+    rhs = eqn.invars[1].aval.shape
+    b = _prod(lhs[d] for d in lb)
+    k = _prod(lhs[d] for d in lc)
+    m = _prod(lhs[d] for d in range(len(lhs)) if d not in set(lb) | set(lc))
+    n = _prod(rhs[d] for d in range(len(rhs)) if d not in set(rb) | set(rc))
+    return 2.0 * b * m * n * k
+
+
+def _conv_flops(eqn) -> float:
+    out = eqn.outvars[0].aval.shape
+    rhs = eqn.invars[1].aval.shape  # kernel
+    dn = eqn.params["dimension_numbers"]
+    groups = int(eqn.params.get("feature_group_count", 1))
+    out_spatial = _prod(out[d] for d in dn.out_spec[2:])
+    batch = out[dn.out_spec[0]]
+    c_out = out[dn.out_spec[1]]
+    c_in = rhs[dn.rhs_spec[1]]  # per-group input channels
+    k_spatial = _prod(rhs[d] for d in dn.rhs_spec[2:])
+    del groups  # c_in is already per-group in the kernel shape
+    return 2.0 * batch * out_spatial * c_out * c_in * k_spatial
+
+
+def _pallas_flops(eqn) -> float:
+    """Useful MACs of the fused window-MHSA kernel, recognized structurally
+    (pallas_call params carry no stable name): inputs are qkv (B, H, W, 3C)
+    and the kind-bias table (K, nh, n, n) with n a perfect square (= ws^2)
+    and H, W window-aligned; the backward adds dout (B, H, W, C). Per
+    window-head, forward = S + PV = 2 products of n^2*hd MACs; backward =
+    S recompute + dV + dP + dQ + dK = 5 products. Off-diagonal MXU tile
+    waste is deliberately NOT counted (it is overhead, not work)."""
+    shapes = [tuple(v.aval.shape) for v in eqn.invars if hasattr(v, "aval")]
+    four_d = [s for s in shapes if len(s) == 4]
+    bias = next(
+        (
+            s
+            for s in four_d
+            if s[-1] == s[-2] and math.isqrt(s[-1]) ** 2 == s[-1] and s[-1] > 4
+        ),
+        None,
+    )
+    qkv = next(
+        (s for s in four_d if s is not bias and s[-1] % 3 == 0 and s[1] > 1), None
+    )
+    if qkv is None or bias is None:
+        return 0.0
+    b, h, w, c3 = qkv
+    n, nh = bias[-1], bias[1]
+    ws = math.isqrt(n)
+    if h % ws or w % ws or (c3 // 3) % nh:
+        return 0.0
+    hd = (c3 // 3) // nh
+    n_windows = (h // ws) * (w // ws)
+    per_pass = 2.0 * 2.0 * b * nh * n_windows * n * n * hd
+    is_bwd = any(s for s in four_d if s not in (qkv, bias) and s[-1] == c3 // 3)
+    return per_pass * (2.5 if is_bwd else 1.0)
+
+
+def jaxpr_flops(jaxpr) -> float:
+    """Total analytic FLOPs of a (Closed)Jaxpr, recursing inner jaxprs."""
+    if hasattr(jaxpr, "jaxpr"):
+        jaxpr = jaxpr.jaxpr
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            total += _dot_flops(eqn)
+        elif prim == "conv_general_dilated":
+            total += _conv_flops(eqn)
+        elif prim == "pallas_call":
+            total += _pallas_flops(eqn)
+        elif prim == "scan":
+            total += jaxpr_flops(eqn.params["jaxpr"]) * int(eqn.params["length"])
+        elif prim == "while":
+            # trip count unknowable statically; assume 1 (the only while in
+            # the train step is orbax-free; loud if that changes)
+            total += jaxpr_flops(eqn.params["body_jaxpr"])
+        elif prim == "cond":
+            total += max(
+                (jaxpr_flops(b) for b in eqn.params["branches"]), default=0.0
+            )
+        else:
+            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+                if key in eqn.params:
+                    total += jaxpr_flops(eqn.params[key])
+                    break
+            else:
+                if "branches" in eqn.params:
+                    total += max(
+                        (jaxpr_flops(b) for b in eqn.params["branches"]),
+                        default=0.0,
+                    )
+    return total
+
+
+def step_flops(fn, *args, **kwargs) -> float:
+    """Analytic FLOPs of one call of ``fn(*args)`` (e.g. the train step)."""
+    closed = jax.make_jaxpr(fn)(*args, **kwargs)
+    return jaxpr_flops(closed)
+
+
+# Public per-chip peaks (spec sheets): (dense bf16 FLOP/s, HBM bytes/s).
+PEAKS: dict[str, tuple[float, float]] = {
+    "TPU v6 lite": (918e12, 1640e9),
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v5": (197e12, 819e9),
+    "TPU v4": (275e12, 1228e9),
+}
+
+
+def device_peaks() -> tuple[float, float]:
+    kind = jax.devices()[0].device_kind
+    for prefix in sorted(PEAKS, key=len, reverse=True):
+        if kind.startswith(prefix):
+            return PEAKS[prefix]
+    return (197e12, 819e9)
+
+
+def xla_cost(compiled) -> dict[str, float]:
+    """flops + bytes accessed from XLA's own cost analysis (0.0 if opaque)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return {
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes": float(ca.get("bytes accessed", 0.0)),
+        }
+    except Exception:
+        return {"flops": 0.0, "bytes": 0.0}
+
+
+__all__ = ["jaxpr_flops", "step_flops", "device_peaks", "xla_cost", "PEAKS"]
