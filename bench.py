@@ -188,12 +188,18 @@ _PEAK_BF16_FLOPS = {
 
 def _mfu(model, per_chip_img_s: float, batch_per_chip: int) -> dict:
     """FLOPs utilization + HBM-bandwidth fraction of the jitted train step,
-    from TWO counters (VERDICT r2 #2): XLA's own cost analysis (`mfu` — blind
-    to Pallas custom calls) and an analytic jaxpr walk (`mfu_analytic` —
-    counts dot/conv/useful-Pallas-attention MACs, see utils/flops.py). The
-    counts cover one dispatched BLOCK (steps_per_dispatch optimizer steps),
-    so they are normalized by the block's image count."""
-    out: dict = {"mfu": None, "mfu_analytic": None, "hbm_bw_frac": None}
+    from TWO counters (VERDICT r2 #2): XLA's own cost analysis (`mfu`) and
+    an analytic jaxpr walk (`mfu_analytic` — dot/conv/useful-Pallas MACs,
+    see utils/flops.py). Normalization is PER OPTIMIZER STEP: XLA's cost
+    analysis counts a `lax.scan` body ONCE regardless of trip count
+    (verified empirically), so the compiled K-step block's cost IS one
+    step's cost (+ small outside-the-loop overhead), and the analytic walk
+    is traced on a K=1 batch slice. r03's hbm_bw_frac was 8x understated by
+    dividing the one-step cost by the 8-step block's images (VERDICT r3).
+    `hbm_bw_frac` includes analytic Pallas kernel bytes — XLA's counter is
+    blind to custom calls (VERDICT r3 #6)."""
+    out: dict = {"mfu": None, "mfu_analytic": None, "hbm_bw_frac": None,
+                 "pallas_bytes_per_step": None}
     try:
         from trainner_redux_tpu.utils import flops as _fl
     except Exception:
@@ -201,22 +207,38 @@ def _mfu(model, per_chip_img_s: float, batch_per_chip: int) -> dict:
     peak_flops, peak_bw = _fl.device_peaks()
     n_dev = len(jax.devices())
     k_steps = int(getattr(model, "steps_per_dispatch", 1) or 1)
-    imgs_per_block = batch_per_chip * k_steps
-    blocks_per_sec = per_chip_img_s / imgs_per_block
+    steps_per_sec = per_chip_img_s / batch_per_chip  # per chip
     batch = {"lq": model.lq, "gt": model.gt, "key": jax.random.key(0)}
+    # K=1 slice for tracing: the scanned axis is leading when K>1
+    if k_steps > 1:
+        batch1 = {"lq": model.lq[:1], "gt": model.gt[:1],
+                  "key": jax.random.key(0)}
+    else:
+        batch1 = batch
+    pallas_bytes = 0.0
+    try:
+        # traced at K=1: already per step
+        pallas_bytes = _fl.step_pallas_bytes(
+            model._train_step, model.state, batch1
+        )
+        out["pallas_bytes_per_step"] = pallas_bytes / n_dev
+    except Exception:
+        pass
     try:
         lowered = model._train_step.lower(model.state, batch)
         cost = _fl.xla_cost(lowered.compile())
         if cost["flops"] > 0:
-            out["mfu"] = cost["flops"] / n_dev * blocks_per_sec / peak_flops
+            out["mfu"] = cost["flops"] / n_dev * steps_per_sec / peak_flops
         if cost["bytes"] > 0:
-            out["hbm_bw_frac"] = cost["bytes"] / n_dev * blocks_per_sec / peak_bw
+            out["hbm_bw_frac"] = (
+                (cost["bytes"] + pallas_bytes) / n_dev * steps_per_sec / peak_bw
+            )
     except Exception:
         pass
     try:
-        analytic = _fl.step_flops(model._train_step, model.state, batch)
+        analytic = _fl.step_flops(model._train_step, model.state, batch1)
         if analytic > 0:
-            out["mfu_analytic"] = analytic / n_dev * blocks_per_sec / peak_flops
+            out["mfu_analytic"] = analytic / n_dev * steps_per_sec / peak_flops
     except Exception:
         pass
     return out

@@ -26,13 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get(
-        "TRAINNER_JIT_CACHE", os.path.expanduser("~/.cache/trainner_jax_bench")
-    ),
+_cache = os.environ.get(
+    "TRAINNER_JIT_CACHE", os.path.expanduser("~/.cache/trainner_jax_bench")
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if _cache != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _force(x) -> None:

@@ -11,11 +11,12 @@ expect.
 TPU notes: transposed convs are `nn.Conv` with `input_dilation` (XLA lowers
 to one conv_general_dilated on the MXU); non-overlapping 2x2-stride-2
 deconvs become dense + depth-to-space. The `fast` 2x variant (upstream
-UpCunet2x_fast) is the 4x trunk applied to a pixel-unshuffled input: 3ch ->
-unshuffle(2) -> 12ch at half res, border 19, UNet1(64)/UNet2(64), conv_final
--> 12ch, crop 1, pixel-shuffle(2) back to 2x, plus a nearest-2x skip of the
-original input — every crop margin closes exactly against the 4x shape
-algebra (U-40 trunk output, 2U-88 final).
+UpCunet2x_fast) is the 4x trunk applied to a pixel-unshuffled input:
+reflect-pad the FULL-RES input by 38 (dims rounded to multiples of 4) ->
+unshuffle(2) -> 12ch at half res (border 19 after unshuffle),
+UNet1(64)/UNet2(64), conv_final -> 12ch, crop 1, pixel-shuffle(2) back to
+2x, plus a nearest-2x skip of the original input — every crop margin closes
+exactly against the 4x shape algebra (D=38+ph/2 in, 2D-76 out = 2*ph).
 """
 
 from __future__ import annotations
@@ -179,13 +180,20 @@ class UpCunet(nn.Module):
             x = x * 0.7 + 0.15
 
         if self.fast:  # UpCunet2x_fast: the 4x trunk on a pixel-unshuffled input
-            if h0 % 2 or w0 % 2:  # unshuffle needs even dims
-                x = jnp.pad(
-                    x, ((0, 0), (0, h0 % 2), (0, w0 % 2), (0, 0)), mode="reflect"
-                )
-            xi = pixel_unshuffle(x, 2)  # (h/2, w/2, 4*in)
-            xp = _reflect_pad_to(xi, 2, 19)
-            u1_out = UNet1(64, dtype=self.dtype, name="unet1")(xp)
+            # upstream pads the FULL-RES input by 38 (ph/pw rounded up to
+            # multiples of 4 so the unshuffled dims stay even) BEFORE
+            # PixelUnshuffle(2); reflect padding does not commute with
+            # unshuffle, so padding at half resolution diverges from the
+            # reference in a border band (ADVICE r3, verified numerically)
+            ph = -(-h0 // 4) * 4
+            pw = -(-w0 // 4) * 4
+            x = jnp.pad(
+                x,
+                ((0, 0), (38, 38 + ph - h0), (38, 38 + pw - w0), (0, 0)),
+                mode="reflect",
+            )
+            xi = pixel_unshuffle(x, 2)  # (38 + ph/2, 38 + pw/2, 4*in)
+            u1_out = UNet1(64, dtype=self.dtype, name="unet1")(xi)
             res = UNet2(64, dtype=self.dtype, name="unet2")(u1_out)
             out = res + _crop(u1_out, 20)
             out = Conv2d(

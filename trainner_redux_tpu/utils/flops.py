@@ -56,14 +56,12 @@ def _conv_flops(eqn) -> float:
     return 2.0 * batch * out_spatial * c_out * c_in * k_spatial
 
 
-def _pallas_flops(eqn) -> float:
-    """Useful MACs of the fused window-MHSA kernel, recognized structurally
-    (pallas_call params carry no stable name): inputs are qkv (B, H, W, 3C)
-    and the kind-bias table (K, nh, n, n) with n a perfect square (= ws^2)
-    and H, W window-aligned; the backward adds dout (B, H, W, C). Per
-    window-head, forward = S + PV = 2 products of n^2*hd MACs; backward =
-    S recompute + dV + dP + dQ + dK = 5 products. Off-diagonal MXU tile
-    waste is deliberately NOT counted (it is overhead, not work)."""
+def _pallas_parse(eqn) -> tuple | None:
+    """Structurally recognize the fused window-MHSA kernel (pallas_call
+    params carry no stable name): inputs are qkv (B, H, W, 3C) and the
+    kind-bias table (K, nh, n, n) with n a perfect square (= ws^2) and
+    H, W window-aligned; the backward adds dout (B, H, W, C). Returns
+    (qkv_shape, bias_shape, is_bwd) or None."""
     shapes = [tuple(v.aval.shape) for v in eqn.invars if hasattr(v, "aval")]
     four_d = [s for s in shapes if len(s) == 4]
     bias = next(
@@ -78,60 +76,145 @@ def _pallas_flops(eqn) -> float:
         (s for s in four_d if s is not bias and s[-1] % 3 == 0 and s[1] > 1), None
     )
     if qkv is None or bias is None:
-        return 0.0
+        return None
     b, h, w, c3 = qkv
     n, nh = bias[-1], bias[1]
     ws = math.isqrt(n)
     if h % ws or w % ws or (c3 // 3) % nh:
+        return None
+    is_bwd = any(s for s in four_d if s not in (qkv, bias) and s[-1] == c3 // 3)
+    return qkv, bias, is_bwd
+
+
+def _warn_unrecognized_pallas(eqn) -> None:
+    """The analytic counters silently returning 0 for a new kernel would
+    make mfu_analytic/hbm quietly a lower bound (ADVICE r3); warn once."""
+    import warnings
+
+    shapes = [tuple(getattr(v, "aval", None) and v.aval.shape or ())
+              for v in eqn.invars]
+    warnings.warn(
+        f"flops: unrecognized pallas_call (operand shapes {shapes}); analytic"
+        " FLOP/byte counts are a lower bound until a model is added",
+        stacklevel=2,
+    )
+
+
+def _pallas_flops(eqn) -> float:
+    """Useful MACs of the fused window-MHSA kernel. Per window-head,
+    forward = S + PV = 2 products of n^2*hd MACs; backward = S recompute +
+    dV + dP + dQ + dK = 5 products. Off-diagonal MXU tile waste is
+    deliberately NOT counted (it is overhead, not work)."""
+    parsed = _pallas_parse(eqn)
+    if parsed is None:
+        _warn_unrecognized_pallas(eqn)
         return 0.0
+    (b, h, w, c3), (_, nh, _, n), is_bwd = parsed
+    ws = math.isqrt(n)
     hd = (c3 // 3) // nh
     n_windows = (h // ws) * (w // ws)
     per_pass = 2.0 * 2.0 * b * nh * n_windows * n * n * hd
-    is_bwd = any(s for s in four_d if s not in (qkv, bias) and s[-1] == c3 // 3)
     return per_pass * (2.5 if is_bwd else 1.0)
 
 
-def jaxpr_flops(jaxpr) -> float:
-    """Total analytic FLOPs of a (Closed)Jaxpr, recursing inner jaxprs."""
+def _aval_bytes(v) -> float:
+    aval = getattr(v, "aval", None)
+    if aval is None or not hasattr(aval, "shape"):
+        return 0.0
+    return float(_prod(aval.shape)) * np.dtype(aval.dtype).itemsize
+
+
+def _pallas_bytes(eqn) -> float:
+    """Analytic HBM traffic of a recognized pallas_call: operands + results,
+    each streamed exactly once (the window-MHSA kernels use non-overlapping
+    row strips; the bias table and the dbias accumulator are never-moving
+    VMEM-resident blocks, so they cost one read / one write). XLA's own
+    cost analysis reports 0 bytes for custom calls, so this is additive
+    (VERDICT r3 #6)."""
+    if _pallas_parse(eqn) is None:
+        return 0.0
+    return sum(_aval_bytes(v) for v in eqn.invars) + sum(
+        _aval_bytes(v) for v in eqn.outvars
+    )
+
+
+def _walk(jaxpr, leaf_fn) -> float:
+    """Sum ``leaf_fn(eqn)`` over a (Closed)Jaxpr, recursing inner jaxprs
+    with the right multipliers (scan length; while assumed 1 trip; cond =
+    max branch)."""
     if hasattr(jaxpr, "jaxpr"):
         jaxpr = jaxpr.jaxpr
     total = 0.0
     for eqn in jaxpr.eqns:
         prim = eqn.primitive.name
-        if prim == "dot_general":
-            total += _dot_flops(eqn)
-        elif prim == "conv_general_dilated":
-            total += _conv_flops(eqn)
-        elif prim == "pallas_call":
-            total += _pallas_flops(eqn)
+        if prim == "pallas_call":
+            # leaf (its params carry the KERNEL jaxpr, whose dots include
+            # MXU tile waste — the leaf models count useful work instead)
+            total += leaf_fn(eqn)
         elif prim == "scan":
-            total += jaxpr_flops(eqn.params["jaxpr"]) * int(eqn.params["length"])
+            total += _walk(eqn.params["jaxpr"], leaf_fn) * int(
+                eqn.params["length"]
+            )
         elif prim == "while":
             # trip count unknowable statically; assume 1 (the only while in
             # the train step is orbax-free; loud if that changes)
-            total += jaxpr_flops(eqn.params["body_jaxpr"])
+            total += _walk(eqn.params["body_jaxpr"], leaf_fn)
         elif prim == "cond":
             total += max(
-                (jaxpr_flops(b) for b in eqn.params["branches"]), default=0.0
+                (_walk(b, leaf_fn) for b in eqn.params["branches"]), default=0.0
             )
         else:
+            inner = False
             for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
                 if key in eqn.params:
-                    total += jaxpr_flops(eqn.params[key])
+                    total += _walk(eqn.params[key], leaf_fn)
+                    inner = True
                     break
-            else:
-                if "branches" in eqn.params:
-                    total += max(
-                        (jaxpr_flops(b) for b in eqn.params["branches"]),
-                        default=0.0,
-                    )
+            if not inner and "branches" in eqn.params:
+                total += max(
+                    (_walk(b, leaf_fn) for b in eqn.params["branches"]),
+                    default=0.0,
+                )
+            elif not inner:
+                total += leaf_fn(eqn)
     return total
+
+
+def _flops_leaf(eqn) -> float:
+    prim = eqn.primitive.name
+    if prim == "dot_general":
+        return _dot_flops(eqn)
+    if prim == "conv_general_dilated":
+        return _conv_flops(eqn)
+    if prim == "pallas_call":
+        return _pallas_flops(eqn)
+    return 0.0
+
+
+def jaxpr_flops(jaxpr) -> float:
+    """Total analytic FLOPs of a (Closed)Jaxpr, recursing inner jaxprs."""
+    return _walk(jaxpr, _flops_leaf)
+
+
+def jaxpr_pallas_bytes(jaxpr) -> float:
+    """Analytic HBM bytes of all recognized pallas_calls in a jaxpr (XLA's
+    cost analysis is blind to them; add this to its 'bytes accessed')."""
+    return _walk(
+        jaxpr,
+        lambda e: _pallas_bytes(e) if e.primitive.name == "pallas_call" else 0.0,
+    )
 
 
 def step_flops(fn, *args, **kwargs) -> float:
     """Analytic FLOPs of one call of ``fn(*args)`` (e.g. the train step)."""
     closed = jax.make_jaxpr(fn)(*args, **kwargs)
     return jaxpr_flops(closed)
+
+
+def step_pallas_bytes(fn, *args, **kwargs) -> float:
+    """Analytic Pallas HBM bytes of one call of ``fn(*args)``."""
+    closed = jax.make_jaxpr(fn)(*args, **kwargs)
+    return jaxpr_pallas_bytes(closed)
 
 
 # Public per-chip peaks (spec sheets): (dense bf16 FLOP/s, HBM bytes/s).
