@@ -175,6 +175,29 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
 
     model = build_model(opt)
 
+    if getattr(args, "suggest", False):
+        # `--suggest`: print the AOT batch/patch recommendation table and
+        # exit before training (reference: the pre-run VRAM estimator UX of
+        # vram_manager.py:93-700 — here exact, from XLA's memory analysis).
+        from trainner_redux_tpu.utils.memory_manager import format_suggest_table
+
+        if not hasattr(model, "suggest_memory"):
+            logger.warning("--suggest: this model type has no train step to probe.")
+            return
+        train_ds_opt = next(
+            d for k, d in opt.datasets.items() if k.split("_")[0] == "train"
+        )
+        cfg_batch = int(train_ds_opt.batch_size_per_gpu or 1)
+        cfg_patch = int(
+            train_ds_opt.lq_size
+            or (train_ds_opt.gt_size or 32 * opt.scale) // opt.scale
+        )
+        rows, budget = model.suggest_memory(cfg_batch, cfg_patch)
+        table = format_suggest_table(rows, budget)
+        logger.info("\n%s", table)
+        print(table)
+        return
+
     # AOT HBM preflight (opt-in via the dynamic_batch_patch_optimizer
     # automation): compile the real train step at the configured shape and
     # read XLA's exact memory analysis; if it doesn't fit, downshift

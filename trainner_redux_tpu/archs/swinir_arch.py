@@ -180,6 +180,67 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm-shaped params (same names/inits as nn.LayerNorm)
+    for the fused-block path, keeping the checkpoint tree identical."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return g, b
+
+
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-shaped params (same names/inits) without the op."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+        else:
+            b = jnp.zeros((self.features,), jnp.float32)
+        return k, b
+
+
+class _AttnParams(nn.Module):
+    """Param tree of WindowAttention (qkv/proj/bias table) for the fused
+    block path — scoped names match the unfused modules exactly."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseParams(
+            self.dim, 3 * self.dim, self.qkv_bias, name="qkv"
+        )()
+        wp, bp = _DenseParams(self.dim, self.dim, True, name="proj")()
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        return wq, bq, wp, bp, table
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -197,6 +258,68 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
         shift = self.shift_size if min(h, w) > ws else 0
+
+        from trainner_redux_tpu.ops.pallas.fused_block import (
+            fused_attn_block,
+            fused_block_interpret,
+            fused_block_supported,
+            fused_ln_mlp,
+        )
+
+        hidden = int(self.dim * self.mlp_ratio)
+        if self.qk_scale is None and fused_block_supported(
+            h, w, ws, self.dim, self.num_heads, hidden
+        ):
+            # Fully-fused path: the whole block runs as two Pallas kernels
+            # (LN1+qkv+window-MHSA+proj+residual, then LN2+MLP+residual) —
+            # the residual stream round-trips HBM twice per block instead of
+            # ~12 times. Params are declared through shape/name-compatible
+            # stubs so the checkpoint tree is identical to the unfused path.
+            from trainner_redux_tpu.ops.pallas.window_attention import (
+                shift_mask_kinds,
+            )
+
+            nh = self.num_heads
+            hd = self.dim // nh
+            n = ws * ws
+            g1, be1 = _LNParams(self.dim, name="norm1")()
+            wq, bq, wp, bp, table = _AttnParams(
+                self.dim, ws, nh, self.qkv_bias, name="attn"
+            )()
+            g2, be2 = _LNParams(self.dim, name="norm2")()
+            w1, b1 = _DenseParams(self.dim, hidden, True, name="mlp_fc1")()
+            w2, b2 = _DenseParams(hidden, self.dim, True, name="mlp_fc2")()
+
+            idx = jnp.asarray(_relative_position_index(ws))
+            bias = jnp.take(table, idx.reshape(-1), axis=0)
+            bias = bias.reshape(n, n, nh).transpose(2, 0, 1)  # (nh, n, n)
+            if shift > 0:
+                masks = jnp.asarray(shift_mask_kinds(ws, shift))
+                bias_kinds = bias[None] + masks[:, None]  # (4, nh, n, n)
+            else:
+                bias_kinds = bias[None]
+
+            if self.drop_path > 0.0 and train:
+                keep = 1.0 - self.drop_path
+                r1, r2 = jax.random.split(self.make_rng("dropout"))
+                s1 = jax.random.bernoulli(r1, keep, (b,)) / keep
+                s2 = jax.random.bernoulli(r2, keep, (b,)) / keep
+            else:
+                s1 = s2 = jnp.ones((b,), jnp.float32)
+
+            interp = fused_block_interpret()
+            xc = x.astype(self.dtype)
+            if shift > 0:
+                xc = jnp.roll(xc, (-shift, -shift), axis=(1, 2))
+            z = fused_attn_block(
+                xc, g1, be1, wq, bq, wp, bp, bias_kinds, s1, nh, hd, ws,
+                1e-5, interp,
+            )
+            if shift > 0:
+                z = jnp.roll(z, (shift, shift), axis=(1, 2))
+            return fused_ln_mlp(
+                z, g2, be2, w1, b1, w2, b2, s2, ws, 1e-5, interp
+            )
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm1")(x)

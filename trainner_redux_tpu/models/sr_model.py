@@ -800,25 +800,32 @@ class SRModel(BaseModel):
         a MemoryEstimate."""
         from trainner_redux_tpu.utils.memory_manager import ParameterOptimizer
 
-        assert self._train_step is not None
-        scale = self.scale
-
-        k = self.steps_per_dispatch
-
-        def lower_fn(b: int, p: int):
-            lead = (k, b) if k > 1 else (b,)
-            lq = jax.ShapeDtypeStruct((*lead, p, p, 3), jnp.uint8)
-            gt = jax.ShapeDtypeStruct(
-                (*lead, p * scale, p * scale, 3), jnp.uint8
-            )
-            key = jax.random.key(0)
-            return self._train_step.lower(
-                self.state, {"lq": lq, "gt": gt, "key": key}
-            )
-
         return ParameterOptimizer(
             min_batch=min_batch, min_patch=min_patch
-        ).search(lower_fn, batch, lq_size)
+        ).search(self._lower_train_step_at, batch, lq_size)
+
+    def _lower_train_step_at(self, b: int, p: int):
+        """Lower (not run) the real train step at an abstract (batch, patch)
+        shape — the probe both preflight_memory and suggest_memory compile."""
+        assert self._train_step is not None
+        scale = self.scale
+        k = self.steps_per_dispatch
+        lead = (k, b) if k > 1 else (b,)
+        lq = jax.ShapeDtypeStruct((*lead, p, p, 3), jnp.uint8)
+        gt = jax.ShapeDtypeStruct((*lead, p * scale, p * scale, 3), jnp.uint8)
+        key = jax.random.key(0)
+        return self._train_step.lower(
+            self.state, {"lq": lq, "gt": gt, "key": key}
+        )
+
+    def suggest_memory(self, batch: int, lq_size: int):
+        """The `--suggest` CLI sweep: probe the configured shape, upshifts
+        while they fit, or the down-ladder if not. Returns
+        (rows, budget_bytes) for format_suggest_table."""
+        from trainner_redux_tpu.utils.memory_manager import ParameterOptimizer
+
+        po = ParameterOptimizer()
+        return po.suggest(self._lower_train_step_at, batch, lq_size), po.budget
 
     # ------------------------------------------------------------------
     # inference / validation

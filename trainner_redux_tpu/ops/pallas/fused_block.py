@@ -1,0 +1,596 @@
+"""Pallas TPU kernels: fully-fused pre-LN transformer block halves.
+
+Why: the round-3/4 HLO byte attribution (scripts/benchmarking/hlo_bytes.py,
+docs/perf/hlo_bytes_swinir_m_*.json) showed the SwinIR-M b8 forward moves
+~19.8 GB of HBM traffic against a ~0.9 GB intrinsic need: every LayerNorm,
+qkv projection, attention output, proj, and MLP hidden state makes a full
+HBM round trip between matmuls, and XLA cannot fuse across matmul
+boundaries. These kernels keep one window-row strip resident in VMEM and
+run the whole block half in one pass:
+
+  fused_attn_block : z  = x + s*( proj( window-MHSA( qkv( LN1(x) ) ) ) )
+  fused_ln_mlp     : out = z + s*( fc2( gelu( fc1( LN2(z) ) ) ) )
+
+`s` is the per-sample DropPath keep scale (0 or 1/keep; ones when rate=0 or
+eval). Per block the residual stream makes exactly two round trips
+(~47 MB at SwinIR-M b8 geometry) instead of ~380 MB.
+
+Both kernels carry recompute-based custom VJPs: backward saves only the
+block input + params, re-derives every intermediate in VMEM (flash-attention
+style for the MHSA half, reusing window_attention.py's group-tiled math) and
+accumulates parameter gradients into never-moving full-array output blocks
+across the (strip, batch) grid — the accumulation pattern proven by
+window_attention.py's dbias.
+
+Layout contract mirrors window_attention.py: x is NHWC (B, H, W, C) with H
+a multiple of window_size; the grid is (H/ws, B) over (1, ws, W, C) strips.
+Cyclic shifts stay outside (jnp.roll by the caller) — LN/Dense/MLP are
+per-token so the whole block commutes with the roll.
+
+Reference semantics: /root/reference/traiNNer/archs/swinir_arch.py:139-229
+(SwinTransformerBlock: norm1/attn/drop_path + norm2/mlp chains).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from trainner_redux_tpu.ops.pallas.window_attention import (
+    _bias_tile,
+    _gather_windows,
+    _head_qkv,
+    _scatter_windows,
+    _window_groups,
+)
+
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def fused_block_interpret() -> bool:
+    """True when TRAINNER_FUSED_BLOCK=interpret: run the kernels through the
+    Pallas interpreter (CPU), used by the module-level equivalence tests."""
+    import os
+
+    return os.environ.get("TRAINNER_FUSED_BLOCK", "1") == "interpret"
+
+
+def fused_block_supported(
+    h: int,
+    w: int,
+    window_size: int,
+    channels: int,
+    num_heads: int,
+    hidden: int,
+    dtype_bytes: int = 2,
+) -> bool:
+    """Gate for the fused block kernels: TPU backend, window-aligned dims,
+    and strip + parameter + scratch footprint within VMEM. Respects
+    TRAINNER_FUSED_BLOCK=0 (and TRAINNER_FUSED_ATTN=0) as off switches."""
+    import os
+
+    mode = os.environ.get("TRAINNER_FUSED_BLOCK", "1")
+    if mode == "0":
+        return False
+    if os.environ.get("TRAINNER_FUSED_ATTN", "1") == "0":
+        return False
+    if mode != "interpret":
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+        except Exception:
+            return False
+    if h % window_size or w % window_size:
+        return False
+    n = window_size * window_size
+    t = window_size * w  # tokens per strip
+    c = channels
+    # strips (x, z, dz, dqkv scratch) + params (qkv dominates) + fp32 tile
+    # temps + grad accumulators, with 2x headroom for Mosaic double-buffering
+    strips = t * (3 * c * 4 + 2 * c * dtype_bytes * 3)
+    params = (c * 3 * c + c * c + 2 * c * hidden) * dtype_bytes * 2
+    acc = (c * 3 * c + c * c + 2 * c * hidden) * 4
+    bias = 4 * num_heads * n * n * 4
+    tiles = 4 * 128 * max(n, hidden, 128) * 16
+    return (strips + params + acc + 2 * bias + tiles) * 2 <= _VMEM_LIMIT
+
+
+def _ln_f32(t32, g, b, eps):
+    """LayerNorm over the last axis, all fp32 in VMEM. Returns (y, xn, inv)
+    where xn is the normalized pre-affine value and inv = 1/sqrt(var+eps)."""
+    mu = jnp.mean(t32, axis=-1, keepdims=True)
+    xc = t32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xn = xc * inv
+    return xn * g + b, xn, inv
+
+
+def _ln_bwd(dy32, xn, inv, g):
+    """Gradient of LayerNorm wrt its input, given upstream dy (fp32)."""
+    dxn = dy32 * g
+    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxn * xn, axis=-1, keepdims=True)
+    return inv * (dxn - m1 - xn * m2)
+
+
+def _erf(x32):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7 — far below
+    bf16 resolution): Mosaic has no erf lowering, so the exact-gelu chain
+    builds it from exp."""
+    ax = jnp.abs(x32)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x32) * y
+
+
+def _gelu_exact(x32):
+    return 0.5 * x32 * (1.0 + _erf(x32 * (2.0**-0.5)))
+
+
+def _gelu_exact_grad(x32):
+    cdf = 0.5 * (1.0 + _erf(x32 * (2.0**-0.5)))
+    pdf = jnp.exp(-0.5 * x32 * x32) * 0.3989422804014327
+    return cdf + x32 * pdf
+
+
+def _dot(a, b, dims=(((1,), (0,)), ((), ()))):
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: z -> z + s * fc2(gelu(fc1(LN2(z))))
+# ---------------------------------------------------------------------------
+
+
+def _mlp_fwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    s_ref, o_ref, *, eps):
+    ws_, w_, c = x_ref.shape[1:]
+    cdt = x_ref.dtype
+    t = x_ref[0].reshape(ws_ * w_, c)
+    y32, _, _ = _ln_f32(t.astype(jnp.float32), g_ref[0], be_ref[0], eps)
+    y = y32.astype(cdt)
+    h = _dot(y, w1_ref[...]).astype(cdt) + b1_ref[0].astype(cdt)
+    hg = _gelu_exact(h.astype(jnp.float32)).astype(cdt)
+    m = _dot(hg, w2_ref[...]).astype(cdt) + b2_ref[0].astype(cdt)
+    s = s_ref[pl.program_id(1), 0].astype(cdt)
+    o_ref[0] = (t + s * m).reshape(ws_, w_, c)
+
+
+def _mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    s_ref, do_ref,
+                    dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref,
+                    db2_ref, *, eps):
+    ws_, w_, c = x_ref.shape[1:]
+    cdt = x_ref.dtype
+    i, b = pl.program_id(0), pl.program_id(1)
+
+    @pl.when((i == 0) & (b == 0))
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    t = x_ref[0].reshape(ws_ * w_, c)
+    do = do_ref[0].reshape(ws_ * w_, c)
+    g = g_ref[0]
+    # recompute forward intermediates (mirroring fwd quantization points)
+    y32, xn, inv = _ln_f32(t.astype(jnp.float32), g, be_ref[0], eps)
+    y = y32.astype(cdt)
+    h = _dot(y, w1_ref[...]).astype(cdt) + b1_ref[0].astype(cdt)
+    h32 = h.astype(jnp.float32)
+    hg = _gelu_exact(h32).astype(cdt)
+
+    s = s_ref[b, 0]
+    dm = do.astype(jnp.float32) * s
+    dm_lo = dm.astype(cdt)
+    dw2_ref[...] += _dot(hg, dm_lo, (((0,), (0,)), ((), ())))
+    db2_ref[...] += jnp.sum(dm, axis=0, keepdims=True)
+    dhg = _dot(dm_lo, w2_ref[...], (((1,), (1,)), ((), ())))
+    dh = dhg * _gelu_exact_grad(h32)
+    dh_lo = dh.astype(cdt)
+    dw1_ref[...] += _dot(y, dh_lo, (((0,), (0,)), ((), ())))
+    db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dy = _dot(dh_lo, w1_ref[...], (((1,), (1,)), ((), ())))
+    dg_ref[...] += jnp.sum(dy * xn, axis=0, keepdims=True)
+    dbe_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dt = _ln_bwd(dy, xn, inv, g)
+    dx_ref[0] = (do.astype(jnp.float32) + dt).astype(cdt).reshape(ws_, w_, c)
+
+
+def _strip_spec(ws, w, ch):
+    return pl.BlockSpec(
+        (1, ws, w, ch), lambda i, bb: (bb, i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _full_spec(shape, space=pltpu.VMEM):
+    return pl.BlockSpec(shape, lambda i, bb: (0,) * len(shape), memory_space=space)
+
+
+def _row_spec(n):
+    return _full_spec((1, n))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_ln_mlp(x, g, be, w1, b1, w2, b2, s, window_size, eps=1e-5,
+                 interpret=False):
+    """out (B,H,W,C) = x + s[b] * fc2(gelu(fc1(LN(x)))).
+
+    g/be: (C,) fp32 LayerNorm affine. w1 (C,hidden), b1 (hidden,),
+    w2 (hidden,C), b2 (C,) in the compute dtype. s: (B,) fp32 per-sample
+    DropPath keep scale (use ones for eval / rate 0; its cotangent is not
+    produced — it is RNG-derived, never optimized)."""
+    return _mlp_fwd_impl(x, g, be, w1, b1, w2, b2, s, window_size, eps,
+                         interpret)
+
+
+def _mlp_call_args(x, g, be, w1, b1, w2, b2, s, window_size):
+    b, hh, ww, c = x.shape
+    hidden = w1.shape[1]
+    ws = window_size
+    ins = (
+        x,
+        g.astype(jnp.float32).reshape(1, c),
+        be.astype(jnp.float32).reshape(1, c),
+        w1.astype(x.dtype),
+        b1.astype(jnp.float32).reshape(1, hidden),
+        w2.astype(x.dtype),
+        b2.astype(jnp.float32).reshape(1, c),
+        s.astype(jnp.float32).reshape(b, 1),
+    )
+    specs = [
+        _strip_spec(ws, ww, c),
+        _row_spec(c),
+        _row_spec(c),
+        _full_spec((c, hidden)),
+        _row_spec(hidden),
+        _full_spec((hidden, c)),
+        _row_spec(c),
+        _full_spec((b, 1), pltpu.SMEM),
+    ]
+    return ins, specs, (hh // ws, b)
+
+
+def _mlp_fwd_impl(x, g, be, w1, b1, w2, b2, s, window_size, eps, interpret):
+    b, hh, ww, c = x.shape
+    ins, specs, grid = _mlp_call_args(x, g, be, w1, b1, w2, b2, s, window_size)
+    return pl.pallas_call(
+        functools.partial(_mlp_fwd_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=specs,
+        out_specs=_strip_spec(window_size, ww, c),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*ins)
+
+
+def _mlp_fwd(x, g, be, w1, b1, w2, b2, s, window_size, eps, interpret):
+    out = _mlp_fwd_impl(x, g, be, w1, b1, w2, b2, s, window_size, eps,
+                        interpret)
+    return out, (x, g, be, w1, b1, w2, b2, s)
+
+
+def _mlp_bwd(window_size, eps, interpret, res, do):
+    x, g, be, w1, b1, w2, b2, s = res
+    b, hh, ww, c = x.shape
+    hidden = w1.shape[1]
+    ws = window_size
+    ins, specs, grid = _mlp_call_args(x, g, be, w1, b1, w2, b2, s, window_size)
+    f32 = jnp.float32
+    dx, dg, dbe, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((hidden, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ),
+        grid=grid,
+        in_specs=specs + [_strip_spec(ws, ww, c)],
+        out_specs=(
+            _strip_spec(ws, ww, c),
+            _row_spec(c), _row_spec(c),
+            _full_spec((c, hidden)), _row_spec(hidden),
+            _full_spec((hidden, c)), _row_spec(c),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*ins, do)
+    return (
+        dx,
+        dg.reshape(c).astype(g.dtype),
+        dbe.reshape(c).astype(be.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(hidden).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(c).astype(b2.dtype),
+        jnp.zeros_like(s),
+    )
+
+
+fused_ln_mlp.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: x -> x + s * proj(window-MHSA(qkv(LN1(x))))
+# ---------------------------------------------------------------------------
+
+
+def _attn_heads_fwd(tile, bias_ref, group, nww, kinds, is_bottom, nh, hd,
+                    scale, cdt):
+    """Group-tiled MHSA forward on one (g*n, 3C) qkv tile -> (g*n, C)."""
+    outs = []
+    for h in range(nh):
+        q, k, v = _head_qkv(tile, h, nh, hd)
+        sc = _dot(q, k, (((1,), (1,)), ((), ())))
+        sc = sc * scale + _bias_tile(bias_ref, h, group, nww, kinds, is_bottom)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = _dot(p.astype(cdt), v)
+        outs.append(o.astype(cdt))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _attn_block_fwd_kernel(x_ref, g_ref, be_ref, wq_ref, bq_ref, wp_ref,
+                           bp_ref, bias_ref, s_ref, o_ref,
+                           *, nh, hd, ws, w, scale, nwh, kinds, eps):
+    c = nh * hd
+    n = ws * ws
+    nww = w // ws
+    cdt = x_ref.dtype
+    is_bottom = pl.program_id(0) == nwh - 1
+    s = s_ref[pl.program_id(1), 0].astype(cdt)
+
+    x = x_ref[0]  # (ws, W, C)
+    t = x.reshape(ws * w, c)
+    y32, _, _ = _ln_f32(t.astype(jnp.float32), g_ref[0], be_ref[0], eps)
+    y = y32.astype(cdt)
+    qkv = (_dot(y, wq_ref[...]).astype(cdt) + bq_ref[0].astype(cdt)).reshape(
+        ws, w, 3 * c
+    )
+    for group in _window_groups(nww, n):
+        tile = _gather_windows(qkv, group, ws, 3 * c)
+        att = _attn_heads_fwd(
+            tile, bias_ref, group, nww, kinds, is_bottom, nh, hd, scale, cdt
+        )
+        proj = _dot(att, wp_ref[...]).astype(cdt) + bp_ref[0].astype(cdt)
+        xw = _gather_windows(x, group, ws, c)
+        _scatter_windows(o_ref, xw + s * proj, group, ws, c)
+
+
+def _attn_block_bwd_kernel(
+    x_ref, g_ref, be_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, s_ref,
+    do_ref,
+    dx_ref, dg_ref, dbe_ref, dwq_ref, dbq_ref, dwp_ref, dbp_ref, dbias_ref,
+    dqkv_scratch,
+    *, nh, hd, ws, w, scale, nwh, kinds, eps,
+):
+    c = nh * hd
+    n = ws * ws
+    nww = w // ws
+    cdt = x_ref.dtype
+    i, b = pl.program_id(0), pl.program_id(1)
+    is_bottom = i == nwh - 1
+
+    @pl.when((i == 0) & (b == 0))
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    s = s_ref[b, 0]
+    x = x_ref[0]
+    do = do_ref[0]
+    t = x.reshape(ws * w, c)
+    g = g_ref[0]
+    y32, xn, inv = _ln_f32(t.astype(jnp.float32), g, be_ref[0], eps)
+    y = y32.astype(cdt)
+    qkv = (_dot(y, wq_ref[...]).astype(cdt) + bq_ref[0].astype(cdt)).reshape(
+        ws, w, 3 * c
+    )
+
+    for group in _window_groups(nww, n):
+        gl = len(group)
+        tile = _gather_windows(qkv, group, ws, 3 * c)
+        do_w = _gather_windows(do, group, ws, c)
+        dz32 = do_w.astype(jnp.float32) * s  # gradient into the branch
+        dz_lo = dz32.astype(cdt)
+        # recompute attention out for dWp, and the per-head backward
+        att = _attn_heads_fwd(
+            tile, bias_ref, group, nww, kinds, is_bottom, nh, hd, scale, cdt
+        )
+        dwp_ref[...] += _dot(att, dz_lo, (((0,), (0,)), ((), ())))
+        dbp_ref[...] += jnp.sum(dz32, axis=0, keepdims=True)
+        datt = _dot(dz_lo, wp_ref[...], (((1,), (1,)), ((), ()))).astype(cdt)
+
+        head_dq, head_dk, head_dv = [], [], []
+        for h in range(nh):
+            q, k, v = _head_qkv(tile, h, nh, hd)
+            doh = datt[:, h * hd : (h + 1) * hd].astype(jnp.float32)
+            sc = _dot(q, k, (((1,), (1,)), ((), ())))
+            sc = sc * scale + _bias_tile(
+                bias_ref, h, group, nww, kinds, is_bottom
+            )
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp(sc - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p_lo = p.astype(cdt)
+            dv = _dot(p_lo, doh.astype(cdt), (((0,), (0,)), ((), ())))
+            dp = _dot(doh.astype(cdt), v, (((1,), (1,)), ((), ())))
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            for a, j in enumerate(group):
+                blk = ds[a * n : (a + 1) * n, a * n : (a + 1) * n]
+                if kinds == 1:
+                    dbias_ref[0, h] += blk
+                else:
+                    base = 1 if j == nww - 1 else 0
+                    zero = jnp.zeros_like(blk)
+                    dbias_ref[base, h] += jnp.where(is_bottom, zero, blk)
+                    dbias_ref[base + 2, h] += jnp.where(is_bottom, blk, zero)
+            ds_lo = (ds * scale).astype(cdt)
+            dq = _dot(ds_lo, k)
+            dk = _dot(ds_lo, q, (((0,), (0,)), ((), ())))
+            head_dq.append(dq.astype(cdt))
+            head_dk.append(dk.astype(cdt))
+            head_dv.append(dv.astype(cdt))
+        dtile = jnp.concatenate(head_dq + head_dk + head_dv, axis=-1)
+        # scatter the (g*n, 3C) qkv grad back to strip token order
+        for a, j in enumerate(group):
+            dqkv_scratch[:, j * ws : (j + 1) * ws, :] = dtile[
+                a * n : (a + 1) * n
+            ].reshape(ws, ws, 3 * c)
+
+    dqkv = dqkv_scratch[...].reshape(ws * w, 3 * c)
+    dqkv32 = dqkv.astype(jnp.float32)
+    dwq_ref[...] += _dot(y, dqkv, (((0,), (0,)), ((), ())))
+    dbq_ref[...] += jnp.sum(dqkv32, axis=0, keepdims=True)
+    dy = _dot(dqkv, wq_ref[...], (((1,), (1,)), ((), ())))
+    dg_ref[...] += jnp.sum(dy * xn, axis=0, keepdims=True)
+    dbe_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dt = _ln_bwd(dy, xn, inv, g)
+    dx_ref[0] = (do.reshape(ws * w, c).astype(jnp.float32) + dt).astype(
+        cdt
+    ).reshape(ws, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def fused_attn_block(x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim,
+                     window_size, eps=1e-5, interpret=False):
+    """z (B,H,W,C) = x + s[b] * proj(window-MHSA(qkv(LN(x)), bias)).
+
+    bias: (K, nh, n, n) fp32 kind table (relative-position bias + shift mask,
+    see window_attention.shift_mask_kinds). s: (B,) fp32 DropPath keep scale
+    (cotangent not produced — RNG-derived). Cyclic shift is the caller's
+    job: pass x already rolled and unroll z (the block is per-token outside
+    attention, so it commutes with the roll)."""
+    return _attn_fwd_impl(x, g, be, wq, bq, wp, bp, bias, s, num_heads,
+                          head_dim, window_size, eps, interpret)
+
+
+def _attn_call_args(x, g, be, wq, bq, wp, bp, bias, s, window_size):
+    b, hh, ww, c = x.shape
+    ws = window_size
+    ins = (
+        x,
+        g.astype(jnp.float32).reshape(1, c),
+        be.astype(jnp.float32).reshape(1, c),
+        wq.astype(x.dtype),
+        bq.astype(jnp.float32).reshape(1, 3 * c),
+        wp.astype(x.dtype),
+        bp.astype(jnp.float32).reshape(1, c),
+        bias.astype(jnp.float32),
+        s.astype(jnp.float32).reshape(b, 1),
+    )
+    specs = [
+        _strip_spec(ws, ww, c),
+        _row_spec(c),
+        _row_spec(c),
+        _full_spec((c, 3 * c)),
+        _row_spec(3 * c),
+        _full_spec((c, c)),
+        _row_spec(c),
+        _full_spec(bias.shape),
+        _full_spec((b, 1), pltpu.SMEM),
+    ]
+    return ins, specs, (hh // ws, b)
+
+
+def _attn_fwd_impl(x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim,
+                   window_size, eps, interpret):
+    b, hh, ww, c = x.shape
+    ws = window_size
+    kernel = functools.partial(
+        _attn_block_fwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww,
+        scale=head_dim**-0.5, nwh=hh // ws, kinds=bias.shape[0], eps=eps,
+    )
+    ins, specs, grid = _attn_call_args(x, g, be, wq, bq, wp, bp, bias, s, ws)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=specs,
+        out_specs=_strip_spec(ws, ww, c),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*ins)
+
+
+def _attn_fwd(x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim,
+              window_size, eps, interpret):
+    z = _attn_fwd_impl(x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim,
+                       window_size, eps, interpret)
+    return z, (x, g, be, wq, bq, wp, bp, bias, s)
+
+
+def _attn_bwd(num_heads, head_dim, window_size, eps, interpret, res, do):
+    x, g, be, wq, bq, wp, bp, bias, s = res
+    b, hh, ww, c = x.shape
+    ws = window_size
+    n = ws * ws
+    kinds = bias.shape[0]
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _attn_block_bwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww,
+        scale=head_dim**-0.5, nwh=hh // ws, kinds=kinds, eps=eps,
+    )
+    ins, specs, grid = _attn_call_args(x, g, be, wq, bq, wp, bp, bias, s, ws)
+    dx, dg, dbe, dwq, dbq, dwp, dbp, dbias = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, 3 * c), f32),
+            jax.ShapeDtypeStruct((1, 3 * c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((kinds, num_heads, n, n), f32),
+        ),
+        grid=grid,
+        in_specs=specs + [_strip_spec(ws, ww, c)],
+        out_specs=(
+            _strip_spec(ws, ww, c),
+            _row_spec(c), _row_spec(c),
+            _full_spec((c, 3 * c)), _row_spec(3 * c),
+            _full_spec((c, c)), _row_spec(c),
+            _full_spec((kinds, num_heads, n, n)),
+        ),
+        scratch_shapes=[pltpu.VMEM((ws, ww, 3 * c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*ins, do)
+    return (
+        dx,
+        dg.reshape(c).astype(g.dtype),
+        dbe.reshape(c).astype(be.dtype),
+        dwq.astype(wq.dtype),
+        dbq.reshape(3 * c).astype(bq.dtype),
+        dwp.astype(wp.dtype),
+        dbp.reshape(c).astype(bp.dtype),
+        dbias.astype(bias.dtype),
+        jnp.zeros_like(s),
+    )
+
+
+fused_attn_block.defvjp(_attn_fwd, _attn_bwd)

@@ -98,3 +98,63 @@ class ParameterOptimizer:
                 return est
         assert last is not None
         return last
+
+    def suggest(
+        self,
+        lower_fn: Callable[[int, int], Any],
+        batch: int,
+        lq_size: int,
+        max_upshifts: int = 3,
+    ) -> list[MemoryEstimate]:
+        """The user-facing `--suggest` sweep: AOT-compile the train step at
+        the configured point, UP the batch ladder while it keeps fitting
+        (XLA's memory analysis is exact, so upshifts are safe to recommend),
+        and DOWN the (batch, patch) ladder when the configured point does
+        not fit. Returns every estimate probed, largest batch first.
+        Reference surface: vram_manager.py:93-700 (empirical CUDA probing;
+        here compile-time exact)."""
+        rows = [self.estimate(lower_fn, batch, lq_size)]
+        if rows[0].fits:
+            b = batch
+            for _ in range(max_upshifts):
+                b *= 2
+                est = self.estimate(lower_fn, b, lq_size)
+                rows.insert(0, est)
+                if not est.fits:
+                    break
+        else:
+            for b, p in self.candidates(batch, lq_size)[1:]:
+                est = self.estimate(lower_fn, b, p)
+                rows.append(est)
+                if est.fits:
+                    break
+        return rows
+
+
+def format_suggest_table(
+    rows: list[MemoryEstimate], budget_bytes: int
+) -> str:
+    """Render the `--suggest` sweep as an aligned recommendation table."""
+    lines = [
+        f"AOT HBM suggestion (budget {budget_bytes / (1 << 30):.2f} GiB "
+        "after safety margin):",
+        f"  {'batch':>5}  {'lq':>4}  {'HBM GiB':>8}  fits",
+    ]
+    for r in rows:
+        hbm = f"{r.total_bytes / (1 << 30):8.2f}" if r.total_bytes else "     n/a"
+        lines.append(
+            f"  {r.batch:>5}  {r.lq_size:>4}  {hbm}  {'yes' if r.fits else 'NO'}"
+        )
+    best = max(
+        (r for r in rows if r.fits),
+        key=lambda r: (r.batch * r.lq_size * r.lq_size),
+        default=None,
+    )
+    if best is None:
+        lines.append("  no probed configuration fits; lower the model size.")
+    else:
+        lines.append(
+            f"recommended: batch_size_per_gpu {best.batch}, lq_size "
+            f"{best.lq_size} (gt_size = lq_size * scale)"
+        )
+    return "\n".join(lines)

@@ -145,6 +145,14 @@ def parse_options(
     parser.add_argument("--local_rank", type=int, default=0)
     parser.add_argument("--manual_seed", type=int, default=None)
     parser.add_argument("--name", type=str, default=None)
+    parser.add_argument(
+        "--suggest",
+        action="store_true",
+        help="AOT-compile the train step over a (batch, lq_size) ladder, "
+        "print an HBM recommendation table, and exit without training "
+        "(the reference's pre-run VRAM estimator surface, "
+        "vram_manager.py:93-700).",
+    )
 
     args = parser.parse_args(argv)
 
