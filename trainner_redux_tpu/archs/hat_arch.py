@@ -107,8 +107,18 @@ class HAB(nn.Module):
             attn_x + self.conv_scale * conv_x, train
         )
 
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
+        # the attention half mixes in the CAB conv branch, but the pre-LN
+        # MLP half is SwinIR-identical — run it as one fused Pallas kernel
+        from trainner_redux_tpu.archs.fused_block_util import fused_mlp_residual
+
+        fused = fused_mlp_residual(
+            self, x, hidden, self.drop_path, train, ws, self.dtype
+        )
+        if fused is not None:
+            return fused
+
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(y)
@@ -129,7 +139,6 @@ class OCAB(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        del train
         b, h, w, c = x.shape
         ws = self.window_size
         ows = int(ws * self.overlap_ratio) + ws  # overlapping window size
@@ -194,8 +203,14 @@ class OCAB(nn.Module):
         out = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
         x = shortcut + window_reverse(out, ws, h, w)
 
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
+        from trainner_redux_tpu.archs.fused_block_util import fused_mlp_residual
+
+        fused = fused_mlp_residual(self, x, hidden, 0.0, train, ws, self.dtype)
+        if fused is not None:
+            return fused
+
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(y)

@@ -126,8 +126,18 @@ class SRFormerBlock(nn.Module):
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + DropPath(self.drop_path, name="dp1")(x, train)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         hid = int(self.dim * self.mlp_ratio)
+        # PSAttention differs from Swin, but the pre-LN MLP half is the
+        # shared fused kernel (param names fc1/fc2 here)
+        from trainner_redux_tpu.archs.fused_block_util import fused_mlp_residual
+
+        fused = fused_mlp_residual(
+            self, x, hid, self.drop_path, train, ws, self.dtype,
+            fc1_name="fc1", fc2_name="fc2",
+        )
+        if fused is not None:
+            return fused
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(hid, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(y)

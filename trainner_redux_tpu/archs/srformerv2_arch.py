@@ -143,6 +143,64 @@ class SwinBlockV2(nn.Module):
         ws, shift = self.window_size, self.shift_size
         nh = self.num_heads
         hd = c // nh
+
+        from trainner_redux_tpu.ops.pallas.fused_block import (
+            fused_attn_block,
+            fused_block_interpret,
+            fused_block_supported,
+            fused_ln_mlp,
+        )
+
+        hidden = int(self.dim * self.mlp_ratio)
+        if nh * hd == c and fused_block_supported(h, w, ws, c, nh, hidden):
+            # full fused-block path (same two kernels as swinir_arch
+            # SwinBlock; this block's qkv/proj/bias live at block level,
+            # not under an "attn" child — stubs mirror that tree)
+            from trainner_redux_tpu.archs.fused_block_util import (
+                DenseParams,
+                LNParams,
+            )
+            from trainner_redux_tpu.archs.swinir_arch import (
+                _relative_position_index,
+            )
+            from trainner_redux_tpu.ops.pallas.window_attention import (
+                shift_mask_kinds,
+            )
+
+            n = ws * ws
+            g1, be1 = LNParams(c, name="norm1")()
+            wq, bq = DenseParams(c, 3 * c, True, name="qkv")()
+            wp, bp = DenseParams(c, c, True, name="proj")()
+            table = self.param(
+                "relative_position_bias_table",
+                nn.initializers.truncated_normal(0.02),
+                ((2 * ws - 1) ** 2, nh),
+                jnp.float32,
+            )
+            bias = jnp.take(
+                table, jnp.asarray(_relative_position_index(ws)).reshape(-1), axis=0
+            ).reshape(n, n, nh).transpose(2, 0, 1)
+            if shift:
+                masks = jnp.asarray(shift_mask_kinds(ws, shift))
+                bias_kinds = bias[None] + masks[:, None]
+            else:
+                bias_kinds = bias[None]
+            g2, be2 = LNParams(c, name="norm2")()
+            w1, b1 = DenseParams(c, hidden, True, name="mlp_fc1")()
+            w2, b2 = DenseParams(hidden, c, True, name="mlp_fc2")()
+            ones = jnp.ones((b,), jnp.float32)
+            interp = fused_block_interpret()
+            xc = x.astype(self.dtype)
+            if shift:
+                xc = jnp.roll(xc, (-shift, -shift), axis=(1, 2))
+            z = fused_attn_block(
+                xc, g1, be1, wq, bq, wp, bp, bias_kinds, ones, nh, hd, ws,
+                1e-5, interp,
+            )
+            if shift:
+                z = jnp.roll(z, (shift, shift), axis=(1, 2))
+            return fused_ln_mlp(z, g2, be2, w1, b1, w2, b2, ones, ws, 1e-5, interp)
+
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
                          name="norm1")(x)

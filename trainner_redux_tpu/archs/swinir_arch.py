@@ -180,43 +180,6 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
-class _LNParams(nn.Module):
-    """Declares LayerNorm-shaped params (same names/inits as nn.LayerNorm)
-    for the fused-block path, keeping the checkpoint tree identical."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        g = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
-        return g, b
-
-
-class _DenseParams(nn.Module):
-    """Declares nn.Dense-shaped params (same names/inits) without the op."""
-
-    in_features: int
-    features: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.in_features, self.features),
-            jnp.float32,
-        )
-        if self.use_bias:
-            b = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
-            )
-        else:
-            b = jnp.zeros((self.features,), jnp.float32)
-        return k, b
-
-
 class _AttnParams(nn.Module):
     """Param tree of WindowAttention (qkv/proj/bias table) for the fused
     block path — scoped names match the unfused modules exactly."""
@@ -228,10 +191,12 @@ class _AttnParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        wq, bq = _DenseParams(
+        from trainner_redux_tpu.archs.fused_block_util import DenseParams
+
+        wq, bq = DenseParams(
             self.dim, 3 * self.dim, self.qkv_bias, name="qkv"
         )()
-        wp, bp = _DenseParams(self.dim, self.dim, True, name="proj")()
+        wp, bp = DenseParams(self.dim, self.dim, True, name="proj")()
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
@@ -279,16 +244,22 @@ class SwinBlock(nn.Module):
                 shift_mask_kinds,
             )
 
+            from trainner_redux_tpu.archs.fused_block_util import (
+                DenseParams,
+                LNParams,
+                droppath_scale,
+            )
+
             nh = self.num_heads
             hd = self.dim // nh
             n = ws * ws
-            g1, be1 = _LNParams(self.dim, name="norm1")()
+            g1, be1 = LNParams(self.dim, name="norm1")()
             wq, bq, wp, bp, table = _AttnParams(
                 self.dim, ws, nh, self.qkv_bias, name="attn"
             )()
-            g2, be2 = _LNParams(self.dim, name="norm2")()
-            w1, b1 = _DenseParams(self.dim, hidden, True, name="mlp_fc1")()
-            w2, b2 = _DenseParams(hidden, self.dim, True, name="mlp_fc2")()
+            g2, be2 = LNParams(self.dim, name="norm2")()
+            w1, b1 = DenseParams(self.dim, hidden, True, name="mlp_fc1")()
+            w2, b2 = DenseParams(hidden, self.dim, True, name="mlp_fc2")()
 
             idx = jnp.asarray(_relative_position_index(ws))
             bias = jnp.take(table, idx.reshape(-1), axis=0)
@@ -299,13 +270,8 @@ class SwinBlock(nn.Module):
             else:
                 bias_kinds = bias[None]
 
-            if self.drop_path > 0.0 and train:
-                keep = 1.0 - self.drop_path
-                r1, r2 = jax.random.split(self.make_rng("dropout"))
-                s1 = jax.random.bernoulli(r1, keep, (b,)) / keep
-                s2 = jax.random.bernoulli(r2, keep, (b,)) / keep
-            else:
-                s1 = s2 = jnp.ones((b,), jnp.float32)
+            s1 = droppath_scale(self, self.drop_path, train, b)
+            s2 = droppath_scale(self, self.drop_path, train, b)
 
             interp = fused_block_interpret()
             xc = x.astype(self.dtype)

@@ -99,6 +99,38 @@ def fused_block_supported(
     return (strips + params + acc + 2 * bias + tiles) * 2 <= _VMEM_LIMIT
 
 
+def _backend_ok() -> bool:
+    import os
+
+    mode = os.environ.get("TRAINNER_FUSED_BLOCK", "1")
+    if mode == "0" or os.environ.get("TRAINNER_FUSED_ATTN", "1") == "0":
+        return False
+    if mode == "interpret":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def fused_mlp_supported(
+    h: int, w: int, rows: int, channels: int, hidden: int,
+    dtype_bytes: int = 2,
+) -> bool:
+    """Gate for fused_ln_mlp alone (archs whose attention half differs but
+    whose pre-LN MLP matches): strip + params + fp32 temps within VMEM."""
+    if not _backend_ok():
+        return False
+    if rows <= 0 or h % rows:
+        return False
+    t = rows * w
+    footprint = (
+        t * (2 * channels * dtype_bytes + channels * 4 + hidden * 4 * 2)
+        + 2 * channels * hidden * (dtype_bytes + 4)
+    )
+    return footprint * 2 <= _VMEM_LIMIT
+
+
 def _ln_f32(t32, g, b, eps):
     """LayerNorm over the last axis, all fp32 in VMEM. Returns (y, xn, inv)
     where xn is the normalized pre-affine value and inv = 1/sqrt(var+eps)."""
