@@ -53,19 +53,72 @@ CONFIGS = {
         "baseline": 120.0,  # 3x estimated A100 img/s (see module docstring)
         "metric": "swinir_m_4x_train_images_per_sec_per_chip",
     },
+    # geometry + losses mirror the reference's CURRENT templates
+    # (options/_templates/train/SPAN/SPAN_S_fidelity.yml: lq 64, batch 16,
+    # charbonnier; ESRGAN/ESRGAN_fidelity.yml: lq 64, batch 8, charbonnier)
     "span_s": {
         "network": {"type": "span_s"},
         "batch_per_chip": 16,
-        "lq": 48,
-        "baseline": 4.7 * 8,  # reference sample log: 4.7 it/s at batch 8
+        "lq": 64,
+        "baseline": 4.7 * 8,  # published log anchor (see span_s_gan)
         "metric": "span_s_4x_train_images_per_sec_per_chip",
+        "losses": [{"type": "charbonnierloss", "loss_weight": 1.0}],
     },
     "esrgan": {
         "network": {"type": "esrgan"},
-        "batch_per_chip": 4,
-        "lq": 32,
+        "batch_per_chip": 8,
+        "lq": 64,
         "baseline": 4.7 * 8,
         "metric": "esrgan_4x_train_images_per_sec_per_chip",
+        "losses": [{"type": "charbonnierloss", "loss_weight": 1.0}],
+    },
+    # the flagship GAN workload: generator + discriminator + perceptual,
+    # matching the loss mix the reference trains and logs
+    # (options/_templates/train/ESRGAN/ESRGAN_gan.yml active losses; the
+    # published 4.729 it/s x batch-8 log of getting_started.md:30-33 shows
+    # the same l_g_mssim/percep/hsluv/gan + l_d_* terms for SPAN).
+    # VGG features come from a random-init tower here (zero-egress host):
+    # identical FLOPs/bytes, meaningless features — fine for throughput.
+    "esrgan_gan": {
+        "network": {"type": "esrgan"},
+        "network_d": {"type": "dunet"},
+        "batch_per_chip": 8,
+        "lq": 64,
+        "baseline": 4.7 * 8,
+        "metric": "esrgan_gan_4x_train_images_per_sec_per_chip",
+        "env": {"TRAINNER_ALLOW_RANDOM_VGG": "1"},
+        "losses": [
+            {"type": "mssimloss", "loss_weight": 0.5},
+            {"type": "perceptualloss", "criterion": "charbonnier",
+             "loss_weight": 0.01},
+            {"type": "hsluvloss", "criterion": "charbonnier",
+             "loss_weight": 1.0},
+            {"type": "cosimloss", "loss_weight": 1.0},
+            {"type": "ganloss", "gan_type": "vanilla", "loss_weight": 0.1},
+        ],
+        "optim_d": {"type": "AdamW", "lr": 1e-4, "weight_decay": 0,
+                    "betas": [0.9, 0.99]},
+    },
+    # the published-anchor workload: SPAN-S at batch 8 with the GAN+percep
+    # loss mix of the 2024 getting_started log (4.729 it/s = 37.8 img/s)
+    "span_s_gan": {
+        "network": {"type": "span_s"},
+        "network_d": {"type": "dunet"},
+        "batch_per_chip": 8,
+        "lq": 64,
+        "baseline": 4.7 * 8,
+        "metric": "span_s_gan_4x_train_images_per_sec_per_chip",
+        "env": {"TRAINNER_ALLOW_RANDOM_VGG": "1"},
+        "losses": [
+            {"type": "mssimloss", "loss_weight": 0.5},
+            {"type": "perceptualloss", "criterion": "charbonnier",
+             "loss_weight": 0.01},
+            {"type": "hsluvloss", "criterion": "charbonnier",
+             "loss_weight": 1.0},
+            {"type": "ganloss", "gan_type": "vanilla", "loss_weight": 0.1},
+        ],
+        "optim_d": {"type": "AdamW", "lr": 1e-4, "weight_decay": 0,
+                    "betas": [0.9, 0.99]},
     },
     # smoke config: exercises the full measurement path in seconds on any
     # backend (incl. CPU); numbers are meaningless, plumbing is real
@@ -75,6 +128,25 @@ CONFIGS = {
         "lq": 16,
         "baseline": 1.0,
         "metric": "tiny_smoke_images_per_sec_per_chip",
+    },
+    # GAN smoke: same plumbing as esrgan_gan/span_s_gan (dual optimizer,
+    # perceptual tower, env gate) at throwaway geometry
+    "tiny_gan": {
+        "network": {"type": "superultracompact"},
+        "network_d": {"type": "dunet"},
+        "batch_per_chip": 2,
+        "lq": 16,
+        "baseline": 1.0,
+        "metric": "tiny_gan_smoke_images_per_sec_per_chip",
+        "env": {"TRAINNER_ALLOW_RANDOM_VGG": "1"},
+        "losses": [
+            {"type": "mssimloss", "loss_weight": 0.5},
+            {"type": "perceptualloss", "criterion": "charbonnier",
+             "loss_weight": 0.01},
+            {"type": "ganloss", "gan_type": "vanilla", "loss_weight": 0.1},
+        ],
+        "optim_d": {"type": "AdamW", "lr": 1e-4, "weight_decay": 0,
+                    "betas": [0.9, 0.99]},
     },
 }
 
@@ -290,12 +362,15 @@ def main() -> None:
     if "--k" in sys.argv:
         k_steps = int(sys.argv[sys.argv.index("--k") + 1])
 
+    for k, v in cfg.get("env", {}).items():
+        os.environ.setdefault(k, v)
     opt = ReduxOptions(
         name="bench",
         scale=4,
         num_gpu=n_dev,
         path=PathOptions(),
         network_g=cfg["network"],
+        network_d=cfg.get("network_d"),
         manual_seed=0,
         is_train=True,
         compute_dtype="bfloat16",
@@ -305,7 +380,10 @@ def main() -> None:
             total_iter=1000,
             ema_decay=0.999,
             optim_g={"type": "AdamW", "lr": 2e-4},
-            losses=[{"type": "l1loss", "loss_weight": 1.0}],
+            optim_d=cfg.get("optim_d"),
+            losses=cfg.get(
+                "losses", [{"type": "l1loss", "loss_weight": 1.0}]
+            ),
         ),
     )
     model = build_model(opt)

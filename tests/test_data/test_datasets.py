@@ -132,3 +132,54 @@ def test_enlarged_visits_draw_fresh_crops(tmp_path):
     # and the same virtual index is deterministic
     a2 = ds[0]
     assert np.array_equal(a["gt"], a2["gt"])
+
+
+def test_device_prefetcher_double_buffer_order():
+    """Double-buffered prefetcher preserves batch order/count and signals
+    epoch end with exactly one None, across resets (loader.py)."""
+    from trainner_redux_tpu.data.loader import DevicePrefetcher
+
+    class FakeLoader:
+        def __iter__(self):
+            return iter([{"i": __import__("numpy").asarray([k])} for k in range(5)])
+
+    puts = []
+
+    def put_fn(arrays):
+        puts.append(int(arrays["i"][0]))
+        return arrays
+
+    pf = DevicePrefetcher(FakeLoader(), put_fn=put_fn, double_buffer=True)
+    pf.reset()
+    seen = []
+    while True:
+        b = pf.next()
+        if b is None:
+            break
+        seen.append(int(b["i"][0]))
+    assert seen == [0, 1, 2, 3, 4]
+    # batch k+1's put is issued before batch k is consumed (double buffer)
+    assert puts == [0, 1, 2, 3, 4]
+    # second epoch after explicit reset
+    pf.reset()
+    assert int(pf.next()["i"][0]) == 0
+    # auto-restart after exhaustion (train.py's reset-then-next also works)
+    pf2 = DevicePrefetcher(FakeLoader(), double_buffer=True)
+    for _ in range(5):
+        assert pf2.next() is not None
+    assert pf2.next() is None
+    assert pf2.next() is not None  # next epoch begins
+
+
+def test_device_prefetcher_sync_mode_unchanged():
+    from trainner_redux_tpu.data.loader import DevicePrefetcher
+
+    class FakeLoader:
+        def __iter__(self):
+            return iter([{"i": __import__("numpy").asarray([k])} for k in range(3)])
+
+    pf = DevicePrefetcher(FakeLoader(), double_buffer=False)
+    pf.reset()
+    out = [pf.next() for _ in range(4)]
+    assert [int(b["i"][0]) for b in out[:3]] == [0, 1, 2]
+    assert out[3] is None

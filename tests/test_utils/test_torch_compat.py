@@ -459,3 +459,27 @@ def test_swin2sr_converter_covers_full_tree():
     for k in flat:
         np.testing.assert_allclose(back[k], np.asarray(flat[k]), atol=0,
                                    err_msg=k)
+
+
+def test_vggstyle_linear1_flatten_permutation():
+    """linear1 consumes the flattened 4x4 map: torch flattens (C,H,W)
+    C-major, flax flattens (H,W,C) — the converter must permute the input
+    axis, not plain-transpose (caught by GAN lockstep distillation r4)."""
+    import numpy as np
+
+    from trainner_redux_tpu.utils.torch_compat import _CONVERTERS
+
+    conv = _CONVERTERS["vggstylediscriminator"]
+    c, hw, outf = 8, 4, 5
+    rng = np.random.default_rng(0)
+    sd = {
+        "linear1.weight": rng.standard_normal((outf, c * hw * hw)).astype(np.float32),
+        "linear1.bias": np.zeros(outf, np.float32),
+        "linear2.weight": rng.standard_normal((1, outf)).astype(np.float32),
+        "linear2.bias": np.zeros(1, np.float32),
+    }
+    out = conv(sd, None)
+    feat = rng.standard_normal((2, hw, hw, c)).astype(np.float32)  # NHWC
+    j = feat.reshape(2, -1) @ out["linear1.kernel"]
+    t = feat.transpose(0, 3, 1, 2).reshape(2, -1) @ sd["linear1.weight"].T
+    np.testing.assert_allclose(j, t, rtol=1e-5, atol=1e-5)

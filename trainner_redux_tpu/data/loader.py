@@ -167,30 +167,48 @@ class DataLoader:
 
 
 class DevicePrefetcher:
-    """`next()` pops a ready HOST batch and issues its `device_put`
-    immediately before the caller dispatches the step.
+    """Double-buffered host->device staging: `next()` returns a batch whose
+    `device_put` was issued one iteration EARLIER, so the transfer streams
+    while the previous step executes.
 
-    Measured arrangement study on the tunneled TPU backend (SPAN-S, fresh
-    uint8 batches): put-then-dispatch back-to-back from the main thread is
-    the fastest ordering; a `device_put` issued while a prior step is still
-    in flight — from a background staging thread, or main-thread
-    double-buffering ("put k+1, dispatch k") — serializes pathologically
-    with execution (20-450 ms/step vs 1.8-4.5). Host-side decode/crop
-    prefetching already overlaps via the DataLoader's producer thread pool,
-    and per-dispatch overhead amortizes via `steps_per_dispatch`, so the
-    device-side staging stays deliberately synchronous."""
+    The tunneled TPU backend moves host batches at only ~65 MB/s (~214 ms
+    per 64-image uint8 block, measured 2026-08-19), which serialized into
+    the round-3 e2e pipeline and capped training at ~51 img/s
+    (`e2e_fraction 0.817`). Re-measured this round: a `device_put` issued
+    while a compiled step is in flight DOES overlap execution (13.4 MB put
+    + 223 ms burn = 355 ms, vs 471 serial) — the round-2 "puts serialize
+    pathologically" study no longer reproduces on the current tunnel. The
+    staging order is: at iteration k, `next()` returns batch k (already
+    resident) and issues the blocking put for batch k+1 BEFORE the caller
+    dispatches step k — step k-1 is still executing then (async dispatch),
+    so the transfer rides under it; the device never waits on H2D in
+    steady state. Cold start pays one unoverlapped put.
 
-    def __init__(self, loader: DataLoader, put_fn=None) -> None:
+    Set TRAINNER_DOUBLE_BUFFER=0 (or double_buffer=False) for the old
+    synchronous put-then-dispatch ordering.
+    """
+
+    def __init__(
+        self, loader: DataLoader, put_fn=None, double_buffer: bool | None = None
+    ) -> None:
+        import os
+
         self.loader = loader
         self.put_fn = put_fn  # e.g. model.shard_train_batch
         self._iter: Iterator | None = None
+        if double_buffer is None:
+            double_buffer = os.environ.get("TRAINNER_DOUBLE_BUFFER", "1") != "0"
+        self.double_buffer = double_buffer
+        self._staged: Any | None = None
+        self._started = False
 
     def reset(self) -> None:
         self._iter = iter(self.loader)
+        self._staged = None
+        self._started = True
 
-    def next(self) -> Any:
-        if self._iter is None:
-            self.reset()
+    def _fetch_and_put(self) -> Any:
+        """Pop the next host batch and issue its device transfer."""
         assert self._iter is not None
         try:
             batch = next(self._iter)
@@ -202,3 +220,20 @@ class DevicePrefetcher:
             rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
             batch = {**self.put_fn(arrays), **rest}
         return batch
+
+    def next(self) -> Any:
+        if not self._started:
+            self.reset()
+        if not self.double_buffer:
+            return self._fetch_and_put() if self._iter is not None else None
+        if self._staged is None:
+            if self._iter is None:
+                # exhausted: signal epoch end exactly once (caller resets)
+                self._started = False
+                return None
+            self._staged = self._fetch_and_put()  # cold start
+        ret = self._staged
+        self._staged = self._fetch_and_put() if self._iter is not None else None
+        if ret is None:
+            self._started = False
+        return ret

@@ -209,7 +209,8 @@ class SRModel(BaseModel):
             extra_d = d_vars  # e.g. {'spectral': ..., 'batch_stats': ...}
             if opt.path.pretrain_network_d:
                 params_d = self.load_network(
-                    params_d, opt.path.pretrain_network_d, strict=opt.path.strict_load_d
+                    params_d, opt.path.pretrain_network_d,
+                    strict=opt.path.strict_load_d, module=self.net_d,
                 )
 
         # ---- optimizers ----
@@ -1247,14 +1248,19 @@ class SRModel(BaseModel):
         if current_iter != -1:
             self.save_training_state(self.state, epoch, current_iter)
 
-    def load_network(self, params_template: Any, path: str, strict: bool = True) -> Any:
+    def load_network(self, params_template: Any, path: str, strict: bool = True,
+                     module: Any = None) -> Any:
         """Load weights: flax-native safetensors, torch-layout safetensors,
         or torch .pth/.pt pickles (reference base_model.py:570-648 accepts
-        both formats)."""
+        both formats). `module` selects the torch converter (the arch the
+        checkpoint belongs to); defaults to net_g — pass net_d when loading
+        discriminator weights."""
+        if module is None:
+            module = self.net_g
         if path.endswith((".pth", ".pt")):
             from trainner_redux_tpu.utils.torch_compat import load_torch_checkpoint
 
-            loaded = load_torch_checkpoint(path, self.net_g, params_template)
+            loaded = load_torch_checkpoint(path, module, params_template)
             return self._merge_params(params_template, loaded, strict, path)
         from safetensors import safe_open
 
@@ -1265,7 +1271,7 @@ class SRModel(BaseModel):
         else:
             from trainner_redux_tpu.utils.torch_compat import load_torch_checkpoint
 
-            loaded = load_torch_checkpoint(path, self.net_g, params_template)
+            loaded = load_torch_checkpoint(path, module, params_template)
         return self._merge_params(params_template, loaded, strict, path)
 
     def _merge_params(self, template: Any, loaded: Any, strict: bool, path: str) -> Any:

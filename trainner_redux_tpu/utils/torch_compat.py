@@ -2272,8 +2272,15 @@ def _convert_vggdisc(sd: dict[str, np.ndarray], module) -> dict[str, np.ndarray]
     for bn in stages:
         if f"{bn}.weight" in sd:
             _put_bn_stats(out, sd, bn, bn)
-    _put_linear(out, "linear1", "weight", sd["linear1.weight"])
-    _put_linear(out, "linear1", "bias", sd["linear1.bias"])
+    # linear1 consumes the FLATTENED 4x4 feature map: torch flattens
+    # (C, H, W) C-major, flax flattens NHWC (H, W, C) — permute the input
+    # axis accordingly (impulse-tested; a plain transpose scrambles inputs)
+    w1 = sd["linear1.weight"]  # (100, C*4*4), torch input index c*16+h*4+w
+    c = w1.shape[1] // 16
+    out["linear1.kernel"] = np.ascontiguousarray(
+        w1.reshape(w1.shape[0], c, 4, 4).transpose(2, 3, 1, 0).reshape(-1, w1.shape[0])
+    )
+    out["linear1.bias"] = sd["linear1.bias"]
     _put_linear(out, "linear2", "weight", sd["linear2.weight"])
     _put_linear(out, "linear2", "bias", sd["linear2.bias"])
     return out
