@@ -106,6 +106,78 @@ def test_pallas_backward_counts_2p5x() -> None:
     assert fl.jaxpr_pallas_bytes(jaxpr) == fwd_bytes + bwd_bytes
 
 
+def test_pallas_fused_attn_block_flops() -> None:
+    """fused_attn_block: fwd = 2P + 8*T*C^2; bwd = 7P + 22*T*C^2 (the kernel
+    recomputes qkv + the attention forward, see fused_block.py)."""
+    from trainner_redux_tpu.ops.pallas.fused_block import fused_attn_block
+
+    b, h, w, nh, hd, ws = 2, 16, 16, 2, 8, 8
+    c = nh * hd
+    n = ws * ws
+    x = jnp.zeros((b, h, w, c), jnp.bfloat16)
+    g = jnp.ones((c,), jnp.float32)
+    be = jnp.zeros((c,), jnp.float32)
+    wq = jnp.zeros((c, 3 * c), jnp.bfloat16)
+    bq = jnp.zeros((3 * c,), jnp.float32)
+    wp = jnp.zeros((c, c), jnp.bfloat16)
+    bp = jnp.zeros((c,), jnp.float32)
+    bias = jnp.zeros((1, nh, n, n), jnp.float32)
+    s = jnp.ones((b,), jnp.float32)
+
+    def f(x, g, be, wq, bq, wp, bp, bias, s):
+        return fused_attn_block(x, g, be, wq, bq, wp, bp, bias, s, nh, hd,
+                                ws, 1e-5, True)
+
+    jaxpr = jax.make_jaxpr(f)(x, g, be, wq, bq, wp, bp, bias, s)
+    t = b * h * w
+    n_windows = (h // ws) * (w // ws)
+    p = 2 * b * nh * n_windows * n * n * hd
+    assert fl.jaxpr_flops(jaxpr) == 2 * p + 8 * t * c * c
+
+    def loss(x, g, be, wq, bq, wp, bp, bias, s):
+        return jnp.sum(f(x, g, be, wq, bq, wp, bp, bias, s).astype(jnp.float32))
+
+    jaxpr_b = jax.make_jaxpr(jax.grad(loss, argnums=(0, 3)))(
+        x, g, be, wq, bq, wp, bp, bias, s
+    )
+    # custom_vjp fwd + bwd
+    assert fl.jaxpr_flops(jaxpr_b) == (2 * p + 8 * t * c * c) + (
+        7 * p + 22 * t * c * c
+    )
+    assert fl.jaxpr_pallas_bytes(jaxpr_b) > 0.0
+
+
+def test_pallas_fused_ln_mlp_flops() -> None:
+    """fused_ln_mlp: fwd = 4*T*C*h; bwd = 12*T*C*h."""
+    from trainner_redux_tpu.ops.pallas.fused_block import fused_ln_mlp
+
+    b, h, w, c, hidden, ws = 2, 16, 16, 32, 64, 8
+    x = jnp.zeros((b, h, w, c), jnp.bfloat16)
+    g = jnp.ones((c,), jnp.float32)
+    be = jnp.zeros((c,), jnp.float32)
+    w1 = jnp.zeros((c, hidden), jnp.bfloat16)
+    b1 = jnp.zeros((hidden,), jnp.float32)
+    w2 = jnp.zeros((hidden, c), jnp.bfloat16)
+    b2 = jnp.zeros((c,), jnp.float32)
+    s = jnp.ones((b,), jnp.float32)
+
+    def f(x, g, be, w1, b1, w2, b2, s):
+        return fused_ln_mlp(x, g, be, w1, b1, w2, b2, s, ws, 1e-5, True)
+
+    jaxpr = jax.make_jaxpr(f)(x, g, be, w1, b1, w2, b2, s)
+    t = b * h * w
+    assert fl.jaxpr_flops(jaxpr) == 4 * t * c * hidden
+
+    def loss(*a):
+        return jnp.sum(f(*a).astype(jnp.float32))
+
+    jaxpr_b = jax.make_jaxpr(jax.grad(loss, argnums=(0, 3)))(
+        x, g, be, w1, b1, w2, b2, s
+    )
+    assert fl.jaxpr_flops(jaxpr_b) == 4 * t * c * hidden + 12 * t * c * hidden
+    assert fl.jaxpr_pallas_bytes(jaxpr_b) > 0.0
+
+
 def test_unrecognized_pallas_warns() -> None:
     """A pallas_call the model doesn't know must warn, not silently count 0."""
     from jax.experimental import pallas as pl

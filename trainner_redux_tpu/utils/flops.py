@@ -57,33 +57,81 @@ def _conv_flops(eqn) -> float:
 
 
 def _pallas_parse(eqn) -> tuple | None:
-    """Structurally recognize the fused window-MHSA kernel (pallas_call
-    params carry no stable name): inputs are qkv (B, H, W, 3C) and the
-    kind-bias table (K, nh, n, n) with n a perfect square (= ws^2) and
-    H, W window-aligned; the backward adds dout (B, H, W, C). Returns
-    (qkv_shape, bias_shape, is_bwd) or None."""
+    """Structurally recognize this repo's Pallas kernels (pallas_call params
+    carry no stable name). Three kinds, discriminated by operand signatures:
+
+      'mhsa'  ops/pallas/window_attention.fused_window_mhsa —
+              (qkv (B,H,W,3C), bias (K,nh,n,n)[, dout (B,H,W,C)])
+      'attn'  ops/pallas/fused_block.fused_attn_block —
+              (x (B,H,W,C), ln g/be (1,C), wq (C,3C), bq (1,3C), wp (C,C),
+               bp (1,C), bias (K,nh,n,n), s (B,1)[, dout (B,H,W,C)])
+      'mlp'   ops/pallas/fused_block.fused_ln_mlp —
+              (x (B,H,W,C), ln g/be (1,C), w1 (C,h), b1 (1,h), w2 (h,C),
+               b2 (1,C), s (B,1)[, dout (B,H,W,C)])
+
+    Returns (kind, x_shape, weight_dims, bias_shape_or_None, is_bwd) or None.
+    """
     shapes = [tuple(v.aval.shape) for v in eqn.invars if hasattr(v, "aval")]
     four_d = [s for s in shapes if len(s) == 4]
-    bias = next(
-        (
-            s
-            for s in four_d
-            if s[-1] == s[-2] and math.isqrt(s[-1]) ** 2 == s[-1] and s[-1] > 4
-        ),
-        None,
-    )
-    qkv = next(
-        (s for s in four_d if s is not bias and s[-1] % 3 == 0 and s[1] > 1), None
-    )
-    if qkv is None or bias is None:
-        return None
-    b, h, w, c3 = qkv
-    n, nh = bias[-1], bias[1]
-    ws = math.isqrt(n)
-    if h % ws or w % ws or (c3 // 3) % nh:
-        return None
-    is_bwd = any(s for s in four_d if s not in (qkv, bias) and s[-1] == c3 // 3)
-    return qkv, bias, is_bwd
+    two_d = [s for s in shapes if len(s) == 2]
+
+    def _is_bias(s):
+        return s[-1] == s[-2] and math.isqrt(s[-1]) ** 2 == s[-1] and s[-1] > 4
+
+    def _aligned(x, bias):
+        ws = math.isqrt(bias[-1])
+        return x[1] % ws == 0 and x[2] % ws == 0
+
+    # an x that is also square-shaped can masquerade as a bias table, so try
+    # every (bias, x) assignment and keep the first internally-consistent
+    # one; a real bias table is unique among the 4D operands while x shares
+    # its shape with dout in the backward, so duplicated shapes can't be bias
+    bias_cands = [
+        s for s in four_d if _is_bias(s) and four_d.count(s) == 1
+    ] + [None]
+    for bias in bias_cands:
+        for x in four_d:
+            if x is bias or x[1] <= 1:
+                continue
+            c_last = x[-1]
+            n_x = sum(1 for s in four_d if s == x)
+            # fused_attn_block: weights (C, 3C) and (C, C) present
+            if (
+                bias is not None
+                and (c_last, 3 * c_last) in two_d
+                and (c_last, c_last) in two_d
+                and c_last % bias[1] == 0
+                and _aligned(x, bias)
+            ):
+                return "attn", x, (c_last, 3 * c_last), bias, n_x >= 2
+            # fused_ln_mlp: a (C, h)/(h, C) weight pair, no bias table
+            wpair = next(
+                (
+                    (c_last, s[1])
+                    for s in two_d
+                    if s[0] == c_last
+                    and s[1] != c_last
+                    and (s[1], c_last) in two_d
+                ),
+                None,
+            )
+            if bias is None and wpair is not None:
+                return "mlp", x, wpair, None, n_x >= 2
+            # bare window-MHSA: qkv carries 3C channels
+            if (
+                bias is not None
+                and c_last % 3 == 0
+                and (c_last // 3) % bias[1] == 0
+                and _aligned(x, bias)
+                and not two_d
+            ):
+                is_bwd = any(
+                    s
+                    for s in four_d
+                    if s not in (x, bias) and s[-1] == c_last // 3
+                )
+                return "mhsa", x, (c_last // 3, c_last), bias, is_bwd
+    return None
 
 
 def _warn_unrecognized_pallas(eqn) -> None:
@@ -100,21 +148,50 @@ def _warn_unrecognized_pallas(eqn) -> None:
     )
 
 
+def _attn_products_flops(x, bias) -> float:
+    """FLOPs of ONE n x n x hd window-attention product (e.g. q @ k^T)
+    summed over batch/windows/heads: 2 * B * nh * n_windows * n^2 * hd."""
+    b, h, w, c = x[0], x[1], x[2], x[3]
+    n, nh = bias[-1], bias[1]
+    ws = math.isqrt(n)
+    hd = c // nh
+    n_windows = (h // ws) * (w // ws)
+    return 2.0 * b * nh * n_windows * n * n * hd
+
+
 def _pallas_flops(eqn) -> float:
-    """Useful MACs of the fused window-MHSA kernel. Per window-head,
-    forward = S + PV = 2 products of n^2*hd MACs; backward = S recompute +
-    dV + dP + dQ + dK = 5 products. Off-diagonal MXU tile waste is
-    deliberately NOT counted (it is overhead, not work)."""
+    """Useful MACs actually issued by the recognized kernels (off-diagonal
+    MXU tile waste is deliberately NOT counted — it is overhead, not work).
+
+    Counting P = one n^2*hd attention product over all windows/heads and
+    T = B*H*W tokens (kernel code: ops/pallas/window_attention.py,
+    ops/pallas/fused_block.py):
+      mhsa fwd = 2P (S, PV);             bwd = 5P (S recompute, dV/dP/dQ/dK)
+      attn fwd = 2P + qkv/proj matmuls (8*T*C^2);
+           bwd = 7P (2 fwd-recompute + 5) + 22*T*C^2
+                 (qkv recompute + dWq + dy at 3C, dWp + datt at C)
+      mlp  fwd = 4*T*C*h (fc1, fc2);     bwd = 12*T*C*h (2 recompute + 4 grad)
+    """
     parsed = _pallas_parse(eqn)
     if parsed is None:
         _warn_unrecognized_pallas(eqn)
         return 0.0
-    (b, h, w, c3), (_, nh, _, n), is_bwd = parsed
-    ws = math.isqrt(n)
-    hd = (c3 // 3) // nh
-    n_windows = (h // ws) * (w // ws)
-    per_pass = 2.0 * 2.0 * b * nh * n_windows * n * n * hd
-    return per_pass * (2.5 if is_bwd else 1.0)
+    kind, x, wdims, bias, is_bwd = parsed
+    t = float(x[0] * x[1] * x[2])
+    if kind == "mhsa":
+        c = wdims[0]
+        qkv = (x[0], x[1], x[2], c)
+        p = _attn_products_flops(qkv, bias)
+        return p * (5.0 if is_bwd else 2.0)
+    if kind == "attn":
+        c = x[3]
+        p = _attn_products_flops(x, bias)
+        if is_bwd:
+            return 7.0 * p + 22.0 * t * c * c
+        return 2.0 * p + 8.0 * t * c * c
+    # mlp
+    c, hidden = wdims
+    return t * c * hidden * (12.0 if is_bwd else 4.0)
 
 
 def _aval_bytes(v) -> float:
