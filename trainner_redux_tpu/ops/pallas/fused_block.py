@@ -180,28 +180,35 @@ def _dot(a, b, dims=(((1,), (0,)), ((), ()))):
 
 # ---------------------------------------------------------------------------
 # Kernel B: z -> z + s * fc2(gelu(fc1(LN2(z))))
+#
+# Both kernels are BATCH-BLOCKED: the grid is (H/ws, B/bsub) over
+# (bsub, ws, W, C) blocks. bsub > 1 (picked by VMEM fit, usually the whole
+# batch) merges samples into one program so the LN/qkv/proj/MLP matmuls run
+# at bsub x the rows — measured on-chip, the per-sample grid spent most of
+# its time in per-program overhead, not math (see
+# scripts/benchmarking/bench_block_kernel.py).
 # ---------------------------------------------------------------------------
 
 
 def _mlp_fwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     s_ref, o_ref, *, eps):
-    ws_, w_, c = x_ref.shape[1:]
+    bs, ws_, w_, c = x_ref.shape
     cdt = x_ref.dtype
-    t = x_ref[0].reshape(ws_ * w_, c)
+    t = x_ref[...].reshape(bs * ws_ * w_, c)
     y32, _, _ = _ln_f32(t.astype(jnp.float32), g_ref[0], be_ref[0], eps)
     y = y32.astype(cdt)
     h = _dot(y, w1_ref[...]).astype(cdt) + b1_ref[0].astype(cdt)
     hg = _gelu_exact(h.astype(jnp.float32)).astype(cdt)
     m = _dot(hg, w2_ref[...]).astype(cdt) + b2_ref[0].astype(cdt)
-    s = s_ref[pl.program_id(1), 0].astype(cdt)
-    o_ref[0] = (t + s * m).reshape(ws_, w_, c)
+    srow = _scale_rows(s_ref, bs, ws_ * w_).astype(cdt)  # (bs*t, 1)
+    o_ref[...] = (t + srow * m).reshape(bs, ws_, w_, c)
 
 
 def _mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     s_ref, do_ref,
                     dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref,
                     db2_ref, *, eps):
-    ws_, w_, c = x_ref.shape[1:]
+    bs, ws_, w_, c = x_ref.shape
     cdt = x_ref.dtype
     i, b = pl.program_id(0), pl.program_id(1)
 
@@ -214,8 +221,8 @@ def _mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         dw2_ref[...] = jnp.zeros_like(dw2_ref)
         db2_ref[...] = jnp.zeros_like(db2_ref)
 
-    t = x_ref[0].reshape(ws_ * w_, c)
-    do = do_ref[0].reshape(ws_ * w_, c)
+    t = x_ref[...].reshape(bs * ws_ * w_, c)
+    do = do_ref[...].reshape(bs * ws_ * w_, c)
     g = g_ref[0]
     # recompute forward intermediates (mirroring fwd quantization points)
     y32, xn, inv = _ln_f32(t.astype(jnp.float32), g, be_ref[0], eps)
@@ -224,8 +231,8 @@ def _mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h32 = h.astype(jnp.float32)
     hg = _gelu_exact(h32).astype(cdt)
 
-    s = s_ref[b, 0]
-    dm = do.astype(jnp.float32) * s
+    srow = _scale_rows(s_ref, bs, ws_ * w_)  # (bs*t, 1) fp32
+    dm = do.astype(jnp.float32) * srow
     dm_lo = dm.astype(cdt)
     dw2_ref[...] += _dot(hg, dm_lo, (((0,), (0,)), ((), ())))
     db2_ref[...] += jnp.sum(dm, axis=0, keepdims=True)
@@ -238,12 +245,14 @@ def _mlp_bwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dg_ref[...] += jnp.sum(dy * xn, axis=0, keepdims=True)
     dbe_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
     dt = _ln_bwd(dy, xn, inv, g)
-    dx_ref[0] = (do.astype(jnp.float32) + dt).astype(cdt).reshape(ws_, w_, c)
+    dx_ref[...] = (do.astype(jnp.float32) + dt).astype(cdt).reshape(
+        bs, ws_, w_, c
+    )
 
 
-def _strip_spec(ws, w, ch):
+def _strip_spec(ws, w, ch, bsub=1):
     return pl.BlockSpec(
-        (1, ws, w, ch), lambda i, bb: (bb, i, 0, 0), memory_space=pltpu.VMEM
+        (bsub, ws, w, ch), lambda i, bb: (bb, i, 0, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -253,6 +262,65 @@ def _full_spec(shape, space=pltpu.VMEM):
 
 def _row_spec(n):
     return _full_spec((1, n))
+
+
+def _scale_rows(s_ref, bs: int, t: int):
+    """(bs*t, 1) fp32 column of per-sample DropPath keep scales.
+
+    Assembled from SMEM scalars via splats: Mosaic cannot lower a
+    (bsub, 1, 1) VECTOR broadcast into both sublanes and lanes
+    ("Broadcast in both sublanes and lanes", observed on v5e), but a
+    dynamic SMEM scalar splat to (t, 1) is supported."""
+    b0 = pl.program_id(1) * bs
+    return jnp.concatenate(
+        [
+            jnp.full((t, 1), s_ref[b0 + bb, 0], jnp.float32)
+            for bb in range(bs)
+        ],
+        axis=0,
+    )
+
+
+def _pick_bsub(b: int, per_sample_bytes: float, fixed_bytes: float) -> int:
+    """Largest divisor of b whose working set fits in half the VMEM budget
+    (the other half is headroom for Mosaic's block double-buffering)."""
+    import os
+
+    forced = os.environ.get("TRAINNER_FUSED_BM_BSUB")
+    if forced:
+        return max(1, min(b, int(forced)))
+    budget = _VMEM_LIMIT / 2
+    for cand in range(b, 0, -1):
+        if b % cand:
+            continue
+        if fixed_bytes + cand * per_sample_bytes <= budget:
+            return cand
+    return 1
+
+
+def _mlp_bsub(b, hh, ww, c, hidden, window_size, dtype_bytes=2) -> int:
+    t = window_size * ww  # tokens per window-row strip per sample
+    # per sample: x/do/dx strips (cdt) + fp32 LN temps + fp32 MLP hidden x2
+    per = t * (3 * c * dtype_bytes + 3 * c * 4 + 2 * hidden * 4)
+    fixed = 2 * c * hidden * (dtype_bytes + 4) + 4 * c * 4
+    return _pick_bsub(b, per, fixed)
+
+
+def _attn_bsub(b, hh, ww, c, num_heads, window_size, kinds,
+               dtype_bytes=2) -> int:
+    ws = window_size
+    t = ws * ww
+    n = ws * ws
+    # per sample: x/do/dx strips + qkv + att/dqkv scratch (cdt) + fp32 LN/dy
+    per = t * (
+        (3 * c + 3 * c + c + 3 * c) * dtype_bytes + (3 * c + 3 * c) * 4
+    )
+    fixed = (
+        (c * 3 * c + c * c) * (dtype_bytes + 4)  # weights + grad accums
+        + 2 * kinds * num_heads * n * n * 4  # bias table + dbias
+        + 4 * 128 * max(n, 128) * 16  # attention tile temps
+    )
+    return _pick_bsub(b, per, fixed)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
@@ -272,6 +340,7 @@ def _mlp_call_args(x, g, be, w1, b1, w2, b2, s, window_size):
     b, hh, ww, c = x.shape
     hidden = w1.shape[1]
     ws = window_size
+    bsub = _mlp_bsub(b, hh, ww, c, hidden, ws)
     ins = (
         x,
         g.astype(jnp.float32).reshape(1, c),
@@ -283,7 +352,7 @@ def _mlp_call_args(x, g, be, w1, b1, w2, b2, s, window_size):
         s.astype(jnp.float32).reshape(b, 1),
     )
     specs = [
-        _strip_spec(ws, ww, c),
+        _strip_spec(ws, ww, c, bsub),
         _row_spec(c),
         _row_spec(c),
         _full_spec((c, hidden)),
@@ -292,18 +361,20 @@ def _mlp_call_args(x, g, be, w1, b1, w2, b2, s, window_size):
         _row_spec(c),
         _full_spec((b, 1), pltpu.SMEM),
     ]
-    return ins, specs, (hh // ws, b)
+    return ins, specs, (hh // ws, b // bsub), bsub
 
 
 def _mlp_fwd_impl(x, g, be, w1, b1, w2, b2, s, window_size, eps, interpret):
     b, hh, ww, c = x.shape
-    ins, specs, grid = _mlp_call_args(x, g, be, w1, b1, w2, b2, s, window_size)
+    ins, specs, grid, bsub = _mlp_call_args(
+        x, g, be, w1, b1, w2, b2, s, window_size
+    )
     return pl.pallas_call(
         functools.partial(_mlp_fwd_kernel, eps=eps),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=specs,
-        out_specs=_strip_spec(window_size, ww, c),
+        out_specs=_strip_spec(window_size, ww, c, bsub),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*ins)
@@ -320,7 +391,9 @@ def _mlp_bwd(window_size, eps, interpret, res, do):
     b, hh, ww, c = x.shape
     hidden = w1.shape[1]
     ws = window_size
-    ins, specs, grid = _mlp_call_args(x, g, be, w1, b1, w2, b2, s, window_size)
+    ins, specs, grid, bsub = _mlp_call_args(
+        x, g, be, w1, b1, w2, b2, s, window_size
+    )
     f32 = jnp.float32
     dx, dg, dbe, dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_mlp_bwd_kernel, eps=eps),
@@ -334,9 +407,9 @@ def _mlp_bwd(window_size, eps, interpret, res, do):
             jax.ShapeDtypeStruct((1, c), f32),
         ),
         grid=grid,
-        in_specs=specs + [_strip_spec(ws, ww, c)],
+        in_specs=specs + [_strip_spec(ws, ww, c, bsub)],
         out_specs=(
-            _strip_spec(ws, ww, c),
+            _strip_spec(ws, ww, c, bsub),
             _row_spec(c), _row_spec(c),
             _full_spec((c, hidden)), _row_spec(hidden),
             _full_spec((hidden, c)), _row_spec(c),
@@ -380,40 +453,54 @@ def _attn_heads_fwd(tile, bias_ref, group, nww, kinds, is_bottom, nh, hd,
     return jnp.concatenate(outs, axis=-1)
 
 
+def _scatter_windows_b(ref, tile, bb, group, ws: int, cols: int):
+    """Scatter a (len(group)*n, cols) window tile into sample bb of a
+    (bsub, ws, W, cols) ref."""
+    n = ws * ws
+    for idx, j in enumerate(group):
+        ref[bb, :, j * ws : (j + 1) * ws, :] = tile[
+            idx * n : (idx + 1) * n
+        ].reshape(ws, ws, cols)
+
+
 def _attn_block_fwd_kernel(x_ref, g_ref, be_ref, wq_ref, bq_ref, wp_ref,
-                           bp_ref, bias_ref, s_ref, o_ref,
+                           bp_ref, bias_ref, s_ref, o_ref, att_ref,
                            *, nh, hd, ws, w, scale, nwh, kinds, eps):
+    bs = x_ref.shape[0]
     c = nh * hd
     n = ws * ws
     nww = w // ws
     cdt = x_ref.dtype
     is_bottom = pl.program_id(0) == nwh - 1
-    s = s_ref[pl.program_id(1), 0].astype(cdt)
 
-    x = x_ref[0]  # (ws, W, C)
-    t = x.reshape(ws * w, c)
+    t = x_ref[...].reshape(bs * ws * w, c)
     y32, _, _ = _ln_f32(t.astype(jnp.float32), g_ref[0], be_ref[0], eps)
     y = y32.astype(cdt)
     qkv = (_dot(y, wq_ref[...]).astype(cdt) + bq_ref[0].astype(cdt)).reshape(
-        ws, w, 3 * c
+        bs, ws, w, 3 * c
     )
-    for group in _window_groups(nww, n):
-        tile = _gather_windows(qkv, group, ws, 3 * c)
-        att = _attn_heads_fwd(
-            tile, bias_ref, group, nww, kinds, is_bottom, nh, hd, scale, cdt
-        )
-        proj = _dot(att, wp_ref[...]).astype(cdt) + bp_ref[0].astype(cdt)
-        xw = _gather_windows(x, group, ws, c)
-        _scatter_windows(o_ref, xw + s * proj, group, ws, c)
+    for bb in range(bs):
+        for group in _window_groups(nww, n):
+            tile = _gather_windows(qkv[bb], group, ws, 3 * c)
+            att = _attn_heads_fwd(
+                tile, bias_ref, group, nww, kinds, is_bottom, nh, hd, scale,
+                cdt,
+            )
+            _scatter_windows_b(att_ref, att, bb, group, ws, c)
+    att_t = att_ref[...].reshape(bs * ws * w, c)
+    proj = _dot(att_t, wp_ref[...]).astype(cdt) + bp_ref[0].astype(cdt)
+    srow = _scale_rows(s_ref, bs, ws * w).astype(cdt)  # (bs*t, 1)
+    o_ref[...] = (t + srow * proj).reshape(bs, ws, w, c)
 
 
 def _attn_block_bwd_kernel(
     x_ref, g_ref, be_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, s_ref,
     do_ref,
     dx_ref, dg_ref, dbe_ref, dwq_ref, dbq_ref, dwp_ref, dbp_ref, dbias_ref,
-    dqkv_scratch,
+    att_scratch, dqkv_scratch,
     *, nh, hd, ws, w, scale, nwh, kinds, eps,
 ):
+    bs = x_ref.shape[0]
     c = nh * hd
     n = ws * ws
     nww = w // ws
@@ -431,69 +518,78 @@ def _attn_block_bwd_kernel(
         dbp_ref[...] = jnp.zeros_like(dbp_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    s = s_ref[b, 0]
-    x = x_ref[0]
-    do = do_ref[0]
-    t = x.reshape(ws * w, c)
+    t = x_ref[...].reshape(bs * ws * w, c)
+    do_t = do_ref[...].reshape(bs * ws * w, c)
     g = g_ref[0]
     y32, xn, inv = _ln_f32(t.astype(jnp.float32), g, be_ref[0], eps)
     y = y32.astype(cdt)
     qkv = (_dot(y, wq_ref[...]).astype(cdt) + bq_ref[0].astype(cdt)).reshape(
-        ws, w, 3 * c
+        bs, ws, w, 3 * c
     )
+    srow = _scale_rows(s_ref, bs, ws * w)  # (bs*t, 1) fp32
+    dz32 = do_t.astype(jnp.float32) * srow
+    dz_lo = dz32.astype(cdt)
 
-    for group in _window_groups(nww, n):
-        gl = len(group)
-        tile = _gather_windows(qkv, group, ws, 3 * c)
-        do_w = _gather_windows(do, group, ws, c)
-        dz32 = do_w.astype(jnp.float32) * s  # gradient into the branch
-        dz_lo = dz32.astype(cdt)
-        # recompute attention out for dWp, and the per-head backward
-        att = _attn_heads_fwd(
-            tile, bias_ref, group, nww, kinds, is_bottom, nh, hd, scale, cdt
-        )
-        dwp_ref[...] += _dot(att, dz_lo, (((0,), (0,)), ((), ())))
-        dbp_ref[...] += jnp.sum(dz32, axis=0, keepdims=True)
-        datt = _dot(dz_lo, wp_ref[...], (((1,), (1,)), ((), ()))).astype(cdt)
-
-        head_dq, head_dk, head_dv = [], [], []
-        for h in range(nh):
-            q, k, v = _head_qkv(tile, h, nh, hd)
-            doh = datt[:, h * hd : (h + 1) * hd].astype(jnp.float32)
-            sc = _dot(q, k, (((1,), (1,)), ((), ())))
-            sc = sc * scale + _bias_tile(
-                bias_ref, h, group, nww, kinds, is_bottom
+    # recompute attention out (all samples) for dWp, then the big matmuls
+    for bb in range(bs):
+        for group in _window_groups(nww, n):
+            tile = _gather_windows(qkv[bb], group, ws, 3 * c)
+            att = _attn_heads_fwd(
+                tile, bias_ref, group, nww, kinds, is_bottom, nh, hd, scale,
+                cdt,
             )
-            m = jnp.max(sc, axis=-1, keepdims=True)
-            p = jnp.exp(sc - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            p_lo = p.astype(cdt)
-            dv = _dot(p_lo, doh.astype(cdt), (((0,), (0,)), ((), ())))
-            dp = _dot(doh.astype(cdt), v, (((1,), (1,)), ((), ())))
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            for a, j in enumerate(group):
-                blk = ds[a * n : (a + 1) * n, a * n : (a + 1) * n]
-                if kinds == 1:
-                    dbias_ref[0, h] += blk
-                else:
-                    base = 1 if j == nww - 1 else 0
-                    zero = jnp.zeros_like(blk)
-                    dbias_ref[base, h] += jnp.where(is_bottom, zero, blk)
-                    dbias_ref[base + 2, h] += jnp.where(is_bottom, blk, zero)
-            ds_lo = (ds * scale).astype(cdt)
-            dq = _dot(ds_lo, k)
-            dk = _dot(ds_lo, q, (((0,), (0,)), ((), ())))
-            head_dq.append(dq.astype(cdt))
-            head_dk.append(dk.astype(cdt))
-            head_dv.append(dv.astype(cdt))
-        dtile = jnp.concatenate(head_dq + head_dk + head_dv, axis=-1)
-        # scatter the (g*n, 3C) qkv grad back to strip token order
-        for a, j in enumerate(group):
-            dqkv_scratch[:, j * ws : (j + 1) * ws, :] = dtile[
-                a * n : (a + 1) * n
-            ].reshape(ws, ws, 3 * c)
+            _scatter_windows_b(att_scratch, att, bb, group, ws, c)
+    att_t = att_scratch[...].reshape(bs * ws * w, c)
+    dwp_ref[...] += _dot(att_t, dz_lo, (((0,), (0,)), ((), ())))
+    dbp_ref[...] += jnp.sum(dz32, axis=0, keepdims=True)
+    datt = _dot(dz_lo, wp_ref[...], (((1,), (1,)), ((), ()))).astype(
+        cdt
+    ).reshape(bs, ws, w, c)
 
-    dqkv = dqkv_scratch[...].reshape(ws * w, 3 * c)
+    for bb in range(bs):
+        for group in _window_groups(nww, n):
+            tile = _gather_windows(qkv[bb], group, ws, 3 * c)
+            da_tile = _gather_windows(datt[bb], group, ws, c)
+            head_dq, head_dk, head_dv = [], [], []
+            for h in range(nh):
+                q, k, v = _head_qkv(tile, h, nh, hd)
+                doh = da_tile[:, h * hd : (h + 1) * hd].astype(jnp.float32)
+                sc = _dot(q, k, (((1,), (1,)), ((), ())))
+                sc = sc * scale + _bias_tile(
+                    bias_ref, h, group, nww, kinds, is_bottom
+                )
+                m = jnp.max(sc, axis=-1, keepdims=True)
+                p = jnp.exp(sc - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                p_lo = p.astype(cdt)
+                dv = _dot(p_lo, doh.astype(cdt), (((0,), (0,)), ((), ())))
+                dp = _dot(doh.astype(cdt), v, (((1,), (1,)), ((), ())))
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                for a, j in enumerate(group):
+                    blk = ds[a * n : (a + 1) * n, a * n : (a + 1) * n]
+                    if kinds == 1:
+                        dbias_ref[0, h] += blk
+                    else:
+                        base = 1 if j == nww - 1 else 0
+                        zero = jnp.zeros_like(blk)
+                        dbias_ref[base, h] += jnp.where(is_bottom, zero, blk)
+                        dbias_ref[base + 2, h] += jnp.where(
+                            is_bottom, blk, zero
+                        )
+                ds_lo = (ds * scale).astype(cdt)
+                dq = _dot(ds_lo, k)
+                dk = _dot(ds_lo, q, (((0,), (0,)), ((), ())))
+                head_dq.append(dq.astype(cdt))
+                head_dk.append(dk.astype(cdt))
+                head_dv.append(dv.astype(cdt))
+            dtile = jnp.concatenate(head_dq + head_dk + head_dv, axis=-1)
+            # scatter the (g*n, 3C) qkv grad back to strip token order
+            for a, j in enumerate(group):
+                dqkv_scratch[bb, :, j * ws : (j + 1) * ws, :] = dtile[
+                    a * n : (a + 1) * n
+                ].reshape(ws, ws, 3 * c)
+
+    dqkv = dqkv_scratch[...].reshape(bs * ws * w, 3 * c)
     dqkv32 = dqkv.astype(jnp.float32)
     dwq_ref[...] += _dot(y, dqkv, (((0,), (0,)), ((), ())))
     dbq_ref[...] += jnp.sum(dqkv32, axis=0, keepdims=True)
@@ -501,9 +597,9 @@ def _attn_block_bwd_kernel(
     dg_ref[...] += jnp.sum(dy * xn, axis=0, keepdims=True)
     dbe_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
     dt = _ln_bwd(dy, xn, inv, g)
-    dx_ref[0] = (do.reshape(ws * w, c).astype(jnp.float32) + dt).astype(
-        cdt
-    ).reshape(ws, w, c)
+    dx_ref[...] = (do_t.astype(jnp.float32) + dt).astype(cdt).reshape(
+        bs, ws, w, c
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
@@ -520,9 +616,11 @@ def fused_attn_block(x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim,
                           head_dim, window_size, eps, interpret)
 
 
-def _attn_call_args(x, g, be, wq, bq, wp, bp, bias, s, window_size):
+def _attn_call_args(x, g, be, wq, bq, wp, bp, bias, s, window_size,
+                    num_heads):
     b, hh, ww, c = x.shape
     ws = window_size
+    bsub = _attn_bsub(b, hh, ww, c, num_heads, ws, bias.shape[0])
     ins = (
         x,
         g.astype(jnp.float32).reshape(1, c),
@@ -535,7 +633,7 @@ def _attn_call_args(x, g, be, wq, bq, wp, bp, bias, s, window_size):
         s.astype(jnp.float32).reshape(b, 1),
     )
     specs = [
-        _strip_spec(ws, ww, c),
+        _strip_spec(ws, ww, c, bsub),
         _row_spec(c),
         _row_spec(c),
         _full_spec((c, 3 * c)),
@@ -545,7 +643,7 @@ def _attn_call_args(x, g, be, wq, bq, wp, bp, bias, s, window_size):
         _full_spec(bias.shape),
         _full_spec((b, 1), pltpu.SMEM),
     ]
-    return ins, specs, (hh // ws, b)
+    return ins, specs, (hh // ws, b // bsub), bsub
 
 
 def _attn_fwd_impl(x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim,
@@ -556,13 +654,16 @@ def _attn_fwd_impl(x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim,
         _attn_block_fwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww,
         scale=head_dim**-0.5, nwh=hh // ws, kinds=bias.shape[0], eps=eps,
     )
-    ins, specs, grid = _attn_call_args(x, g, be, wq, bq, wp, bp, bias, s, ws)
+    ins, specs, grid, bsub = _attn_call_args(
+        x, g, be, wq, bq, wp, bp, bias, s, ws, num_heads
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=specs,
-        out_specs=_strip_spec(ws, ww, c),
+        out_specs=_strip_spec(ws, ww, c, bsub),
+        scratch_shapes=[pltpu.VMEM((bsub, ws, ww, c), x.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*ins)
@@ -586,7 +687,9 @@ def _attn_bwd(num_heads, head_dim, window_size, eps, interpret, res, do):
         _attn_block_bwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww,
         scale=head_dim**-0.5, nwh=hh // ws, kinds=kinds, eps=eps,
     )
-    ins, specs, grid = _attn_call_args(x, g, be, wq, bq, wp, bp, bias, s, ws)
+    ins, specs, grid, bsub = _attn_call_args(
+        x, g, be, wq, bq, wp, bp, bias, s, ws, num_heads
+    )
     dx, dg, dbe, dwq, dbq, dwp, dbp, dbias = pl.pallas_call(
         kernel,
         out_shape=(
@@ -600,15 +703,18 @@ def _attn_bwd(num_heads, head_dim, window_size, eps, interpret, res, do):
             jax.ShapeDtypeStruct((kinds, num_heads, n, n), f32),
         ),
         grid=grid,
-        in_specs=specs + [_strip_spec(ws, ww, c)],
+        in_specs=specs + [_strip_spec(ws, ww, c, bsub)],
         out_specs=(
-            _strip_spec(ws, ww, c),
+            _strip_spec(ws, ww, c, bsub),
             _row_spec(c), _row_spec(c),
             _full_spec((c, 3 * c)), _row_spec(3 * c),
             _full_spec((c, c)), _row_spec(c),
             _full_spec((kinds, num_heads, n, n)),
         ),
-        scratch_shapes=[pltpu.VMEM((ws, ww, 3 * c), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((bsub, ws, ww, c), x.dtype),
+            pltpu.VMEM((bsub, ws, ww, 3 * c), x.dtype),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*ins, do)
