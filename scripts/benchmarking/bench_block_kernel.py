@@ -120,6 +120,11 @@ def _variant_kernel(x_ref, g_ref, be_ref, wq_ref, bq_ref, wp_ref, bp_ref,
 
 
 def _build(mode, b, hh, ww, c, nh, ws, kinds):
+    import os
+
+    # the ablation kernels are written per-sample; pin the batch-blocked
+    # call plumbing back to bsub=1 so block shapes match
+    os.environ["TRAINNER_FUSED_BM_BSUB"] = "1"
     hd = c // nh
     key = jax.random.key(0)
     x = jax.random.normal(key, (b, hh, ww, c), jnp.bfloat16)
@@ -139,7 +144,9 @@ def _build(mode, b, hh, ww, c, nh, ws, kinds):
     )
 
     def call(xx):
-        ins, specs, grid = _attn_call_args(xx, g, be, wq, bq, wp, bp, bias, s, ws)
+        ins, specs, grid, _bsub = _attn_call_args(
+            xx, g, be, wq, bq, wp, bp, bias, s, ws, nh
+        )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(xx.shape, xx.dtype),
