@@ -116,6 +116,54 @@ def analytic_fwd_macs(batch: int) -> dict:
     return macs
 
 
+class _FusedChain:
+    """The REAL fused-block path (fused_attn_block + fused_ln_mlp custom
+    VJPs) chained N_BLOCKS deep with hand-built params, so grad-of-chain
+    slope-times the production forward AND backward kernels in isolation
+    (shift=0; the roll is measured separately — it commutes with the
+    block)."""
+
+    def __init__(self, rng):
+        n = WS * WS
+        f32, bf = jnp.float32, jnp.bfloat16
+        self.a = (
+            jnp.ones((C,), f32), jnp.zeros((C,), f32),
+            jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.02, bf),
+            jnp.zeros((3 * C,), f32),
+            jnp.asarray(rng.standard_normal((C, C)) * 0.02, bf),
+            jnp.zeros((C,), f32),
+            jnp.asarray(rng.standard_normal((1, NH, n, n)) * 0.02, f32),
+            jnp.ones((B,), f32),
+        )
+        self.m = (
+            jnp.ones((C,), f32), jnp.zeros((C,), f32),
+            jnp.asarray(rng.standard_normal((C, HID)) * 0.02, bf),
+            jnp.zeros((HID,), f32),
+            jnp.asarray(rng.standard_normal((HID, C)) * 0.02, bf),
+            jnp.zeros((C,), f32),
+            jnp.ones((B,), f32),
+        )
+
+    def chain(self, attn=True, mlp=True, grad=False):
+        from trainner_redux_tpu.ops.pallas.fused_block import (
+            fused_attn_block,
+            fused_ln_mlp,
+        )
+
+        def f(x):
+            for _ in range(N_BLOCKS):
+                if attn:
+                    x = fused_attn_block(x, *self.a, NH, C // NH, WS)
+                if mlp:
+                    x = fused_ln_mlp(x, *self.m, WS)
+            return x
+
+        if not grad:
+            return jax.jit(f)
+        g = jax.grad(lambda x: jnp.sum(f(x).astype(jnp.float32)))
+        return jax.jit(g)
+
+
 class _Blocks:
     """A scan over N identical SwinBlock-shaped computations, pieces
     toggleable, sharing one (C-in == C-out) carry so calls chain."""
@@ -169,13 +217,16 @@ class _Blocks:
             x = x + jnp.einsum("bhwd,dc->bhwc", z, self.w2)
         return x
 
-    def chain(self, **kw):
+    def chain(self, grad=False, **kw):
         def f(x):
             for _ in range(N_BLOCKS):
                 x = self.block(x, **kw)
             return x
 
-        return jax.jit(f)
+        if not grad:
+            return jax.jit(f)
+        g = jax.grad(lambda x: jnp.sum(f(x).astype(jnp.float32)))
+        return jax.jit(g)
 
 
 def main():
@@ -211,17 +262,32 @@ def main():
         ("36xblock pallas+roll", dict(attn="pallas", roll=True)),
         ("36xblock empty (ln only)", dict(attn="none", mlp=False)),
     ]
-    for name, kw in variants:
-        fn = blocks.chain(**kw)
-        sec = slope(fn, x0)
-        f, by = cost(fn, x0)
-        note(name, sec, f, by)
+    bwd_only = "--bwd-only" in sys.argv
+    if not bwd_only:
+        for name, kw in variants:
+            fn = blocks.chain(**kw)
+            sec = slope(fn, x0)
+            f, by = cost(fn, x0)
+            note(name, sec, f, by)
+
+    if "--bwd" in sys.argv or bwd_only:
+        # Backward attribution (round-4): grad-of-chain over the PRODUCTION
+        # fused kernels (custom VJPs) vs the XLA block, halves isolated.
+        fc = _FusedChain(rng)
+        for name, fn in [
+            ("fwd 36xfusedblock", fc.chain()),
+            ("grad 36xfusedblock", fc.chain(grad=True)),
+            ("grad 36xfusedblock attn-half", fc.chain(mlp=False, grad=True)),
+            ("grad 36xfusedblock mlp-half", fc.chain(attn=False, grad=True)),
+            ("grad 36xblock xla", blocks.chain(attn="xla", grad=True)),
+        ]:
+            note(name, slope(fn, x0))
 
     # full-model anchors + cost analysis (fwd and train step)
     import trainner_redux_tpu.archs  # registries  # noqa: F401
     from trainner_redux_tpu.utils.registry import SPANDREL_REGISTRY
 
-    for fused in (True, False):
+    for fused in () if bwd_only else (True, False):
         os.environ["TRAINNER_FUSED_ATTN"] = "1" if fused else "0"
         net = SPANDREL_REGISTRY.get("swinir_m")(scale=4, dtype=jnp.bfloat16)
         params = net.init(
@@ -272,6 +338,32 @@ def main():
         f, by = cost(model._train_step, model.state, batch)
         note("TRAIN step (xla cost only)", 0.0, f, by)
 
+        # slope the FULL train step (state carry) and a bare fwd+bwd+SGD
+        # over the same net — the difference is Adam+EMA+loss bookkeeping
+        def step_carry(s):
+            return model._train_step(s, batch)[0]
+
+        sec = slope(step_carry, model.state)
+        note("TRAIN step (slope)", sec)
+
+        netg = model.net_g
+        lq_f = jnp.asarray(lqa, jnp.float32) / 255.0
+        gt_f = jnp.asarray(gta, jnp.float32) / 255.0
+
+        def sgd_carry(p):
+            def lossf(pp):
+                out = netg.apply(
+                    {"params": pp}, lq_f, train=True,
+                    rngs={"dropout": jax.random.key(0)},
+                )
+                return jnp.mean(jnp.abs(out - gt_f))
+
+            g = jax.grad(lossf)(p)
+            return jax.tree.map(lambda a, b: a - 1e-4 * b, p, g)
+
+        sec = slope(sgd_carry, model.state.params_g)
+        note("FULL fwd+bwd+sgd (slope)", sec)
+
     macs = analytic_fwd_macs(B)
     print("\nanalytic fwd MACs (batch 8):")
     for k, v in macs.items():
@@ -279,9 +371,14 @@ def main():
     rows.append({"analytic_fwd_gmac": {k: round(v / 1e9, 2) for k, v in macs.items()}})
 
     os.makedirs("docs/perf", exist_ok=True)
-    with open("docs/perf/components_swinir_m.json", "w") as f:
+    out = (
+        "docs/perf/components_swinir_m_bwd.json"
+        if bwd_only
+        else "docs/perf/components_swinir_m.json"
+    )
+    with open(out, "w") as f:
         json.dump(rows, f, indent=1)
-    print("wrote docs/perf/components_swinir_m.json")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

@@ -34,9 +34,19 @@ The torch GAN twin mirrors models/sr_model.py's update order exactly:
 G updates first (GAN term through the CURRENT D), then D updates on
 (gt, stop_gradient(G_out)) using the SAME forward output G trained on.
 
+GAN lockstep is CHAOTIC: the adversarial feedback loop amplifies fp
+rounding differences exponentially, so no implementation (including the
+reference vs itself under a different BLAS/thread schedule) stays within
+a PSNR budget over hundreds of steps. `--control` quantifies this: it
+runs the TORCH side twice, the second time with a ~1e-7 perturbation of
+the initial G weights, and reports the same divergence metrics. If
+torch-vs-torch(+1ulp) diverges as much as torch-vs-jax, the correct
+parity evidence is early-step loss agreement, not end-state PSNR.
+
 Usage:
   python scripts/parity/distill_parity.py --steps 300 --arch drct_tiny
   python scripts/parity/distill_parity.py --steps 300 --gan
+  python scripts/parity/distill_parity.py --steps 300 --gan --control
 """
 
 from __future__ import annotations
@@ -118,10 +128,16 @@ def build_torch_g(arch: str, scale: int):
 
 
 def run_torch(arch: str, cfg: dict, init_g: str, init_d: str | None,
-              batches, vals, steps: int, gan: bool):
+              batches, vals, steps: int, gan: bool, perturb: float = 0.0):
     import torch
 
     net = build_torch_g(arch, cfg["scale"])
+    if perturb:
+        # chaos control: nudge every G weight by a relative ~1e-7 — the
+        # scale of a single bf16->fp32 rounding difference
+        with torch.no_grad():
+            for p in net.parameters():
+                p.add_(p.abs() * perturb * torch.sign(torch.randn_like(p)))
     torch.save(net.state_dict(), init_g)
     optim = torch.optim.Adam(net.parameters(), lr=LR_RATE, betas=BETAS, eps=EPS)
     loss_fn = torch.nn.L1Loss()
@@ -263,6 +279,9 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=25)
     ap.add_argument("--arch", default="span48", choices=sorted(ARCHS))
     ap.add_argument("--gan", action="store_true")
+    ap.add_argument("--control", action="store_true",
+                    help="torch-vs-torch(+1e-7 init perturbation) chaos "
+                         "control instead of torch-vs-jax")
     ap.add_argument("--out", default="/tmp/distill_parity.json")
     args = ap.parse_args()
     cfg = dict(ARCHS[args.arch])
@@ -280,56 +299,84 @@ def main() -> None:
         t_losses, t_psnr, t_final = run_torch(
             args.arch, cfg, init_g, init_d, batches, vals, args.steps, args.gan
         )
-        j_losses, j_psnr, j_flat = run_jax(
-            cfg, init_g, init_d, batches, vals, args.steps, args.gan
-        )
+        if args.control:
+            j_losses, j_psnr, _ = run_torch(
+                args.arch, cfg, os.path.join(td, "g_init2.pth"),
+                os.path.join(td, "d_init2.pth") if args.gan else None,
+                batches, vals, args.steps, args.gan, perturb=1e-7,
+            )
+            j_flat = None
+        else:
+            j_losses, j_psnr, j_flat = run_jax(
+                cfg, init_g, init_d, batches, vals, args.steps, args.gan
+            )
 
         # weight-tree comparison: convert the torch FINAL weights and diff
         import torch
 
-        from trainner_redux_tpu.archs import build_network
-        from trainner_redux_tpu.models.base_model import BaseModel
-        from trainner_redux_tpu.utils.torch_compat import load_torch_checkpoint
-
-        final_path = os.path.join(td, "g_final.pth")
-        torch.save({k: torch.from_numpy(v) for k, v in t_final.items()}, final_path)
-        net = build_network({**cfg["network_g"], "scale": cfg["scale"]})
-        import jax
-        import jax.numpy as jnp
-
-        template = jax.eval_shape(
-            lambda: net.init(
-                jax.random.key(0),
-                jnp.zeros((1, cfg["lq"], cfg["lq"], 3)),
-                train=False,
+        if j_flat is None:
+            t_conv = None
+        else:
+            from trainner_redux_tpu.archs import build_network
+            from trainner_redux_tpu.models.base_model import BaseModel
+            from trainner_redux_tpu.utils.torch_compat import (
+                load_torch_checkpoint,
             )
-        )["params"]
-        t_conv = BaseModel.flatten_params(
-            jax.device_get(load_torch_checkpoint(final_path, net, template))
-        )
 
-    rel_w = []
-    for k, v in j_flat.items():
-        tv = np.asarray(t_conv[k], np.float32)
-        jv = np.asarray(v, np.float32)
-        denom = max(float(np.max(np.abs(tv))), 1e-6)
-        rel_w.append(float(np.max(np.abs(tv - jv))) / denom)
+            final_path = os.path.join(td, "g_final.pth")
+            torch.save(
+                {k: torch.from_numpy(v) for k, v in t_final.items()},
+                final_path,
+            )
+            net = build_network({**cfg["network_g"], "scale": cfg["scale"]})
+            import jax
+            import jax.numpy as jnp
+
+            template = jax.eval_shape(
+                lambda: net.init(
+                    jax.random.key(0),
+                    jnp.zeros((1, cfg["lq"], cfg["lq"], 3)),
+                    train=False,
+                )
+            )["params"]
+            t_conv = BaseModel.flatten_params(
+                jax.device_get(load_torch_checkpoint(final_path, net, template))
+            )
+
+    rel_w = [0.0]
+    if j_flat is not None:
+        for k, v in j_flat.items():
+            tv = np.asarray(t_conv[k], np.float32)
+            jv = np.asarray(v, np.float32)
+            denom = max(float(np.max(np.abs(tv))), 1e-6)
+            rel_w.append(float(np.max(np.abs(tv - jv))) / denom)
     losses_t = np.asarray(t_losses)
     losses_j = np.asarray(j_losses)
+    rel_by_step = np.abs(losses_t - losses_j) / np.maximum(losses_t, 1e-8)
+    # divergence horizon: max rel loss diff inside growing step windows —
+    # for chaotic (GAN) runs this shows exponential growth from fp noise
+    horizons = {
+        str(h): float(np.max(rel_by_step[:h]))
+        for h in (5, 25, 50, 100, 200, len(rel_by_step))
+        if h <= len(rel_by_step)
+    }
     result = {
         "steps": args.steps,
+        "mode": "torch_vs_torch_perturbed_control" if args.control
+                else "torch_vs_jax",
         "arch": args.arch + (" +gan(vggstyle-bn)" if args.gan else ""),
         "loss_first5_torch": [round(v, 6) for v in t_losses[:5]],
         "loss_first5_jax": [round(v, 6) for v in j_losses[:5]],
         "loss_last5_torch": [round(v, 6) for v in t_losses[-5:]],
         "loss_last5_jax": [round(v, 6) for v in j_losses[-5:]],
-        "max_rel_loss_diff": float(
-            np.max(np.abs(losses_t - losses_j) / np.maximum(losses_t, 1e-8))
-        ),
+        "max_rel_loss_diff": float(np.max(rel_by_step)),
+        "rel_loss_diff_by_horizon": horizons,
         "psnr_torch": round(t_psnr, 4),
         "psnr_jax": round(j_psnr, 4),
         "psnr_diff_db": round(abs(t_psnr - j_psnr), 4),
-        "max_rel_weight_diff": float(np.max(rel_w)),
+        "max_rel_weight_diff": (
+            None if j_flat is None else float(np.max(rel_w))
+        ),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
