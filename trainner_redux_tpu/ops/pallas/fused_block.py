@@ -529,28 +529,25 @@ def _attn_block_bwd_kernel(
     srow = _scale_rows(s_ref, bs, ws * w)  # (bs*t, 1) fp32
     dz32 = do_t.astype(jnp.float32) * srow
     dz_lo = dz32.astype(cdt)
-
-    # recompute attention out (all samples) for dWp, then the big matmuls
-    for bb in range(bs):
-        for group in _window_groups(nww, n):
-            tile = _gather_windows(qkv[bb], group, ws, 3 * c)
-            att = _attn_heads_fwd(
-                tile, bias_ref, group, nww, kinds, is_bottom, nh, hd, scale,
-                cdt,
-            )
-            _scatter_windows_b(att_scratch, att, bb, group, ws, c)
-    att_t = att_scratch[...].reshape(bs * ws * w, c)
-    dwp_ref[...] += _dot(att_t, dz_lo, (((0,), (0,)), ((), ())))
     dbp_ref[...] += jnp.sum(dz32, axis=0, keepdims=True)
+    # datt needs only Wp, so it can lead the single recompute loop below:
+    # each head's S/softmax is built ONCE and used for BOTH the attention
+    # output (-> att_scratch, consumed by dWp afterwards) and the grads
     datt = _dot(dz_lo, wp_ref[...], (((1,), (1,)), ((), ()))).astype(
         cdt
     ).reshape(bs, ws, w, c)
 
+    # dbias accumulates in VMEM temporaries across the unrolled loops (a
+    # single output write at the end) instead of per-window ref +=
+    dbias_acc = [
+        [jnp.zeros((n, n), jnp.float32) for _ in range(nh)]
+        for _ in range(kinds)
+    ]
     for bb in range(bs):
         for group in _window_groups(nww, n):
             tile = _gather_windows(qkv[bb], group, ws, 3 * c)
             da_tile = _gather_windows(datt[bb], group, ws, c)
-            head_dq, head_dk, head_dv = [], [], []
+            outs, head_dq, head_dk, head_dv = [], [], [], []
             for h in range(nh):
                 q, k, v = _head_qkv(tile, h, nh, hd)
                 doh = da_tile[:, h * hd : (h + 1) * hd].astype(jnp.float32)
@@ -562,18 +559,19 @@ def _attn_block_bwd_kernel(
                 p = jnp.exp(sc - m)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
                 p_lo = p.astype(cdt)
+                outs.append(_dot(p_lo, v).astype(cdt))
                 dv = _dot(p_lo, doh.astype(cdt), (((0,), (0,)), ((), ())))
                 dp = _dot(doh.astype(cdt), v, (((1,), (1,)), ((), ())))
                 ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
                 for a, j in enumerate(group):
                     blk = ds[a * n : (a + 1) * n, a * n : (a + 1) * n]
                     if kinds == 1:
-                        dbias_ref[0, h] += blk
+                        dbias_acc[0][h] += blk
                     else:
                         base = 1 if j == nww - 1 else 0
                         zero = jnp.zeros_like(blk)
-                        dbias_ref[base, h] += jnp.where(is_bottom, zero, blk)
-                        dbias_ref[base + 2, h] += jnp.where(
+                        dbias_acc[base][h] += jnp.where(is_bottom, zero, blk)
+                        dbias_acc[base + 2][h] += jnp.where(
                             is_bottom, blk, zero
                         )
                 ds_lo = (ds * scale).astype(cdt)
@@ -582,6 +580,9 @@ def _attn_block_bwd_kernel(
                 head_dq.append(dq.astype(cdt))
                 head_dk.append(dk.astype(cdt))
                 head_dv.append(dv.astype(cdt))
+            _scatter_windows_b(
+                att_scratch, jnp.concatenate(outs, axis=-1), bb, group, ws, c
+            )
             dtile = jnp.concatenate(head_dq + head_dk + head_dv, axis=-1)
             # scatter the (g*n, 3C) qkv grad back to strip token order
             for a, j in enumerate(group):
@@ -589,6 +590,11 @@ def _attn_block_bwd_kernel(
                     a * n : (a + 1) * n
                 ].reshape(ws, ws, 3 * c)
 
+    dbias_ref[...] += jnp.stack(
+        [jnp.stack(row) for row in dbias_acc]
+    )
+    att_t = att_scratch[...].reshape(bs * ws * w, c)
+    dwp_ref[...] += _dot(att_t, dz_lo, (((0,), (0,)), ((), ())))
     dqkv = dqkv_scratch[...].reshape(bs * ws * w, 3 * c)
     dqkv32 = dqkv.astype(jnp.float32)
     dwq_ref[...] += _dot(y, dqkv, (((0,), (0,)), ((), ())))
