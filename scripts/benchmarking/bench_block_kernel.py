@@ -44,40 +44,42 @@ from trainner_redux_tpu.ops.pallas.fused_block import (
     _attn_call_args,
     _dot,
     _ln_f32,
+    _scale_rows,
+    _scatter_windows_b,
 )
 from trainner_redux_tpu.ops.pallas.window_attention import (
     _bias_tile,
     _gather_windows,
     _head_qkv,
-    _scatter_windows,
     _window_groups,
 )
 
 
 def _variant_kernel(x_ref, g_ref, be_ref, wq_ref, bq_ref, wp_ref, bp_ref,
-                    bias_ref, s_ref, o_ref,
+                    bias_ref, s_ref, o_ref, att_ref,
                     *, nh, hd, ws, w, scale, nwh, kinds, eps, mode):
+    # batch-blocked, mirroring fused_block._attn_block_fwd_kernel
+    bs = x_ref.shape[0]
     c = nh * hd
     n = ws * ws
     nww = w // ws
     cdt = x_ref.dtype
     is_bottom = pl.program_id(0) == nwh - 1
-    s = s_ref[pl.program_id(1), 0].astype(cdt)
+    srow = _scale_rows(s_ref, bs, ws * w).astype(cdt)
 
-    x = x_ref[0]  # (ws, W, C)
-    t = x.reshape(ws * w, c)
+    t = x_ref[...].reshape(bs * ws * w, c)
     y32, _, _ = _ln_f32(t.astype(jnp.float32), g_ref[0], be_ref[0], eps)
     y = y32.astype(cdt)
     if mode == "ln-only":
-        o_ref[0] = (t + s * y).reshape(ws, w, c)
+        o_ref[...] = (t + srow * y).reshape(bs, ws, w, c)
         return
     qkv = (_dot(y, wq_ref[...]).astype(cdt) + bq_ref[0].astype(cdt)).reshape(
-        ws, w, 3 * c
+        bs, ws, w, 3 * c
     )
     if mode == "qkv-proj":
-        att = qkv.reshape(ws * w, 3 * c)[:, :c]
+        att = qkv.reshape(bs * ws * w, 3 * c)[:, :c]
         proj = _dot(att, wp_ref[...]).astype(cdt) + bp_ref[0].astype(cdt)
-        o_ref[0] = (t + s * proj).reshape(ws, w, c)
+        o_ref[...] = (t + srow * proj).reshape(bs, ws, w, c)
         return
 
     def heads(tile, group):
@@ -102,29 +104,23 @@ def _variant_kernel(x_ref, g_ref, be_ref, wq_ref, bq_ref, wp_ref, bp_ref,
     if mode == "no-gather":
         # fat tiles in plain token order: same matmul shapes/count as the
         # 128-row window groups when n=64, minus the window regrouping copies
-        tile = qkv.reshape(ws * w, 3 * c)
-        atts = []
-        for r0 in range(0, ws * w, 2 * n):
-            atts.append(heads(tile[r0 : r0 + 2 * n], [0, 1]))
-        att = jnp.concatenate(atts, axis=0)
-        proj = _dot(att, wp_ref[...]).astype(cdt) + bp_ref[0].astype(cdt)
-        o_ref[0] = (t + s * proj).reshape(ws, w, c)
-        return
-
-    for group in _window_groups(nww, n):
-        tile = _gather_windows(qkv, group, ws, 3 * c)
-        att = heads(tile, group)
-        proj = _dot(att, wp_ref[...]).astype(cdt) + bp_ref[0].astype(cdt)
-        xw = _gather_windows(x, group, ws, c)
-        _scatter_windows(o_ref, xw + s * proj, group, ws, c)
+        for bb in range(bs):
+            tile = qkv[bb].reshape(ws * w, 3 * c)
+            for gi, r0 in enumerate(range(0, ws * w, 2 * n)):
+                att_ref[bb, :, gi * 2 * ws : (gi + 1) * 2 * ws, :] = heads(
+                    tile[r0 : r0 + 2 * n], [0, 1]
+                ).reshape(ws, 2 * ws, c)
+    else:
+        for bb in range(bs):
+            for group in _window_groups(nww, n):
+                tile = _gather_windows(qkv[bb], group, ws, 3 * c)
+                _scatter_windows_b(att_ref, heads(tile, group), bb, group, ws, c)
+    att_t = att_ref[...].reshape(bs * ws * w, c)
+    proj = _dot(att_t, wp_ref[...]).astype(cdt) + bp_ref[0].astype(cdt)
+    o_ref[...] = (t + srow * proj).reshape(bs, ws, w, c)
 
 
 def _build(mode, b, hh, ww, c, nh, ws, kinds):
-    import os
-
-    # the ablation kernels are written per-sample; pin the batch-blocked
-    # call plumbing back to bsub=1 so block shapes match
-    os.environ["TRAINNER_FUSED_BM_BSUB"] = "1"
     hd = c // nh
     key = jax.random.key(0)
     x = jax.random.normal(key, (b, hh, ww, c), jnp.bfloat16)
@@ -144,7 +140,7 @@ def _build(mode, b, hh, ww, c, nh, ws, kinds):
     )
 
     def call(xx):
-        ins, specs, grid, _bsub = _attn_call_args(
+        ins, specs, grid, bsub = _attn_call_args(
             xx, g, be, wq, bq, wp, bp, bias, s, ws, nh
         )
         return pl.pallas_call(
@@ -153,9 +149,10 @@ def _build(mode, b, hh, ww, c, nh, ws, kinds):
             grid=grid,
             in_specs=specs,
             out_specs=pl.BlockSpec(
-                (1, ws, ww, c), lambda i, bb: (bb, i, 0, 0),
+                (bsub, ws, ww, c), lambda i, bb: (bb, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[pltpu.VMEM((bsub, ws, ww, c), xx.dtype)],
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         )(*ins)
 
