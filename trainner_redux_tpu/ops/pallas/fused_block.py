@@ -270,7 +270,10 @@ def _scale_rows(s_ref, bs: int, t: int):
     Assembled from SMEM scalars via splats: Mosaic cannot lower a
     (bsub, 1, 1) VECTOR broadcast into both sublanes and lanes
     ("Broadcast in both sublanes and lanes", observed on v5e), but a
-    dynamic SMEM scalar splat to (t, 1) is supported."""
+    dynamic SMEM scalar splat to (t, 1) is supported. The unrolled
+    concatenate emits O(bsub) Mosaic ops; bsub is bounded by the train
+    batch per chip (<= 32 in every shipped config), so code size stays
+    trivial (ADVICE r4, low)."""
     b0 = pl.program_id(1) * bs
     return jnp.concatenate(
         [
@@ -288,7 +291,16 @@ def _pick_bsub(b: int, per_sample_bytes: float, fixed_bytes: float) -> int:
 
     forced = os.environ.get("TRAINNER_FUSED_BM_BSUB")
     if forced:
-        return max(1, min(b, int(forced)))
+        try:
+            want = max(1, min(b, int(forced)))
+        except ValueError:
+            want = 0  # non-numeric override: fall through to auto-pick
+        if want:
+            # snap DOWN to a divisor of b: a non-divisor bsub would make the
+            # grid drop b % bsub samples silently (ADVICE r4, medium)
+            while b % want:
+                want -= 1
+            return want
     budget = _VMEM_LIMIT / 2
     for cand in range(b, 0, -1):
         if b % cand:
@@ -340,7 +352,8 @@ def _mlp_call_args(x, g, be, w1, b1, w2, b2, s, window_size):
     b, hh, ww, c = x.shape
     hidden = w1.shape[1]
     ws = window_size
-    bsub = _mlp_bsub(b, hh, ww, c, hidden, ws)
+    bsub = _mlp_bsub(b, hh, ww, c, hidden, ws,
+                     dtype_bytes=x.dtype.itemsize)
     ins = (
         x,
         g.astype(jnp.float32).reshape(1, c),
@@ -377,6 +390,7 @@ def _mlp_fwd_impl(x, g, be, w1, b1, w2, b2, s, window_size, eps, interpret):
         out_specs=_strip_spec(window_size, ww, c, bsub),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        name="fused_ln_mlp_fwd",
     )(*ins)
 
 
@@ -416,6 +430,7 @@ def _mlp_bwd(window_size, eps, interpret, res, do):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        name="fused_ln_mlp_bwd",
     )(*ins, do)
     return (
         dx,
@@ -626,7 +641,8 @@ def _attn_call_args(x, g, be, wq, bq, wp, bp, bias, s, window_size,
                     num_heads):
     b, hh, ww, c = x.shape
     ws = window_size
-    bsub = _attn_bsub(b, hh, ww, c, num_heads, ws, bias.shape[0])
+    bsub = _attn_bsub(b, hh, ww, c, num_heads, ws, bias.shape[0],
+                      dtype_bytes=x.dtype.itemsize)
     ins = (
         x,
         g.astype(jnp.float32).reshape(1, c),
@@ -672,6 +688,7 @@ def _attn_fwd_impl(x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim,
         scratch_shapes=[pltpu.VMEM((bsub, ws, ww, c), x.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        name="fused_attn_block_fwd",
     )(*ins)
 
 
@@ -723,6 +740,7 @@ def _attn_bwd(num_heads, head_dim, window_size, eps, interpret, res, do):
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
+        name="fused_attn_block_bwd",
     )(*ins, do)
     return (
         dx,

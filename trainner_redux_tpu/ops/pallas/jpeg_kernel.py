@@ -80,5 +80,6 @@ def jpeg_block_transform(
             bytes_accessed=blocks.size * 4 * 2,
             transcendentals=0,
         ),
+        name="diffjpeg_dct",
     )(dct, idct, blocks, qtabs[:, None, :])
     return out[:, :n, :]

@@ -328,6 +328,7 @@ def _mhsa_fwd_impl(qkv, bias, num_heads, head_dim, window_size, interpret):
         out_specs=_strip_spec(ws, ww, c),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
+        name="fused_window_mhsa_fwd",
     )(qkv, bias.astype(jnp.float32))
 
 
@@ -372,6 +373,7 @@ def _mhsa_bwd(num_heads, head_dim, window_size, interpret, res, g):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
+        name="fused_window_mhsa_bwd",
     )(qkv, bias.astype(jnp.float32), g)
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
     return dqkv, dbias.astype(bias.dtype)

@@ -56,9 +56,25 @@ def _conv_flops(eqn) -> float:
     return 2.0 * batch * out_spatial * c_out * c_in * k_spatial
 
 
+# Stable kernel names threaded through pl.pallas_call(name=...) — the
+# PRIMARY discriminator (ADVICE r4: shape-signature matching could mistake a
+# future kernel for the fused attention one). Maps name -> (kind, is_bwd,
+# x_operand_index, key_operand_index) where the key operand is the bias
+# table (attn/mhsa) or w1 (mlp); operand order is fixed by our call sites.
+_PALLAS_KERNELS = {
+    "fused_window_mhsa_fwd": ("mhsa", False, 0, 1),
+    "fused_window_mhsa_bwd": ("mhsa", True, 0, 1),
+    "fused_attn_block_fwd": ("attn", False, 0, 7),
+    "fused_attn_block_bwd": ("attn", True, 0, 7),
+    "fused_ln_mlp_fwd": ("mlp", False, 0, 3),
+    "fused_ln_mlp_bwd": ("mlp", True, 0, 3),
+}
+
+
 def _pallas_parse(eqn) -> tuple | None:
-    """Structurally recognize this repo's Pallas kernels (pallas_call params
-    carry no stable name). Three kinds, discriminated by operand signatures:
+    """Recognize this repo's Pallas kernels, by stable name when present
+    (every in-repo pallas_call passes name=), else by operand-shape
+    structure. Three kinds, discriminated by operand signatures:
 
       'mhsa'  ops/pallas/window_attention.fused_window_mhsa —
               (qkv (B,H,W,3C), bias (K,nh,n,n)[, dout (B,H,W,C)])
@@ -71,6 +87,20 @@ def _pallas_parse(eqn) -> tuple | None:
 
     Returns (kind, x_shape, weight_dims, bias_shape_or_None, is_bwd) or None.
     """
+    name = eqn.params.get("name") or ""
+    if name in _PALLAS_KERNELS:
+        kind, is_bwd, xi, ki = _PALLAS_KERNELS[name]
+        x = tuple(eqn.invars[xi].aval.shape)
+        key = tuple(eqn.invars[ki].aval.shape)
+        if kind == "mhsa":
+            return kind, x, (x[-1] // 3, x[-1]), key, is_bwd
+        if kind == "attn":
+            return kind, x, (x[-1], 3 * x[-1]), key, is_bwd
+        return kind, x, (key[0], key[1]), None, is_bwd
+    if name == "diffjpeg_dct":
+        return "jpeg", tuple(eqn.invars[2].aval.shape), (64, 64), None, False
+    if name:
+        return None  # a named foreign kernel: never structurally matched
     shapes = [tuple(v.aval.shape) for v in eqn.invars if hasattr(v, "aval")]
     four_d = [s for s in shapes if len(s) == 4]
     two_d = [s for s in shapes if len(s) == 2]
@@ -177,6 +207,10 @@ def _pallas_flops(eqn) -> float:
         _warn_unrecognized_pallas(eqn)
         return 0.0
     kind, x, wdims, bias, is_bwd = parsed
+    if kind == "jpeg":
+        # DCT + IDCT: two 64x64 matmuls per 8x8 block row (ops/pallas/
+        # jpeg_kernel.py cost_estimate)
+        return 2.0 * float(x[0] * x[1]) * 64.0 * 64.0 * 2.0
     t = float(x[0] * x[1] * x[2])
     if kind == "mhsa":
         c = wdims[0]
