@@ -101,6 +101,9 @@ CONFIGS = {
         "baseline": 4.7 * 8,  # published log anchor (see span_s_gan)
         "metric": "span_s_4x_train_images_per_sec_per_chip",
         "losses": [{"type": "charbonnierloss", "loss_weight": 1.0}],
+        # conv-speed models outrun the tunnel's ~65 MB/s H2D; e2e uses the
+        # HBM-resident dataset cache (train.py `device_cache: true` path)
+        "device_cache": True,
     },
     "esrgan": {
         "network": {"type": "esrgan"},
@@ -281,14 +284,27 @@ def _bench_e2e(model, cfg, b: int, n_dev: int) -> float:
             dataset_enlarge_ratio=100,
         )
         dataset = build_dataset(ds_opt)
-        # mirror train.py: enlarge-ratio sampler (long epochs, no per-epoch
-        # pipeline rebuilds) over the same 48-image source set
-        sampler = EnlargedSampler(len(dataset), 1, 0, 100)
-        loader = build_dataloader(dataset, ds_opt, num_gpu=n_dev, sampler=sampler, seed=0)
-        loader.batch_size *= k_steps  # mirror train.py's block batching
-        prefetcher = DevicePrefetcher(
-            loader, put_fn=getattr(model, "shard_train_batch", model.shard_batch)
-        )
+        if cfg.get("device_cache"):
+            # HBM-resident dataset + on-device crops (the train.py
+            # `device_cache: true` path): steady-state H2D is zero — the
+            # right pipeline for conv-speed models on the ~65 MB/s tunnel
+            from trainner_redux_tpu.data.device_cache import DeviceCacheFeeder
+
+            prefetcher = DeviceCacheFeeder(
+                dataset, ds_opt, batch_size=b * k_steps, seed=0
+            )
+        else:
+            # mirror train.py: enlarge-ratio sampler (long epochs, no
+            # per-epoch pipeline rebuilds) over the same 48-image source set
+            sampler = EnlargedSampler(len(dataset), 1, 0, 100)
+            loader = build_dataloader(
+                dataset, ds_opt, num_gpu=n_dev, sampler=sampler, seed=0
+            )
+            loader.batch_size *= k_steps  # mirror train.py's block batching
+            prefetcher = DevicePrefetcher(
+                loader,
+                put_fn=getattr(model, "shard_train_batch", model.shard_batch),
+            )
         prefetcher.reset()
 
         def step(i: int) -> None:

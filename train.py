@@ -276,10 +276,29 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
     # here the same overlap falls out of sharded device_put + async dispatch.
     from trainner_redux_tpu.data import DevicePrefetcher
 
-    prefetcher = DevicePrefetcher(
-        train_loader,
-        put_fn=getattr(model, "shard_train_batch", model.shard_batch),
+    _train_ds_opt = next(
+        d for k, d in opt.datasets.items() if k.split("_")[0] == "train"
     )
+    if _train_ds_opt.device_cache:
+        # HBM-resident dataset + jitted on-device crops (device_cache.py):
+        # steady-state H2D drops to zero; next() never signals an epoch end
+        # (with-replacement sampling), the iter-count check bounds the loop
+        from trainner_redux_tpu.data.device_cache import DeviceCacheFeeder
+
+        prefetcher = DeviceCacheFeeder(
+            train_loader.dataset, _train_ds_opt,
+            batch_size=train_loader.batch_size,
+            seed=opt.manual_seed or 0,
+        )
+        logger.info(
+            "Device dataset cache active: crops are cut on device "
+            f"(batch {train_loader.batch_size}/dispatch)."
+        )
+    else:
+        prefetcher = DevicePrefetcher(
+            train_loader,
+            put_fn=getattr(model, "shard_train_batch", model.shard_batch),
+        )
 
     # steps_per_dispatch: each loop iteration runs K optimizer steps in one
     # jitted block; freq-gated actions fire when a boundary is crossed.

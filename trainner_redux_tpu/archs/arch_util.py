@@ -299,12 +299,127 @@ def bilinear_sample(img: jnp.ndarray, coords_y: jnp.ndarray, coords_x: jnp.ndarr
     return top * (1 - wy) + bot * wy
 
 
+def dysample_local(
+    x: jnp.ndarray, off_in: jnp.ndarray, scale: int, groups: int, radius: int
+) -> jnp.ndarray:
+    """Gather-free DySample resampling: exact windowed bilinear sampling.
+
+    TPU-native replacement for the grid_sample gather (measured on v5e:
+    DUnet fwd+bwd 282.6 ms with XLA gathers/scatters vs 18.7 ms without —
+    docs/perf/profile_gan_span_s.json; Mosaic's dynamic_gather only
+    supports lane-dim range-128 gathers, so no Pallas gather kernel can
+    exist either). DySample's sample coordinate for output subpixel
+    (sy, sx) of input pixel (i, j) is (i + anchor[sy] + off_y,
+    j + anchor[sx] + off_x) — an identity map plus a LOCAL learned offset
+    (reference arch_util.py:368-402; offsets are 0.5*sigmoid-scoped
+    perturbations, ~0.01 at init). Bilinear interpolation at displacement
+    (dy, dx) from the anchor pixel is EXACTLY
+    sum_{u,v} relu(1-|dy-u|) * relu(1-|dx-v|) * img[i+u, j+v] over integer
+    taps — the hat products vanish except at the 4 surrounding pixels.
+    Truncating taps to |u|,|v| <= radius is exact whenever |d| <= radius
+    and clamps the coordinate to the window edge otherwise (grid_sample
+    padding_mode='border' clamps at the image edge the same way). The sum
+    runs over the full (2r+1)^2 window — it does NOT factor into separable
+    y/x passes, because both weight sets belong to the output pixel's
+    parent pixel, not to the shifted source row. Every term is a dense
+    elementwise multiply-add over statically-shifted copies: no gather in
+    the forward, no scatter-add in the backward, and XLA fuses the whole
+    tap sum into one accumulation pass.
+
+    x: (n, h, w, c); off_in: (n, h, w, 2, groups, s, s) with coord 0 = x,
+    1 = y (torch channel order). Returns (n, h*s, w*s, c) float32, group-
+    major channels — identical layout to the gather path.
+
+    Layout discipline (the first cut of this function was as slow as the
+    gather path it replaced): every tensor XLA may MATERIALIZE stays
+    (n, h, w, C>=128)-shaped — TPU tiles the two minor dims to (8, 128),
+    so a 7D intermediate with trailing (sy=2, sx=2, cg=32) dims inflates
+    16x in memory. Subpixels are processed as s^2 static iterations whose
+    accumulators are full-lane (n, h, w, c) maps, and the final interleave
+    uses interior-dilated lax.pad (never a small-trailing-dim transpose).
+    """
+    n, h, w, c = x.shape
+    s, g, r = scale, groups, radius
+    cg = c // g
+    f32 = jnp.float32
+    anchor = [(a - (s - 1) / 2.0) / s for a in range(s)]  # python floats
+    xpad = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+    iy = jnp.arange(h, dtype=f32)[None, :, None, None]
+    jx = jnp.arange(w, dtype=f32)[None, None, :, None]
+    lo_y, hi_y = jnp.maximum(-float(r), -iy), jnp.minimum(float(r), (h - 1) - iy)
+    lo_x, hi_x = jnp.maximum(-float(r), -jx), jnp.minimum(float(r), (w - 1) - jx)
+
+    # flatten the (2, g, s, s) offset tree back to the conv's channel axis;
+    # per-subpixel per-coordinate channel expansion then happens as ONE
+    # constant selection MATMUL (off32 @ sel -> (n, h, w, c)) — never via a
+    # (..., g, cg) reshape, whose padded tiling costs a 16x-inflated
+    # materialization (the first cut of this function lost its entire
+    # speedup to exactly that)
+    off32 = off_in.reshape(n, h, w, 2 * g * s * s)
+    n_off = 2 * g * s * s
+
+    def sel_matrix(coord: int, sy: int, sx: int) -> np.ndarray:
+        m = np.zeros((n_off, c), np.float32)
+        for gi in range(g):
+            ch = coord * g * s * s + gi * s * s + sy * s + sx
+            m[ch, gi * cg : (gi + 1) * cg] = 1.0
+        return m
+
+    total = None
+    for sy in range(s):
+        for sx in range(s):
+            ry = jnp.clip(
+                jax.lax.dot_general(
+                    off32.astype(f32).reshape(n * h * w, n_off),
+                    jnp.asarray(sel_matrix(1, sy, sx)),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                ).reshape(n, h, w, c) + anchor[sy],
+                lo_y, hi_y,
+            )
+            rx = jnp.clip(
+                jax.lax.dot_general(
+                    off32.astype(f32).reshape(n * h * w, n_off),
+                    jnp.asarray(sel_matrix(0, sy, sx)),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                ).reshape(n, h, w, c) + anchor[sx],
+                lo_x, hi_x,
+            )
+            acc = jnp.zeros((n, h, w, c), f32)
+            for u in range(-r, r + 1):
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - u))
+                for v in range(-r, r + 1):
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - v))
+                    tap = jax.lax.slice(
+                        xpad, (0, u + r, v + r, 0),
+                        (n, u + r + h, v + r + w, c),
+                    )
+                    acc = acc + wy * wx * tap.astype(f32)
+            # scatter subpixel (sy, sx) to output rows s*i+sy / cols s*j+sx
+            # via interior-dilated pad — elementwise, full-lane, fusable
+            t = jax.lax.pad(
+                acc, jnp.array(0.0, f32),
+                ((0, 0, 0), (sy, s - 1 - sy, s - 1), (sx, s - 1 - sx, s - 1),
+                 (0, 0, 0)),
+            )
+            total = t if total is None else total + t
+    return total
+
+
 class DySample(nn.Module):
     """Dynamic upsampler (reference arch_util.py:322-408, DySample paper):
     offsets gated by a sigmoid scope conv, init_pos subpixel anchors, and
     border-clamped bilinear resampling per channel group. Channel layout of
     the offset conv matches torch exactly (coord-major, then group, then
-    s x s subpixel), so checkpoints convert 1:1."""
+    s x s subpixel), so checkpoints convert 1:1.
+
+    Sampling backend (TRAINNER_DYSAMPLE_MODE): 'local' (default) uses the
+    gather-free windowed resampler `dysample_local` — exact up to offset
+    magnitude TRAINNER_DYSAMPLE_RADIUS (default 2 input px; the learned
+    offsets are sigmoid-scoped perturbations, ~0.01 at init) and ~15x
+    faster on TPU; 'gather' keeps the reference's unbounded grid_sample
+    semantics via XLA gathers."""
 
     in_channels: int
     out_channels: int
@@ -316,6 +431,8 @@ class DySample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        import os
+
         del train
         n, h, w, c = x.shape
         s, g = self.scale, self.groups
@@ -325,6 +442,17 @@ class DySample(nn.Module):
         off = off * nn.sigmoid(scope) * 0.5
         # torch channel layout: (coord, group, i, j); coord 0 = x, 1 = y
         off = off.reshape(n, h, w, 2, g, s, s)
+        if os.environ.get("TRAINNER_DYSAMPLE_MODE", "local") == "local":
+            out = dysample_local(
+                x, off, s, g,
+                int(os.environ.get("TRAINNER_DYSAMPLE_RADIUS", "2")),
+            )
+            if self.end_convolution:
+                out = Conv2d(
+                    self.out_channels, self.end_kernel, dtype=self.dtype,
+                    name="end_conv",
+                )(out)
+            return out
         # to output resolution: (n, g, h*s, w*s, coord)
         off = off.transpose(0, 4, 1, 5, 2, 6, 3).reshape(n, g, h * s, w * s, 2)
 

@@ -12,6 +12,7 @@ import importlib
 from os import path as osp
 
 from trainner_redux_tpu.data.data_sampler import EnlargedSampler, resolve_enlarge_ratio
+from trainner_redux_tpu.data.device_cache import DeviceCacheFeeder
 from trainner_redux_tpu.data.loader import DataLoader, DevicePrefetcher
 from trainner_redux_tpu.utils.misc import scandir
 from trainner_redux_tpu.utils.redux_options import DatasetOptions
@@ -21,6 +22,7 @@ __all__ = [
     "build_dataset",
     "build_dataloader",
     "DataLoader",
+    "DeviceCacheFeeder",
     "DevicePrefetcher",
     "EnlargedSampler",
 ]

@@ -292,7 +292,49 @@ def _pad(ctx: _Ctx, eqn) -> None:
     b = ctx.b
     cfg = eqn.params["padding_config"]
     if any(interior != 0 for _, _, interior in cfg):
-        raise NotImplementedError("interior padding outside conv unsupported")
+        # interior (dilated) padding — used by dysample_local's subpixel
+        # interleave. ONNX Pad has no dilation; expand each dilated dim as
+        # concat([x, zeros], new_axis) + reshape: x lands at stride
+        # (interior+1) positions, then edge lo/hi pads apply normally.
+        x = ctx.get(eqn.invars[0])
+        shape = [int(d) for d in eqn.invars[0].aval.shape]
+        pv = eqn.invars[1]
+        if not (hasattr(pv, "val") and float(np.asarray(pv.val)) == 0.0):
+            raise NotImplementedError("interior padding with nonzero value")
+        np_dt = np.dtype(eqn.invars[0].aval.dtype)
+        for d, (_, _, interior) in enumerate(cfg):
+            if interior == 0:
+                continue
+            # (..., n_d, ...) -> (..., n_d, 1, ...) concat zeros -> reshape
+            mid = shape[:d + 1] + [1] + shape[d + 1:]
+            shp = b.add_init(np.asarray(mid, np.int64), "shape")
+            xr = b.add_node("Reshape", [x, shp])[0]
+            ztile = mid.copy()
+            ztile[d + 1] = interior
+            zeros = b.add_init(np.zeros(ztile, np_dt), "zeros")
+            cat = b.add_node("Concat", [xr, zeros], axis=d + 1)[0]
+            shape = shape.copy()
+            shape[d] = shape[d] * (interior + 1)
+            shp2 = b.add_init(np.asarray(shape, np.int64), "shape")
+            x = b.add_node("Reshape", [cat, shp2])[0]
+        # now trim the trailing interior zeros and apply lo/hi edge pads:
+        # dilation appended `interior` zeros after the LAST element too;
+        # fold that into the hi pad (hi_eff = hi - interior)
+        lo = [int(c[0]) for c in cfg]
+        hi = [int(c[1]) - int(c[2]) for c in cfg]
+        starts = [0] * len(shape)
+        ends = [shape[i] + min(0, hi[i]) for i in range(len(shape))]
+        if any(e != s for e, s in zip(ends, shape)):
+            st = b.add_init(np.asarray(starts, np.int64), "st")
+            en = b.add_init(np.asarray(ends, np.int64), "en")
+            x = b.add_node("Slice", [x, st, en])[0]
+        hi = [max(0, v) for v in hi]
+        if any(lo) or any(hi):
+            pads = b.add_init(np.asarray(lo + hi, np.int64), "pads")
+            cval = b.add_init(np.zeros((), np_dt), "value")
+            x = b.add_node("Pad", [x, pads, cval])[0]
+        ctx.set(eqn.outvars[0], x)
+        return
     lo = [int(c[0]) for c in cfg]
     hi = [int(c[1]) for c in cfg]
     if any(v < 0 for v in lo + hi):

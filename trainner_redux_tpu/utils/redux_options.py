@@ -57,6 +57,12 @@ class DatasetOptions:
     # TPU-native extension (not in the reference): cache decoded uint8 source
     # images in RAM so enlarge-ratio epochs decode each file once.
     cache_decoded: bool | None = None
+    # TPU-native extension: keep decoded source images resident in HBM and
+    # cut training crops ON DEVICE (data/device_cache.py) — removes the
+    # host->device batch transfer from the steady-state loop entirely.
+    # Sampling is with-replacement and the augment RNG stream differs from
+    # the host loader's; capacity-gated by TRAINNER_DEVICE_CACHE_MB.
+    device_cache: bool = False
     color: Literal["y"] | None = None
     phase: str | None = None
     scale: int | None = None
