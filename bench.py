@@ -43,7 +43,8 @@ import numpy as np
 # line as an ERROR naming the stuck phase, then hard-exits.
 # ---------------------------------------------------------------------------
 _PHASE = {"name": "startup", "t0": time.time(), "metric": "unknown"}
-_BUDGET_S = float(os.environ.get("TRAINNER_BENCH_BUDGET_S", 1500))
+_PARTIAL: dict = {}  # measured-so-far fields; emitted if the watchdog fires
+_BUDGET_S = float(os.environ.get("TRAINNER_BENCH_BUDGET_S", 2400))
 _T_START = time.time()
 
 
@@ -59,16 +60,22 @@ def _start_watchdog() -> None:
         while True:
             time.sleep(2)
             if time.time() - _T_START > _BUDGET_S:
-                print(json.dumps({
+                # a completed slope measurement still counts: emit it as the
+                # result (with a note), not as a zero-value error
+                out = {
                     "metric": _PHASE["metric"], "value": 0.0,
                     "unit": "images/sec/chip", "vs_baseline": 0.0,
-                    "error": (
-                        f"watchdog: budget {_BUDGET_S:.0f}s exceeded in "
-                        f"phase '{_PHASE['name']}' "
+                    **_PARTIAL,
+                    "watchdog": (
+                        f"budget {_BUDGET_S:.0f}s exceeded in phase "
+                        f"'{_PHASE['name']}' "
                         f"({time.time() - _PHASE['t0']:.0f}s in phase)"
                     ),
-                }), flush=True)
-                os._exit(3)
+                }
+                if "value" not in _PARTIAL:
+                    out["error"] = out["watchdog"]
+                print(json.dumps(out), flush=True)
+                os._exit(0 if "value" in _PARTIAL else 3)
 
     threading.Thread(target=run, daemon=True).start()
 
@@ -554,6 +561,10 @@ def main() -> None:
 
     per_block = _slope_time(run_n, 8, 32)
     per_chip = k_steps * b / per_block / n_dev
+    _PARTIAL.update({
+        "value": round(per_chip, 2),
+        "vs_baseline": round(per_chip / cfg["baseline"], 3),
+    })
 
     _set_phase("counters")
     util = _mfu(model, per_chip, cfg["batch_per_chip"])

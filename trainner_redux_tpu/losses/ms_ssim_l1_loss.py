@@ -32,6 +32,22 @@ def _g_masks(sigmas: tuple[float, ...], channels: int = 3) -> np.ndarray:
     return np.stack(masks, axis=-1)[:, :, None, :].astype(np.float32)
 
 
+@lru_cache(maxsize=32)
+def _band_same(sigma: float, n: int, filter_size: int, pad: int) -> np.ndarray:
+    """(n, n) banded matrix for zero-pad-`pad` + VALID 1D Gaussian blur:
+    out[i] = sum_k g[k] * x[i + k - pad], i.e. B[i+k-pad, i] = g[k]."""
+    coords = np.arange(filter_size, dtype=np.float64) - filter_size // 2
+    g = np.exp(-(coords**2) / (2 * sigma**2))
+    g /= g.sum()
+    out = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for k in range(filter_size):
+            j = i + k - pad
+            if 0 <= j < n:
+                out[j, i] = g[k]
+    return out
+
+
 @LOSS_REGISTRY.register(name="msssiml1loss")
 class MSSSIML1Loss:
     def __init__(
@@ -52,19 +68,24 @@ class MSSSIML1Loss:
         self.pad = int(2 * self.sigmas[-1])
 
     def _conv(self, x: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
-        """Depthwise conv replicating each input channel per sigma level."""
-        c = x.shape[-1]
-        n_levels = masks.shape[-1] // c
-        # tile input channels per level to use one grouped conv
-        x_rep = jnp.tile(x, (1, 1, 1, n_levels))
-        xp = jnp.pad(
-            x_rep, ((0, 0), (self.pad, self.pad), (self.pad, self.pad), (0, 0))
-        )
-        return jax.lax.conv_general_dilated(
-            xp, masks, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=masks.shape[-1],
-        )
+        """Multi-sigma Gaussian pyramid as separable band-matrix matmuls.
+
+        The reference's tiled depthwise grouped conv (feature_group_count =
+        C * levels) is pathological on TPU — small-channel depthwise convs
+        and especially their gradients fall off XLA's fast path (the sibling
+        mssim_loss measured 63.6 ms fwd+bwd for 5 such convs at b8 256px).
+        Each sigma's window is separable and static, so each level is two
+        dense (N, N) banded matmuls on the MXU. Output channel order stays
+        sigma-major (r0,g0,b0, r1,...), matching `masks`."""
+        del masks
+        fs = int(4 * self.sigmas[-1] + 1)
+        outs = []
+        for sigma in self.sigmas:
+            bh = jnp.asarray(_band_same(sigma, x.shape[1], fs, self.pad))
+            bw = jnp.asarray(_band_same(sigma, x.shape[2], fs, self.pad))
+            t = jnp.einsum("nhwc,hm->nmwc", x, bh)
+            outs.append(jnp.einsum("nmwc,wk->nmkc", t, bw))
+        return jnp.concatenate(outs, axis=-1)
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(jnp.float32)

@@ -47,13 +47,35 @@ def preprocess_rgb(x: jnp.ndarray, test_y_channel: bool, color_space: str = "yiq
     return x
 
 
-def _filt(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    c = x.shape[-1]
-    w = jnp.tile(win[:, :, None, None], (1, 1, 1, c))
-    return jax.lax.conv_general_dilated(
-        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+@lru_cache(maxsize=32)
+def _band_matrix(size: int, sigma: float, n: int) -> np.ndarray:
+    """(n, n-size+1) banded matrix B with B[i+k, i] = g[k]: x @ B is a
+    VALID 1D Gaussian filter along that axis."""
+    coords = np.arange(size, dtype=np.float64) - size // 2
+    g = np.exp(-(coords**2) / (2 * sigma**2))
+    g /= g.sum()
+    out = np.zeros((n, n - size + 1), np.float32)
+    for i in range(n - size + 1):
+        out[i : i + size, i] = g
+    return out
+
+
+def _filt(x: jnp.ndarray, win: jnp.ndarray, sigma: float = 1.5) -> jnp.ndarray:
+    """VALID Gaussian blur as two separable band-matrix MATMULS.
+
+    The obvious depthwise grouped conv (feature_group_count=C with C=3) is
+    pathological on TPU — its gradient falls off XLA's fast conv path, and
+    a measured mssimloss fwd+bwd at (8,256,256,3) cost 63.6 ms with a 219 s
+    compile (docs/perf/profile_gan_span_s.json). The Gaussian window is
+    separable and STATIC, so each axis is a dense (N, N-10) banded matmul
+    that lands on the MXU with well-formed gradients (the transpose is just
+    the transposed band matrix)."""
+    size = int(win.shape[0]) if win.ndim == 1 else int(win.shape[-1])
+    h, w = x.shape[1], x.shape[2]
+    bh = jnp.asarray(_band_matrix(size, sigma, h))
+    bw = jnp.asarray(_band_matrix(size, sigma, w))
+    t = jnp.einsum("nhwc,hm->nmwc", x, bh)
+    return jnp.einsum("nmwc,wk->nmkc", t, bw)
 
 
 def ssim(

@@ -119,16 +119,14 @@ def calculate_ssim_jax(img, img2, crop_border: int = 0, test_y_channel: bool = F
         b = rgb2ycbcr(b, y_only=True)
     a, b = a * 255.0, b * 255.0
 
-    kernel = cv2.getGaussianKernel(11, 1.5)
-    window = np.outer(kernel, kernel.transpose()).astype(np.float32)
-    c = a.shape[-1]
-    w = jnp.tile(jnp.asarray(window)[:, :, None, None], (1, 1, 1, c))
-    dn = ("NHWC", "HWIO", "NHWC")
+    # separable band-matrix matmuls, not a depthwise grouped conv: C=3
+    # depthwise convs are pathological on TPU (see losses/mssim_loss._filt)
+    from trainner_redux_tpu.losses.mssim_loss import _filt as _sep_filt
+
+    win = jnp.zeros((11,))  # only its length is read; sigma passed below
 
     def filt(x):
-        return jax.lax.conv_general_dilated(
-            x, w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
-        )
+        return _sep_filt(x, win, sigma=1.5)
 
     c1 = (0.01 * 255) ** 2
     c2 = (0.03 * 255) ** 2
