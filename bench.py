@@ -134,6 +134,9 @@ CONFIGS = {
         "lq": 64,
         "baseline": 4.7 * 8,
         "metric": "esrgan_gan_4x_train_images_per_sec_per_chip",
+        # RRDB activations + D + VGG exceed 16 GB HBM by ~50 MB at b8
+        # without rematerialization (measured OOM 15.79/15.75G)
+        "remat": True,
         "env": {"TRAINNER_ALLOW_RANDOM_VGG": "1"},
         "losses": [
             {"type": "mssimloss", "loss_weight": 0.5},
@@ -486,6 +489,7 @@ def main() -> None:
         compute_dtype="bfloat16",
         mesh={"data": n_dev},
         steps_per_dispatch=k_steps,
+        remat=bool(cfg.get("remat")),
         high_order_degradation=otf,
         # pool must divide the block batch; 2 blocks deep like the
         # reference's 180-image queue at its batch geometry

@@ -49,7 +49,9 @@ def _compare(monkeypatch, block, call_args, atol=3e-5, grads=False):
             )
 
 
-@pytest.mark.parametrize("shift", [0, 4])
+@pytest.mark.parametrize(
+    "shift", [pytest.param(0, marks=pytest.mark.slow), 4]
+)
 def test_hat_hab_fused_mlp(monkeypatch, shift):
     from trainner_redux_tpu.archs.hat_arch import HAB
 

@@ -24,7 +24,9 @@ def _tree_paths(tree, prefix=""):
     return [(prefix, jnp.shape(tree))]
 
 
-@pytest.mark.parametrize("shift", [0, 4])
+@pytest.mark.parametrize(
+    "shift", [pytest.param(0, marks=pytest.mark.slow), 4]
+)
 def test_fused_block_matches_unfused(monkeypatch, shift):
     b, h, w, c, nh = 2, 16, 24, 24, 3
     block = SwinBlock(

@@ -101,7 +101,9 @@ def test_fused_ln_mlp_fwd_and_grads():
         )
 
 
-@pytest.mark.parametrize("shifted", [False, True])
+@pytest.mark.parametrize(
+    "shifted", [pytest.param(False, marks=pytest.mark.slow), True]
+)
 def test_fused_attn_block_fwd_and_grads(shifted):
     rng = np.random.default_rng(3 if shifted else 4)
     b, hh, ww = 2, 16, 24

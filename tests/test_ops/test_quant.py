@@ -3,6 +3,7 @@ path): calibration, per-channel weight quant, and close-to-f32 outputs."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from trainner_redux_tpu.ops.quant import calibrate_amax, quantize_int8
@@ -61,6 +62,7 @@ def test_skip_filter_keeps_conv_fp():
     assert n_some < n_all
 
 
+@pytest.mark.slow
 def test_quant_span():
     net, variables = _build("span_s", scale=2)
     rng = np.random.default_rng(1)

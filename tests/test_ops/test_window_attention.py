@@ -104,7 +104,9 @@ def test_swinir_fused_wiring_matches_plain(monkeypatch):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
 
 
-@pytest.mark.parametrize("family", ["hat", "atd"])
+@pytest.mark.parametrize(
+    "family", [pytest.param("hat", marks=pytest.mark.slow), "atd"]
+)
 def test_hat_atd_fused_wiring_matches_plain(monkeypatch, family):
     """HAT's HAB and ATD's ATDLayer reuse swinir WindowAttention; their fused
     wiring (shift handling, mask kinds) must match the partitioned path."""

@@ -226,6 +226,7 @@ class SwinBlock(nn.Module):
 
         from trainner_redux_tpu.ops.pallas.fused_block import (
             fused_attn_block,
+            fused_attn_block_train,
             fused_block_interpret,
             fused_block_supported,
             fused_ln_mlp,
@@ -277,7 +278,11 @@ class SwinBlock(nn.Module):
             xc = x.astype(self.dtype)
             if shift > 0:
                 xc = jnp.roll(xc, (-shift, -shift), axis=(1, 2))
-            z = fused_attn_block(
+            # train: the forward saves P + attention output so the VJP runs
+            # 4 MXU products/unit instead of the recompute path's 6; eval
+            # keeps the output-only kernel (no extra HBM)
+            attn_fn = fused_attn_block_train if train else fused_attn_block
+            z = attn_fn(
                 xc, g1, be1, wq, bq, wp, bp, bias_kinds, s1, nh, hd, ws,
                 1e-5, interp,
             )

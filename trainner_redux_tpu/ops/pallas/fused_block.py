@@ -90,8 +90,11 @@ def fused_block_supported(
     t = window_size * w  # tokens per strip
     c = channels
     # strips (x, z, dz, dqkv scratch) + params (qkv dominates) + fp32 tile
-    # temps + grad accumulators, with 2x headroom for Mosaic double-buffering
-    strips = t * (3 * c * 4 + 2 * c * dtype_bytes * 3)
+    # temps + grad accumulators, with 2x headroom for Mosaic double-buffering.
+    # The train path additionally saves per-window P tiles + the attention
+    # output per strip (fused_attn_block_train).
+    p_save = (w // window_size) * num_heads * n * n * dtype_bytes
+    strips = t * (3 * c * 4 + 2 * c * dtype_bytes * 3) + p_save + t * c * dtype_bytes
     params = (c * 3 * c + c * c + 2 * c * hidden) * dtype_bytes * 2
     acc = (c * 3 * c + c * c + 2 * c * hidden) * 4
     bias = 4 * num_heads * n * n * 4
@@ -756,3 +759,313 @@ def _attn_bwd(num_heads, head_dim, window_size, eps, interpret, res, do):
 
 
 fused_attn_block.defvjp(_attn_fwd, _attn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Kernel A-train: forward that SAVES the softmax probabilities P (per-window
+# (n, n) tiles, compute dtype) and the attention output, so the backward
+# runs 4 MXU products per window-head unit (dV, dP, dQ, dK) instead of the
+# recompute path's 6 (S, PV, dV, dP, dQ, dK) and skips the softmax
+# max/exp/sum chain entirely. Measured motivation: the recompute backward
+# was 58.8 ms of the 99 ms SwinIR-M step (docs/perf/
+# components_swinir_m_bwd.json); P+att round-trip ~3.2 ms/step of HBM.
+# P is exact zeros off the window diagonal (the -1e9 cross-window bias
+# underflows exp), so per-window saving loses nothing. In fp32 parity mode
+# the compute dtype is fp32 and the saved-P gradients are bit-comparable to
+# the recompute path.
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_fwd_train_kernel(
+    x_ref, g_ref, be_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref, s_ref,
+    o_ref, p_ref, att_ref,
+    *, nh, hd, ws, w, scale, nwh, kinds, eps,
+):
+    bs = x_ref.shape[0]
+    c = nh * hd
+    n = ws * ws
+    nww = w // ws
+    cdt = x_ref.dtype
+    is_bottom = pl.program_id(0) == nwh - 1
+
+    t = x_ref[...].reshape(bs * ws * w, c)
+    y32, _, _ = _ln_f32(t.astype(jnp.float32), g_ref[0], be_ref[0], eps)
+    y = y32.astype(cdt)
+    qkv = (_dot(y, wq_ref[...]).astype(cdt) + bq_ref[0].astype(cdt)).reshape(
+        bs, ws, w, 3 * c
+    )
+    for bb in range(bs):
+        for group in _window_groups(nww, n):
+            tile = _gather_windows(qkv[bb], group, ws, 3 * c)
+            outs = []
+            for h in range(nh):
+                q, k, v = _head_qkv(tile, h, nh, hd)
+                sc = _dot(q, k, (((1,), (1,)), ((), ())))
+                sc = sc * scale + _bias_tile(
+                    bias_ref, h, group, nww, kinds, is_bottom
+                )
+                m = jnp.max(sc, axis=-1, keepdims=True)
+                p = jnp.exp(sc - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                p_lo = p.astype(cdt)
+                for a, j in enumerate(group):
+                    p_ref[bb, 0, j, h] = p_lo[
+                        a * n : (a + 1) * n, a * n : (a + 1) * n
+                    ]
+                outs.append(_dot(p_lo, v).astype(cdt))
+            _scatter_windows_b(att_ref, jnp.concatenate(outs, axis=-1),
+                               bb, group, ws, c)
+    att_t = att_ref[...].reshape(bs * ws * w, c)
+    proj = _dot(att_t, wp_ref[...]).astype(cdt) + bp_ref[0].astype(cdt)
+    srow = _scale_rows(s_ref, bs, ws * w).astype(cdt)
+    o_ref[...] = (t + srow * proj).reshape(bs, ws, w, c)
+
+
+def _attn_block_bwd_saved_kernel(
+    x_ref, g_ref, be_ref, wq_ref, bq_ref, wp_ref, bp_ref, s_ref, p_in_ref,
+    att_in_ref, do_ref,
+    dx_ref, dg_ref, dbe_ref, dwq_ref, dbq_ref, dwp_ref, dbp_ref, dbias_ref,
+    dqkv_scratch,
+    *, nh, hd, ws, w, scale, nwh, kinds, eps,
+):
+    bs = x_ref.shape[0]
+    c = nh * hd
+    n = ws * ws
+    nww = w // ws
+    cdt = x_ref.dtype
+    i, b = pl.program_id(0), pl.program_id(1)
+    is_bottom = i == nwh - 1
+
+    @pl.when((i == 0) & (b == 0))
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    t = x_ref[...].reshape(bs * ws * w, c)
+    do_t = do_ref[...].reshape(bs * ws * w, c)
+    g = g_ref[0]
+    # recompute LN + qkv only (big well-shaped matmuls; S/softmax/PV come
+    # from the saved tensors)
+    y32, xn, inv = _ln_f32(t.astype(jnp.float32), g, be_ref[0], eps)
+    y = y32.astype(cdt)
+    qkv = (_dot(y, wq_ref[...]).astype(cdt) + bq_ref[0].astype(cdt)).reshape(
+        bs, ws, w, 3 * c
+    )
+    srow = _scale_rows(s_ref, bs, ws * w)
+    dz32 = do_t.astype(jnp.float32) * srow
+    dz_lo = dz32.astype(cdt)
+    dbp_ref[...] += jnp.sum(dz32, axis=0, keepdims=True)
+    datt = _dot(dz_lo, wp_ref[...], (((1,), (1,)), ((), ()))).astype(
+        cdt
+    ).reshape(bs, ws, w, c)
+
+    dbias_acc = [
+        [jnp.zeros((n, n), jnp.float32) for _ in range(nh)]
+        for _ in range(kinds)
+    ]
+    zero_off = jnp.zeros((n, n), cdt)
+    for bb in range(bs):
+        for group in _window_groups(nww, n):
+            tile = _gather_windows(qkv[bb], group, ws, 3 * c)
+            da_tile = _gather_windows(datt[bb], group, ws, c)
+            head_dq, head_dk, head_dv = [], [], []
+            for h in range(nh):
+                q, k, v = _head_qkv(tile, h, nh, hd)
+                doh = da_tile[:, h * hd : (h + 1) * hd].astype(jnp.float32)
+                # saved per-window P -> block-diagonal group tile (the
+                # cross-window entries are exact zeros by construction)
+                gsz = len(group)
+                if gsz == 1:
+                    p_lo = p_in_ref[bb, 0, group[0], h]
+                else:
+                    rows = []
+                    for a, j in enumerate(group):
+                        blk = p_in_ref[bb, 0, j, h]
+                        rows.append(jnp.concatenate(
+                            [blk if bcol == a else zero_off
+                             for bcol in range(gsz)], axis=1
+                        ))
+                    p_lo = jnp.concatenate(rows, axis=0)
+                p = p_lo.astype(jnp.float32)
+                dv = _dot(p_lo, doh.astype(cdt), (((0,), (0,)), ((), ())))
+                dp = _dot(doh.astype(cdt), v, (((1,), (1,)), ((), ())))
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                for a, j in enumerate(group):
+                    blk = ds[a * n : (a + 1) * n, a * n : (a + 1) * n]
+                    if kinds == 1:
+                        dbias_acc[0][h] += blk
+                    else:
+                        base = 1 if j == nww - 1 else 0
+                        zero = jnp.zeros_like(blk)
+                        dbias_acc[base][h] += jnp.where(is_bottom, zero, blk)
+                        dbias_acc[base + 2][h] += jnp.where(
+                            is_bottom, blk, zero
+                        )
+                ds_lo = (ds * scale).astype(cdt)
+                head_dq.append(_dot(ds_lo, k).astype(cdt))
+                head_dk.append(
+                    _dot(ds_lo, q, (((0,), (0,)), ((), ()))).astype(cdt)
+                )
+                head_dv.append(dv.astype(cdt))
+            dtile = jnp.concatenate(head_dq + head_dk + head_dv, axis=-1)
+            for a, j in enumerate(group):
+                dqkv_scratch[bb, :, j * ws : (j + 1) * ws, :] = dtile[
+                    a * n : (a + 1) * n
+                ].reshape(ws, ws, 3 * c)
+
+    dbias_ref[...] += jnp.stack([jnp.stack(row) for row in dbias_acc])
+    att_t = att_in_ref[...].reshape(bs * ws * w, c)
+    dwp_ref[...] += _dot(att_t, dz_lo, (((0,), (0,)), ((), ())))
+    dqkv = dqkv_scratch[...].reshape(bs * ws * w, 3 * c)
+    dqkv32 = dqkv.astype(jnp.float32)
+    dwq_ref[...] += _dot(y, dqkv, (((0,), (0,)), ((), ())))
+    dbq_ref[...] += jnp.sum(dqkv32, axis=0, keepdims=True)
+    dy = _dot(dqkv, wq_ref[...], (((1,), (1,)), ((), ())))
+    dg_ref[...] += jnp.sum(dy * xn, axis=0, keepdims=True)
+    dbe_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dt = _ln_bwd(dy, xn, inv, g)
+    dx_ref[...] = (do_t.astype(jnp.float32) + dt).astype(cdt).reshape(
+        bs, ws, w, c
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def fused_attn_block_train(x, g, be, wq, bq, wp, bp, bias, s, num_heads,
+                           head_dim, window_size, eps=1e-5, interpret=False):
+    """Training-path fused_attn_block: identical forward values, but the
+    VJP consumes softmax probabilities + attention output SAVED by the
+    forward instead of recomputing them (4 vs 6 MXU products per
+    window-head unit in the backward). Use for train steps; eval paths
+    should call fused_attn_block (no extra outputs)."""
+    z, _, _ = _attn_fwd_train_impl(
+        x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim, window_size,
+        eps, interpret,
+    )
+    return z
+
+
+def _attn_fwd_train_impl(x, g, be, wq, bq, wp, bp, bias, s, num_heads,
+                         head_dim, window_size, eps, interpret):
+    b, hh, ww, c = x.shape
+    ws = window_size
+    n = ws * ws
+    nww = ww // ws
+    kernel = functools.partial(
+        _attn_block_fwd_train_kernel, nh=num_heads, hd=head_dim, ws=ws,
+        w=ww, scale=head_dim**-0.5, nwh=hh // ws, kinds=bias.shape[0],
+        eps=eps,
+    )
+    ins, specs, grid, bsub = _attn_call_args(
+        x, g, be, wq, bq, wp, bp, bias, s, ws, num_heads
+    )
+    nwh = hh // ws
+    z, p, att = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, nwh, nww, num_heads, n, n), x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+        ),
+        grid=grid,
+        in_specs=specs,
+        out_specs=(
+            _strip_spec(ws, ww, c, bsub),
+            pl.BlockSpec(
+                (bsub, 1, nww, num_heads, n, n),
+                lambda i, bb: (bb, i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            _strip_spec(ws, ww, c, bsub),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+        name="fused_attn_block_train_fwd",
+    )(*ins)
+    return z, p, att
+
+
+def _attn_train_fwd(x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim,
+                    window_size, eps, interpret):
+    z, p, att = _attn_fwd_train_impl(
+        x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim, window_size,
+        eps, interpret,
+    )
+    return z, (x, g, be, wq, bq, wp, bp, bias, s, p, att)
+
+
+def _attn_train_bwd(num_heads, head_dim, window_size, eps, interpret, res,
+                    do):
+    x, g, be, wq, bq, wp, bp, bias, s, p, att = res
+    b, hh, ww, c = x.shape
+    ws = window_size
+    n = ws * ws
+    nww = ww // ws
+    nwh = hh // ws
+    kinds = bias.shape[0]
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _attn_block_bwd_saved_kernel, nh=num_heads, hd=head_dim, ws=ws,
+        w=ww, scale=head_dim**-0.5, nwh=nwh, kinds=kinds, eps=eps,
+    )
+    ins, specs, grid, bsub = _attn_call_args(
+        x, g, be, wq, bq, wp, bp, bias, s, ws, num_heads
+    )
+    # drop bias from the inputs (the saved-P backward never reads it)
+    ins = ins[:7] + (ins[8],)
+    specs = specs[:7] + [specs[8]]
+    p_spec = pl.BlockSpec(
+        (bsub, 1, nww, num_heads, n, n),
+        lambda i, bb: (bb, i, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dx, dg, dbe, dwq, dbq, dwp, dbp, dbias = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, 3 * c), f32),
+            jax.ShapeDtypeStruct((1, 3 * c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((kinds, num_heads, n, n), f32),
+        ),
+        grid=grid,
+        in_specs=specs + [
+            p_spec,
+            _strip_spec(ws, ww, c, bsub),
+            _strip_spec(ws, ww, c, bsub),
+        ],
+        out_specs=(
+            _strip_spec(ws, ww, c, bsub),
+            _row_spec(c), _row_spec(c),
+            _full_spec((c, 3 * c)), _row_spec(3 * c),
+            _full_spec((c, c)), _row_spec(c),
+            _full_spec((kinds, num_heads, n, n)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bsub, ws, ww, 3 * c), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+        name="fused_attn_block_train_bwd",
+    )(*ins, p, att, do)
+    return (
+        dx,
+        dg.reshape(c).astype(g.dtype),
+        dbe.reshape(c).astype(be.dtype),
+        dwq.astype(wq.dtype),
+        dbq.reshape(3 * c).astype(bq.dtype),
+        dwp.astype(wp.dtype),
+        dbp.reshape(c).astype(bp.dtype),
+        dbias.astype(bias.dtype),
+        jnp.zeros_like(s),
+    )
+
+
+fused_attn_block_train.defvjp(_attn_train_fwd, _attn_train_bwd)

@@ -66,6 +66,10 @@ _PALLAS_KERNELS = {
     "fused_window_mhsa_bwd": ("mhsa", True, 0, 1),
     "fused_attn_block_fwd": ("attn", False, 0, 7),
     "fused_attn_block_bwd": ("attn", True, 0, 7),
+    # train variants (saved-P backward): fwd issues the same products as
+    # the recompute fwd; bwd runs 4 attention products per unit, not 7
+    "fused_attn_block_train_fwd": ("attn", False, 0, 7),
+    "fused_attn_block_train_bwd": ("attn_saved", True, 0, 8),
     "fused_ln_mlp_fwd": ("mlp", False, 0, 3),
     "fused_ln_mlp_bwd": ("mlp", True, 0, 3),
 }
@@ -96,6 +100,10 @@ def _pallas_parse(eqn) -> tuple | None:
             return kind, x, (x[-1] // 3, x[-1]), key, is_bwd
         if kind == "attn":
             return kind, x, (x[-1], 3 * x[-1]), key, is_bwd
+        if kind == "attn_saved":
+            # key operand is the saved P (b, nwh, nww, nh, n, n): expose a
+            # bias-shaped (1, nh, n, n) tuple for the product counter
+            return kind, x, (x[-1], 3 * x[-1]), (1,) + key[3:], is_bwd
         return kind, x, (key[0], key[1]), None, is_bwd
     if name == "diffjpeg_dct":
         return "jpeg", tuple(eqn.invars[2].aval.shape), (64, 64), None, False
@@ -223,6 +231,11 @@ def _pallas_flops(eqn) -> float:
         if is_bwd:
             return 7.0 * p + 22.0 * t * c * c
         return 2.0 * p + 8.0 * t * c * c
+    if kind == "attn_saved":
+        # saved-P backward: dV, dP, dQ, dK only (no S/PV recompute)
+        c = x[3]
+        p = _attn_products_flops(x, bias)
+        return 4.0 * p + 22.0 * t * c * c
     # mlp
     c, hidden = wdims
     return t * c * hidden * (12.0 if is_bwd else 4.0)
