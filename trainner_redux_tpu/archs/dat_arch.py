@@ -165,6 +165,7 @@ class SpatialAttentionBranch(nn.Module):
     w_sp: int
     num_heads: int
     qk_scale: float | None = None
+    shift_hw: tuple | None = None  # (row, col) roll amounts when shifted
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -175,6 +176,48 @@ class SpatialAttentionBranch(nn.Module):
         hd = c // nh
         scale = self.qk_scale or hd**-0.5
         n = self.h_sp * self.w_sp
+
+        from trainner_redux_tpu.ops.pallas.window_attention import (
+            fused_rect_mhsa,
+            fused_rect_mhsa_supported,
+            rect_shift_mask_kinds,
+        )
+
+        if (
+            self.qk_scale is None
+            and fused_rect_mhsa_supported(h, w, self.h_sp, self.w_sp, c, nh)
+        ):
+            # Fused rect-window MHSA: one Pallas kernel over h_sp-row strips
+            # with w_sp-column windows (n = h_sp*w_sp is a native MXU tile
+            # for DAT geometries). The dynamic position bias MLP runs
+            # outside (static coords) and joins the shift masks as a
+            # (K, nh, n, n) kind table; its cotangent flows back into the
+            # DynamicPosBias parameters.
+            from trainner_redux_tpu.ops.pallas.fused_block import (
+                fused_block_interpret,
+            )
+
+            pos = DynamicPosBias(
+                nh, (self.dim // 4) // 4, dtype=self.dtype, name="pos"
+            )(jnp.asarray(_rect_bias_coords(self.h_sp, self.w_sp)))
+            idx = jnp.asarray(_rect_rel_index(self.h_sp, self.w_sp))
+            bias = pos[idx.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
+            bias = bias.astype(jnp.float32)
+            if mask is not None:
+                # mask came from _rect_mask(shift): rebuild as kind table
+                sh, sw = self.shift_hw
+                kinds = jnp.asarray(
+                    rect_shift_mask_kinds(self.h_sp, self.w_sp, sh, sw)
+                )
+                bias_kinds = bias[None] + kinds[:, None]
+            else:
+                bias_kinds = bias[None]
+            qkv_flat = jnp.concatenate([qkv[0], qkv[1], qkv[2]], axis=-1)
+            out = fused_rect_mhsa(
+                qkv_flat.astype(self.dtype), bias_kinds, nh, hd,
+                self.h_sp, self.w_sp, fused_block_interpret(),
+            )
+            return out
 
         q = _rect_partition(qkv[0], self.h_sp, self.w_sp)
         k = _rect_partition(qkv[1], self.h_sp, self.w_sp)
@@ -246,11 +289,13 @@ class AdaptiveSpatialAttention(nn.Module):
             m0 = m1 = None
 
         x0 = SpatialAttentionBranch(
-            half, ssh, ssw, self.num_heads // 2, self.qk_scale, dtype=self.dtype,
+            half, ssh, ssw, self.num_heads // 2, self.qk_scale,
+            shift_hw=(sh0, sh1) if self.do_shift else None, dtype=self.dtype,
             name="attns_0",
         )(qkv0, m0)
         x1 = SpatialAttentionBranch(
-            half, ssw, ssh, self.num_heads // 2, self.qk_scale, dtype=self.dtype,
+            half, ssw, ssh, self.num_heads // 2, self.qk_scale,
+            shift_hw=(sh1, sh0) if self.do_shift else None, dtype=self.dtype,
             name="attns_1",
         )(qkv1, m1)
         if self.do_shift:

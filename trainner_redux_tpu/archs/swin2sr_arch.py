@@ -87,6 +87,38 @@ class SwinV2Attention(nn.Module):
         return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
 
+class _AttnParamsV2(nn.Module):
+    """Param tree of SwinV2Attention (qkv/logit_scale/CPB MLP/proj) for the
+    fused path — scoped names match the unfused module exactly. Runs the
+    tiny CPB MLP (static log-coords) and returns its (table_len, nh) bias
+    table alongside the raw params."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        from trainner_redux_tpu.archs.fused_block_util import DenseParams
+
+        wq, bq = DenseParams(self.dim, 3 * self.dim, True, name="qkv")()
+        logit = self.param(
+            "logit_scale",
+            lambda key, shape, dtype: jnp.log(10.0 * jnp.ones(shape, dtype)),
+            (self.num_heads, 1, 1),
+            jnp.float32,
+        )
+        coords = jnp.asarray(_log_coords(self.window_size))
+        h1 = nn.Dense(512, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="cpb_fc1")(coords)
+        h1 = nn.relu(h1)
+        table = nn.Dense(self.num_heads, use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="cpb_fc2")(h1)
+        wp, bp = DenseParams(self.dim, self.dim, True, name="proj")()
+        return wq, bq, logit, table, wp, bp
+
+
 class Swin2Block(nn.Module):
     dim: int
     num_heads: int
@@ -101,6 +133,72 @@ class Swin2Block(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
         shift = self.shift_size if min(h, w) > ws else 0
+
+        from trainner_redux_tpu.ops.pallas.fused_block import (
+            fused_block_interpret,
+        )
+        from trainner_redux_tpu.ops.pallas.fused_block_v2 import (
+            fused_block_v2_supported,
+            fused_cos_attn_block,
+            fused_postnorm_mlp,
+        )
+
+        hidden = int(self.dim * self.mlp_ratio)
+        if fused_block_v2_supported(h, w, ws, self.dim, self.num_heads, hidden):
+            # Fully-fused SwinV2 path: post-norm cosine-attention half and
+            # post-norm MLP half each run as ONE Pallas kernel. Param tree
+            # is identical to the unfused modules (stub declarations), so
+            # checkpoints/converters are unaffected. The CPB bias MLP runs
+            # outside the kernel (static log-coords -> (nh, n, n) table) and
+            # receives gradients through the bias-kind cotangent.
+            from trainner_redux_tpu.archs.fused_block_util import (
+                DenseParams,
+                LNParams,
+                droppath_scale,
+            )
+            from trainner_redux_tpu.ops.pallas.window_attention import (
+                shift_mask_kinds,
+            )
+
+            nh = self.num_heads
+            hd = self.dim // nh
+            n = ws * ws
+            wq, bq, logit, table, wp, bp = _AttnParamsV2(
+                self.dim, ws, nh, dtype=self.dtype, name="attn"
+            )()
+            g1, be1 = LNParams(self.dim, name="norm1")()
+            w1, b1 = DenseParams(self.dim, hidden, True, name="fc1")()
+            w2, b2 = DenseParams(hidden, self.dim, True, name="fc2")()
+            g2, be2 = LNParams(self.dim, name="norm2")()
+
+            idx = jnp.asarray(_relative_position_index(ws))
+            bias = jnp.take(table, idx.reshape(-1), axis=0)
+            bias = bias.reshape(n, n, nh).transpose(2, 0, 1)
+            bias16 = 16.0 * jax.nn.sigmoid(bias.astype(jnp.float32))
+            if shift > 0:
+                masks = jnp.asarray(shift_mask_kinds(ws, shift))
+                bias_kinds = bias16[None] + masks[:, None]
+            else:
+                bias_kinds = bias16[None]
+            scale = jnp.exp(
+                jnp.minimum(logit.reshape(nh), jnp.log(1.0 / 0.01))
+            )
+            s1 = droppath_scale(self, self.drop_path, train, b)
+            s2 = droppath_scale(self, self.drop_path, train, b)
+            interp = fused_block_interpret()
+            xc = x.astype(self.dtype)
+            if shift > 0:
+                xc = jnp.roll(xc, (-shift, -shift), axis=(1, 2))
+            z = fused_cos_attn_block(
+                xc, wq, bq, scale, wp, bp, g1, be1, bias_kinds, s1,
+                nh, hd, ws, 1e-5, interp,
+            )
+            if shift > 0:
+                z = jnp.roll(z, (shift, shift), axis=(1, 2))
+            return fused_postnorm_mlp(
+                z, w1, b1, w2, b2, g2, be2, s2, ws, 1e-5, interp
+            )
+
         shortcut = x
         y = x
         if shift:

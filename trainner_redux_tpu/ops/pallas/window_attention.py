@@ -129,23 +129,27 @@ def _window_groups(nww: int, n: int) -> list[list[int]]:
     return [list(range(a, min(a + g, nww))) for a in range(0, nww, g)]
 
 
-def _gather_windows(x, group, ws: int, cols: int):
-    """(ws, W, cols) strip -> (len(group)*n, cols) tile with each window's
-    n = ws*ws tokens contiguous. Window slices land on the second-to-minor
-    axis at ws multiples; the (ws, ws, cols) -> (n, cols) reshape collapses
-    leading dims only, so both are layout-preserving."""
+def _gather_windows(x, group, ws: int, cols: int, wc: int | None = None):
+    """(wr, W, cols) strip -> (len(group)*n, cols) tile with each window's
+    n = wr*wc tokens contiguous (wr = strip rows, wc = window columns;
+    square ws*ws when wc is None). Window slices land on the
+    second-to-minor axis at wc multiples; the (wr, wc, cols) -> (n, cols)
+    reshape collapses leading dims only, so both are layout-preserving."""
+    wr, wc = ws, (ws if wc is None else wc)
     parts = [
-        x[:, j * ws : (j + 1) * ws, :].reshape(ws * ws, cols) for j in group
+        x[:, j * wc : (j + 1) * wc, :].reshape(wr * wc, cols) for j in group
     ]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
-def _scatter_windows(o_ref, tile, group, ws: int, cols: int):
-    n = ws * ws
+def _scatter_windows(o_ref, tile, group, ws: int, cols: int,
+                     wc: int | None = None):
+    wr, wc = ws, (ws if wc is None else wc)
+    n = wr * wc
     for idx, j in enumerate(group):
-        o_ref[0, :, j * ws : (j + 1) * ws, :] = tile[
+        o_ref[0, :, j * wc : (j + 1) * wc, :] = tile[
             idx * n : (idx + 1) * n
-        ].reshape(ws, ws, cols)
+        ].reshape(wr, wc, cols)
 
 
 def _bias_block(bias_ref, h: int, j: int, nww: int, kinds: int, is_bottom):
@@ -184,13 +188,15 @@ def _head_qkv(x, h: int, nh: int, hd: int):
     return q, k, v
 
 
-def _fwd_kernel(x_ref, bias_ref, o_ref, *, nh, hd, ws, w, scale, nwh, kinds):
-    n = ws * ws
-    nww = w // ws
+def _fwd_kernel(x_ref, bias_ref, o_ref, *, nh, hd, ws, w, scale, nwh, kinds,
+                wc=None):
+    wc = ws if wc is None else wc
+    n = ws * wc
+    nww = w // wc
     is_bottom = pl.program_id(0) == nwh - 1
-    x = x_ref[0]  # (ws, W, 3C)
+    x = x_ref[0]  # (wr, W, 3C)
     for group in _window_groups(nww, n):
-        tile = _gather_windows(x, group, ws, 3 * nh * hd)  # (g*n, 3C)
+        tile = _gather_windows(x, group, ws, 3 * nh * hd, wc)  # (g*n, 3C)
         outs = []
         for h in range(nh):
             q, k, v = _head_qkv(tile, h, nh, hd)
@@ -208,16 +214,17 @@ def _fwd_kernel(x_ref, bias_ref, o_ref, *, nh, hd, ws, w, scale, nwh, kinds):
             )
             outs.append(o.astype(o_ref.dtype))
         _scatter_windows(
-            o_ref, jnp.concatenate(outs, axis=-1), group, ws, nh * hd
+            o_ref, jnp.concatenate(outs, axis=-1), group, ws, nh * hd, wc
         )
 
 
 def _bwd_kernel(
     x_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, dbias_ref,
-    *, nh, hd, ws, w, scale, nwh, kinds,
+    *, nh, hd, ws, w, scale, nwh, kinds, wc=None,
 ):
-    n = ws * ws
-    nww = w // ws
+    wc = ws if wc is None else wc
+    n = ws * wc
+    nww = w // wc
     c = nh * hd
     i = pl.program_id(0)
     b = pl.program_id(1)
@@ -232,8 +239,8 @@ def _bwd_kernel(
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
     for group in _window_groups(nww, n):
-        tile = _gather_windows(x, group, ws, 3 * c)
-        do_tile = _gather_windows(do_strip, group, ws, c)
+        tile = _gather_windows(x, group, ws, 3 * c, wc)
+        do_tile = _gather_windows(do_strip, group, ws, c, wc)
         head_dq, head_dk, head_dv = [], [], []
         for h in range(nh):
             q, k, v = _head_qkv(tile, h, nh, hd)
@@ -282,9 +289,9 @@ def _bwd_kernel(
             head_dq.append(dq.astype(dq_ref.dtype))
             head_dk.append(dk.astype(dk_ref.dtype))
             head_dv.append(dv.astype(dv_ref.dtype))
-        _scatter_windows(dq_ref, jnp.concatenate(head_dq, -1), group, ws, c)
-        _scatter_windows(dk_ref, jnp.concatenate(head_dk, -1), group, ws, c)
-        _scatter_windows(dv_ref, jnp.concatenate(head_dv, -1), group, ws, c)
+        _scatter_windows(dq_ref, jnp.concatenate(head_dq, -1), group, ws, c, wc)
+        _scatter_windows(dk_ref, jnp.concatenate(head_dk, -1), group, ws, c, wc)
+        _scatter_windows(dv_ref, jnp.concatenate(head_dv, -1), group, ws, c, wc)
 
 
 def _strip_spec(ws, w, ch):
@@ -305,17 +312,18 @@ def fused_window_mhsa(qkv, bias, num_heads, head_dim, window_size, interpret=Fal
     return _mhsa_fwd_impl(qkv, bias, num_heads, head_dim, window_size, interpret)
 
 
-def _mhsa_fwd_impl(qkv, bias, num_heads, head_dim, window_size, interpret):
+def _mhsa_fwd_impl(qkv, bias, num_heads, head_dim, window_size, interpret,
+                   wc=None):
     b, hh, ww, c3 = qkv.shape
     c = num_heads * head_dim
     assert c3 == 3 * c, (c3, c)
-    ws = window_size
+    ws = window_size  # strip rows (= window rows for rect windows)
     nwh = hh // ws
     kinds = bias.shape[0]
     scale = head_dim**-0.5
     kernel = functools.partial(
         _fwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww, scale=scale,
-        nwh=nwh, kinds=kinds,
+        nwh=nwh, kinds=kinds, wc=wc,
     )
     return pl.pallas_call(
         kernel,
@@ -337,18 +345,19 @@ def _mhsa_fwd(qkv, bias, num_heads, head_dim, window_size, interpret):
     return out, (qkv, bias)
 
 
-def _mhsa_bwd(num_heads, head_dim, window_size, interpret, res, g):
+def _mhsa_bwd(num_heads, head_dim, window_size, interpret, res, g,
+              wc=None):
     qkv, bias = res
     b, hh, ww, _ = qkv.shape
     c = num_heads * head_dim
     ws = window_size
-    n = ws * ws
+    n = ws * (ws if wc is None else wc)
     nwh = hh // ws
     kinds = bias.shape[0]
     scale = head_dim**-0.5
     kernel = functools.partial(
         _bwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww, scale=scale,
-        nwh=nwh, kinds=kinds,
+        nwh=nwh, kinds=kinds, wc=wc,
     )
     dq, dk, dv, dbias = pl.pallas_call(
         kernel,
@@ -409,3 +418,83 @@ def reference_window_mhsa(qkv, bias_full, num_heads, head_dim, window_size):
     o = jnp.einsum("bwhnm,bwhmd->bwhnd", p, v)
     o = o.transpose(0, 1, 3, 2, 4).reshape(b, nwh, nww, ws, ws, c)
     return o.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, c).astype(qkv.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Rectangular windows (DAT's dual-branch split-size attention): identical
+# machinery with strip rows = h_sp and window columns = w_sp. n = h_sp*w_sp
+# is 128+ for DAT geometries, so each window is already an MXU-native tile
+# (group packing engages only when n < 128).
+# Reference: /root/reference/traiNNer/archs/dat_arch.py (Spatial_Attention).
+# ---------------------------------------------------------------------------
+
+
+def fused_rect_mhsa_supported(
+    h: int, w: int, h_sp: int, w_sp: int, channels: int,
+    num_heads: int | None = None, dtype_bytes: int = 2,
+) -> bool:
+    import os
+
+    if os.environ.get("TRAINNER_FUSED_ATTN", "1") == "0":
+        return False
+    mode = os.environ.get("TRAINNER_FUSED_BLOCK", "1")
+    if mode != "interpret":
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+        except Exception:
+            return False
+    if h % h_sp or w % w_sp:
+        return False
+    n = h_sp * w_sp
+    strip = h_sp * w * 3 * channels * dtype_bytes
+    bias = 4 * (num_heads or 8) * n * n * 4
+    return strip * 4 + bias * 2 + 4 * 128 * max(n, 128) * 16 <= 24 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_rect_mhsa(qkv, bias, num_heads, head_dim, h_sp, w_sp,
+                    interpret=False):
+    """out (B,H,W,C) = rect-window MHSA(qkv (B,H,W,3C), bias (K,nh,n,n)),
+    windows of h_sp rows x w_sp columns, n = h_sp*w_sp."""
+    return _mhsa_fwd_impl(qkv, bias, num_heads, head_dim, h_sp, interpret,
+                          wc=w_sp)
+
+
+def _rect_fwd(qkv, bias, num_heads, head_dim, h_sp, w_sp, interpret):
+    out = _mhsa_fwd_impl(qkv, bias, num_heads, head_dim, h_sp, interpret,
+                         wc=w_sp)
+    return out, (qkv, bias)
+
+
+def _rect_bwd(num_heads, head_dim, h_sp, w_sp, interpret, res, g):
+    return _mhsa_bwd(num_heads, head_dim, h_sp, interpret, res, g, wc=w_sp)
+
+
+fused_rect_mhsa.defvjp(_rect_fwd, _rect_bwd)
+
+
+def rect_shift_mask_kinds(h_sp: int, w_sp: int, sh: int, sw: int) -> np.ndarray:
+    """4 distinct shifted-rect-window masks (kind, n, n): 0 interior,
+    1 right-edge, 2 bottom-edge, 3 corner — the rect analogue of
+    shift_mask_kinds (roll by (-sh, -sw); the last sh rows / sw columns of
+    an edge window wrapped from the opposite image edge). Equivalent to the
+    reference's per-window img_mask construction
+    (/root/reference/traiNNer/archs/dat_arch.py Spatial_Attention
+    calculate_mask) evaluated per window position."""
+    n = h_sp * w_sp
+    row_edge = np.zeros((h_sp,), np.int32)
+    row_edge[h_sp - sh :] = 1
+    col_edge = np.zeros((w_sp,), np.int32)
+    col_edge[w_sp - sw :] = 1
+    row_int = np.zeros((h_sp,), np.int32)
+    col_int = np.zeros((w_sp,), np.int32)
+    masks = np.zeros((4, n, n), np.float32)
+    for kind, (rs, cs) in enumerate(
+        [(row_int, col_int), (row_int, col_edge), (row_edge, col_int),
+         (row_edge, col_edge)]
+    ):
+        seg = (rs[:, None] * 2 + cs[None, :]).reshape(-1)
+        diff = seg[:, None] != seg[None, :]
+        masks[kind] = np.where(diff, -100.0, 0.0)
+    return masks

@@ -72,6 +72,13 @@ _PALLAS_KERNELS = {
     "fused_attn_block_train_bwd": ("attn_saved", True, 0, 8),
     "fused_ln_mlp_fwd": ("mlp", False, 0, 3),
     "fused_ln_mlp_bwd": ("mlp", True, 0, 3),
+    # SwinV2 post-norm variants (fused_block_v2.py): cosine attention has
+    # the same product structure as the pre-norm kernels; the post-norm MLP
+    # matches the pre-norm MLP counts
+    "fused_cos_attn_block_fwd": ("attn", False, 0, 8),
+    "fused_cos_attn_block_bwd": ("attn", True, 0, 8),
+    "fused_postnorm_mlp_fwd": ("mlp", False, 0, 1),
+    "fused_postnorm_mlp_bwd": ("mlp", True, 0, 1),
 }
 
 
@@ -188,12 +195,12 @@ def _warn_unrecognized_pallas(eqn) -> None:
 
 def _attn_products_flops(x, bias) -> float:
     """FLOPs of ONE n x n x hd window-attention product (e.g. q @ k^T)
-    summed over batch/windows/heads: 2 * B * nh * n_windows * n^2 * hd."""
+    summed over batch/windows/heads: 2 * B * nh * n_windows * n^2 * hd.
+    n_windows = H*W/n holds for square AND rectangular windows."""
     b, h, w, c = x[0], x[1], x[2], x[3]
     n, nh = bias[-1], bias[1]
-    ws = math.isqrt(n)
     hd = c // nh
-    n_windows = (h // ws) * (w // ws)
+    n_windows = (h * w) // n
     return 2.0 * b * nh * n_windows * n * n * hd
 
 
