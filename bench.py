@@ -303,6 +303,7 @@ def _bench_e2e(model, cfg, b: int, n_dev: int) -> float:
             prefetcher = DeviceCacheFeeder(
                 dataset, ds_opt, batch_size=b * k_steps, seed=0
             )
+            prefetcher.configure_for_model(model)
         else:
             # mirror train.py: enlarge-ratio sampler (long epochs, no
             # per-epoch pipeline rebuilds) over the same 48-image source set

@@ -290,6 +290,7 @@ def train_pipeline(root_path: str, argv: list[str] | None = None) -> None:
             batch_size=train_loader.batch_size,
             seed=opt.manual_seed or 0,
         )
+        prefetcher.configure_for_model(model)
         logger.info(
             "Device dataset cache active: crops are cut on device "
             f"(batch {train_loader.batch_size}/dispatch)."

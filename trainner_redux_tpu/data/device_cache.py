@@ -107,11 +107,37 @@ class DeviceCacheFeeder:
         self._lq_store = put(lq_store)
         self._gt_store = put(gt_store)
         self._dims = put(np.asarray(dims, np.int32))
-        self._sample = functools.partial(
-            _sample_batch,
+        self._bind_sampler(k_steps=1, out_sharding=None)
+
+    def _bind_sampler(self, k_steps: int, out_sharding) -> None:
+        kwargs = dict(
             bsz=self.batch_size, lq_size=self.lq_size, scale=self.scale,
-            use_hflip=self.use_hflip, use_rot=self.use_rot,
+            use_hflip=self.use_hflip, use_rot=self.use_rot, k_steps=k_steps,
         )
+        if out_sharding is not None:
+            fn = jax.jit(
+                functools.partial(_sample_batch_impl, **kwargs),
+                out_shardings=(out_sharding, out_sharding),
+            )
+        else:
+            fn = jax.jit(functools.partial(_sample_batch_impl, **kwargs))
+        self._sample = fn
+
+    def configure_for_model(self, model) -> None:
+        """Emit batches in the model's exact training layout: the
+        (K, B, ...) steps_per_dispatch reshape AND the mesh batch sharding.
+        Without this, feed_data sees foreign-sharded jit outputs and
+        round-trips them through the HOST to reshard (device_get + re-put:
+        ~2 s per 128-image block on the ~65 MB/s tunneled link — measured
+        as e2e_fraction 0.044, WORSE than the host loader it replaced)."""
+        from trainner_redux_tpu.parallel.mesh import batch_sharding
+
+        k = int(getattr(model, "steps_per_dispatch", 1) or 1)
+        mesh = getattr(model, "mesh", None)
+        sharding = None
+        if mesh is not None:
+            sharding = batch_sharding(mesh, 1 if k > 1 else 0)
+        self._bind_sampler(k_steps=k, out_sharding=sharding)
 
     # -- DevicePrefetcher interface ------------------------------------
     def reset(self) -> None:
@@ -127,15 +153,12 @@ class DeviceCacheFeeder:
         return {"lq": lq, "gt": gt}
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("bsz", "lq_size", "scale", "use_hflip", "use_rot"),
-)
-def _sample_batch(lq_store, gt_store, dims, key, *, bsz, lq_size, scale,
-                  use_hflip, use_rot):
+def _sample_batch_impl(lq_store, gt_store, dims, key, *, bsz, lq_size,
+                       scale, use_hflip, use_rot, k_steps=1):
     """One batch of aligned (lq, gt) crops with dihedral augments, all on
     device. Crops use lax.dynamic_slice inside lax.map (a loop of DMAs —
-    no data-dependent gather reaches the compiler)."""
+    no data-dependent gather reaches the compiler). k_steps > 1 reshapes
+    to the (K, B, ...) dispatch-block layout the train step consumes."""
     n = lq_store.shape[0]
     kimg, ky, kx, kaug = jax.random.split(key, 4)
     idx = jax.random.randint(kimg, (bsz,), 0, n)
@@ -169,4 +192,7 @@ def _sample_batch(lq_store, gt_store, dims, key, *, bsz, lq_size, scale,
         return d4(lq, bits), d4(gt, bits)
 
     lq, gt = jax.lax.map(one, (idx, y0, x0, aug_bits))
+    if k_steps > 1:
+        lq = lq.reshape(k_steps, bsz // k_steps, *lq.shape[1:])
+        gt = gt.reshape(k_steps, bsz // k_steps, *gt.shape[1:])
     return lq, gt
