@@ -226,10 +226,10 @@ class SwinBlock(nn.Module):
 
         from trainner_redux_tpu.ops.pallas.fused_block import (
             fused_attn_block,
-            fused_attn_block_train,
             fused_block_interpret,
             fused_block_supported,
             fused_ln_mlp,
+            fused_swin_block_train,
         )
 
         hidden = int(self.dim * self.mlp_ratio)
@@ -278,11 +278,20 @@ class SwinBlock(nn.Module):
             xc = x.astype(self.dtype)
             if shift > 0:
                 xc = jnp.roll(xc, (-shift, -shift), axis=(1, 2))
-            # train: the forward saves P + attention output so the VJP runs
-            # 4 MXU products/unit instead of the recompute path's 6; eval
-            # keeps the output-only kernel (no extra HBM)
-            attn_fn = fused_attn_block_train if train else fused_attn_block
-            z = attn_fn(
+            if train:
+                # ONE kernel for the whole block (both halves), saved-P
+                # backward (4 MXU products/unit instead of the recompute
+                # path's 6, no softmax chain). Both halves are per-token
+                # outside attention, so the block commutes with the cyclic
+                # roll — compute in the rolled frame, unroll the output.
+                out = fused_swin_block_train(
+                    xc, g1, be1, wq, bq, wp, bp, bias_kinds, g2, be2,
+                    w1, b1, w2, b2, s1, s2, nh, hd, ws, 1e-5, interp,
+                )
+                if shift > 0:
+                    out = jnp.roll(out, (shift, shift), axis=(1, 2))
+                return out
+            z = fused_attn_block(
                 xc, g1, be1, wq, bq, wp, bp, bias_kinds, s1, nh, hd, ws,
                 1e-5, interp,
             )

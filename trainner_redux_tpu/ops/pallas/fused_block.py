@@ -1069,3 +1069,408 @@ def _attn_train_bwd(num_heads, head_dim, window_size, eps, interpret, res,
 
 
 fused_attn_block_train.defvjp(_attn_train_fwd, _attn_train_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-block train kernel: BOTH halves (LN1+qkv+window-MHSA+proj+residual
+# AND LN2+MLP+residual) in one pallas_call per direction, with the saved-P
+# backward. Eliminates the inter-half z/do HBM round trips and halves the
+# per-block kernel-call count (36 calls instead of 72 per direction).
+# The mid-block residual z is saved for the backward (one write; the
+# two-kernel form wrote AND re-read it).
+# ---------------------------------------------------------------------------
+
+
+def _swin_block_fwd_kernel(
+    x_ref, g1_ref, be1_ref, wq_ref, bq_ref, wp_ref, bp_ref, bias_ref,
+    g2_ref, be2_ref, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, s2_ref,
+    o_ref, p_ref, att_ref, z_ref,
+    *, nh, hd, ws, w, scale, nwh, kinds, eps,
+):
+    bs = x_ref.shape[0]
+    c = nh * hd
+    n = ws * ws
+    nww = w // ws
+    cdt = x_ref.dtype
+    is_bottom = pl.program_id(0) == nwh - 1
+
+    t = x_ref[...].reshape(bs * ws * w, c)
+    y32, _, _ = _ln_f32(t.astype(jnp.float32), g1_ref[0], be1_ref[0], eps)
+    y = y32.astype(cdt)
+    qkv = (_dot(y, wq_ref[...]).astype(cdt) + bq_ref[0].astype(cdt)).reshape(
+        bs, ws, w, 3 * c
+    )
+    for bb in range(bs):
+        for group in _window_groups(nww, n):
+            tile = _gather_windows(qkv[bb], group, ws, 3 * c)
+            outs = []
+            for h in range(nh):
+                q, k, v = _head_qkv(tile, h, nh, hd)
+                sc = _dot(q, k, (((1,), (1,)), ((), ())))
+                sc = sc * scale + _bias_tile(
+                    bias_ref, h, group, nww, kinds, is_bottom
+                )
+                m = jnp.max(sc, axis=-1, keepdims=True)
+                p = jnp.exp(sc - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                p_lo = p.astype(cdt)
+                for a, j in enumerate(group):
+                    p_ref[bb, 0, j, h] = p_lo[
+                        a * n : (a + 1) * n, a * n : (a + 1) * n
+                    ]
+                outs.append(_dot(p_lo, v).astype(cdt))
+            _scatter_windows_b(att_ref, jnp.concatenate(outs, axis=-1),
+                               bb, group, ws, c)
+    att_t = att_ref[...].reshape(bs * ws * w, c)
+    proj = _dot(att_t, wp_ref[...]).astype(cdt) + bp_ref[0].astype(cdt)
+    srow1 = _scale_rows(s1_ref, bs, ws * w).astype(cdt)
+    z = t + srow1 * proj
+    z_ref[...] = z.reshape(bs, ws, w, c)
+
+    y2_32, _, _ = _ln_f32(z.astype(jnp.float32), g2_ref[0], be2_ref[0], eps)
+    y2 = y2_32.astype(cdt)
+    h1 = _dot(y2, w1_ref[...]).astype(cdt) + b1_ref[0].astype(cdt)
+    hg = _gelu_exact(h1.astype(jnp.float32)).astype(cdt)
+    m2 = _dot(hg, w2_ref[...]).astype(cdt) + b2_ref[0].astype(cdt)
+    srow2 = _scale_rows(s2_ref, bs, ws * w).astype(cdt)
+    o_ref[...] = (z + srow2 * m2).reshape(bs, ws, w, c)
+
+
+def _swin_block_bwd_kernel(
+    x_ref, g1_ref, be1_ref, wq_ref, bq_ref, wp_ref, bp_ref,
+    g2_ref, be2_ref, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, s2_ref,
+    p_in_ref, att_in_ref, z_in_ref, do_ref,
+    dx_ref, dg1_ref, dbe1_ref, dwq_ref, dbq_ref, dwp_ref, dbp_ref,
+    dbias_ref, dg2_ref, dbe2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    dqkv_scratch,
+    *, nh, hd, ws, w, scale, nwh, kinds, eps,
+):
+    bs = x_ref.shape[0]
+    c = nh * hd
+    n = ws * ws
+    nww = w // ws
+    cdt = x_ref.dtype
+    i, b = pl.program_id(0), pl.program_id(1)
+    is_bottom = i == nwh - 1
+
+    @pl.when((i == 0) & (b == 0))
+    def _init():
+        for r in (dg1_ref, dbe1_ref, dwq_ref, dbq_ref, dwp_ref, dbp_ref,
+                  dbias_ref, dg2_ref, dbe2_ref, dw1_ref, db1_ref, dw2_ref,
+                  db2_ref):
+            r[...] = jnp.zeros_like(r)
+
+    do_t = do_ref[...].reshape(bs * ws * w, c)
+    z = z_in_ref[...].reshape(bs * ws * w, c)
+    g2 = g2_ref[0]
+
+    # ---- MLP half backward (recompute fc1/gelu from saved z) ----
+    y2_32, xn2, inv2 = _ln_f32(z.astype(jnp.float32), g2, be2_ref[0], eps)
+    y2 = y2_32.astype(cdt)
+    h1 = _dot(y2, w1_ref[...]).astype(cdt) + b1_ref[0].astype(cdt)
+    h32 = h1.astype(jnp.float32)
+    hg = _gelu_exact(h32).astype(cdt)
+    srow2 = _scale_rows(s2_ref, bs, ws * w)
+    dm = do_t.astype(jnp.float32) * srow2
+    dm_lo = dm.astype(cdt)
+    dw2_ref[...] += _dot(hg, dm_lo, (((0,), (0,)), ((), ())))
+    db2_ref[...] += jnp.sum(dm, axis=0, keepdims=True)
+    dhg = _dot(dm_lo, w2_ref[...], (((1,), (1,)), ((), ())))
+    dh = dhg * _gelu_exact_grad(h32)
+    dh_lo = dh.astype(cdt)
+    dw1_ref[...] += _dot(y2, dh_lo, (((0,), (0,)), ((), ())))
+    db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dy2 = _dot(dh_lo, w1_ref[...], (((1,), (1,)), ((), ())))
+    dg2_ref[...] += jnp.sum(dy2 * xn2, axis=0, keepdims=True)
+    dbe2_ref[...] += jnp.sum(dy2, axis=0, keepdims=True)
+    dz32 = do_t.astype(jnp.float32) + _ln_bwd(dy2, xn2, inv2, g2)
+
+    # ---- attention half backward (saved P + att; recompute LN1+qkv) ----
+    t = x_ref[...].reshape(bs * ws * w, c)
+    g1 = g1_ref[0]
+    y32, xn, inv = _ln_f32(t.astype(jnp.float32), g1, be1_ref[0], eps)
+    y = y32.astype(cdt)
+    qkv = (_dot(y, wq_ref[...]).astype(cdt) + bq_ref[0].astype(cdt)).reshape(
+        bs, ws, w, 3 * c
+    )
+    srow1 = _scale_rows(s1_ref, bs, ws * w)
+    dzp32 = dz32 * srow1  # d wrt proj output
+    dzp_lo = dzp32.astype(cdt)
+    dbp_ref[...] += jnp.sum(dzp32, axis=0, keepdims=True)
+    datt = _dot(dzp_lo, wp_ref[...], (((1,), (1,)), ((), ()))).astype(
+        cdt
+    ).reshape(bs, ws, w, c)
+
+    dbias_acc = [
+        [jnp.zeros((n, n), jnp.float32) for _ in range(nh)]
+        for _ in range(kinds)
+    ]
+    zero_off = jnp.zeros((n, n), cdt)
+    for bb in range(bs):
+        for group in _window_groups(nww, n):
+            tile = _gather_windows(qkv[bb], group, ws, 3 * c)
+            da_tile = _gather_windows(datt[bb], group, ws, c)
+            head_dq, head_dk, head_dv = [], [], []
+            for h in range(nh):
+                q, k, v = _head_qkv(tile, h, nh, hd)
+                doh = da_tile[:, h * hd : (h + 1) * hd].astype(jnp.float32)
+                gsz = len(group)
+                if gsz == 1:
+                    p_lo = p_in_ref[bb, 0, group[0], h]
+                else:
+                    rows = []
+                    for a, j in enumerate(group):
+                        blk = p_in_ref[bb, 0, j, h]
+                        rows.append(jnp.concatenate(
+                            [blk if bcol == a else zero_off
+                             for bcol in range(gsz)], axis=1
+                        ))
+                    p_lo = jnp.concatenate(rows, axis=0)
+                p = p_lo.astype(jnp.float32)
+                dv = _dot(p_lo, doh.astype(cdt), (((0,), (0,)), ((), ())))
+                dp = _dot(doh.astype(cdt), v, (((1,), (1,)), ((), ())))
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                for a, j in enumerate(group):
+                    blk = ds[a * n : (a + 1) * n, a * n : (a + 1) * n]
+                    if kinds == 1:
+                        dbias_acc[0][h] += blk
+                    else:
+                        base = 1 if j == nww - 1 else 0
+                        zero = jnp.zeros_like(blk)
+                        dbias_acc[base][h] += jnp.where(is_bottom, zero, blk)
+                        dbias_acc[base + 2][h] += jnp.where(
+                            is_bottom, blk, zero
+                        )
+                ds_lo = (ds * scale).astype(cdt)
+                head_dq.append(_dot(ds_lo, k).astype(cdt))
+                head_dk.append(
+                    _dot(ds_lo, q, (((0,), (0,)), ((), ()))).astype(cdt)
+                )
+                head_dv.append(dv.astype(cdt))
+            dtile = jnp.concatenate(head_dq + head_dk + head_dv, axis=-1)
+            for a, j in enumerate(group):
+                dqkv_scratch[bb, :, j * ws : (j + 1) * ws, :] = dtile[
+                    a * n : (a + 1) * n
+                ].reshape(ws, ws, 3 * c)
+
+    dbias_ref[...] += jnp.stack([jnp.stack(row) for row in dbias_acc])
+    att_t = att_in_ref[...].reshape(bs * ws * w, c)
+    dwp_ref[...] += _dot(att_t, dzp_lo, (((0,), (0,)), ((), ())))
+    dqkv = dqkv_scratch[...].reshape(bs * ws * w, 3 * c)
+    dwq_ref[...] += _dot(y, dqkv, (((0,), (0,)), ((), ())))
+    dbq_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+    dy = _dot(dqkv, wq_ref[...], (((1,), (1,)), ((), ())))
+    dg1_ref[...] += jnp.sum(dy * xn, axis=0, keepdims=True)
+    dbe1_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dt = _ln_bwd(dy, xn, inv, g1)
+    dx_ref[...] = (dz32 + dt).astype(cdt).reshape(bs, ws, w, c)
+
+
+def _swin_block_call_args(x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1,
+                          w2, b2, s1, s2, window_size, num_heads):
+    b, hh, ww, c = x.shape
+    hidden = w1.shape[1]
+    ws = window_size
+    # conservative: the block kernel holds both halves' working sets
+    bsub_a = _attn_bsub(b, hh, ww, c, num_heads, ws, bias.shape[0],
+                        dtype_bytes=x.dtype.itemsize)
+    bsub_m = _mlp_bsub(b, hh, ww, c, hidden, ws,
+                       dtype_bytes=x.dtype.itemsize)
+    bsub = min(bsub_a, bsub_m)
+    while b % bsub:
+        bsub -= 1
+    ins = (
+        x,
+        g1.astype(jnp.float32).reshape(1, c),
+        be1.astype(jnp.float32).reshape(1, c),
+        wq.astype(x.dtype),
+        bq.astype(jnp.float32).reshape(1, 3 * c),
+        wp.astype(x.dtype),
+        bp.astype(jnp.float32).reshape(1, c),
+        bias.astype(jnp.float32),
+        g2.astype(jnp.float32).reshape(1, c),
+        be2.astype(jnp.float32).reshape(1, c),
+        w1.astype(x.dtype),
+        b1.astype(jnp.float32).reshape(1, hidden),
+        w2.astype(x.dtype),
+        b2.astype(jnp.float32).reshape(1, c),
+        s1.astype(jnp.float32).reshape(b, 1),
+        s2.astype(jnp.float32).reshape(b, 1),
+    )
+    ws_ = window_size
+    specs = [
+        _strip_spec(ws_, ww, c, bsub),
+        _row_spec(c), _row_spec(c),
+        _full_spec((c, 3 * c)), _row_spec(3 * c),
+        _full_spec((c, c)), _row_spec(c),
+        _full_spec(bias.shape),
+        _row_spec(c), _row_spec(c),
+        _full_spec((c, hidden)), _row_spec(hidden),
+        _full_spec((hidden, c)), _row_spec(c),
+        _full_spec((b, 1), pltpu.SMEM),
+        _full_spec((b, 1), pltpu.SMEM),
+    ]
+    return ins, specs, (hh // ws_, b // bsub), bsub
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20))
+def fused_swin_block_train(x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1,
+                           b1, w2, b2, s1, s2, num_heads, head_dim,
+                           window_size, eps=1e-5, interpret=False):
+    """One-kernel pre-LN Swin block (train): out = mlp_half(attn_half(x)).
+    Saves P + attention output + the mid-block residual z for a saved-P
+    backward; numerically identical to fused_attn_block_train followed by
+    fused_ln_mlp."""
+    out, _, _, _ = _swin_block_fwd_impl(
+        x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1, w2, b2, s1, s2,
+        num_heads, head_dim, window_size, eps, interpret,
+    )
+    return out
+
+
+def _swin_block_fwd_impl(x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1,
+                         w2, b2, s1, s2, num_heads, head_dim, window_size,
+                         eps, interpret):
+    b, hh, ww, c = x.shape
+    ws = window_size
+    n = ws * ws
+    nww = ww // ws
+    nwh = hh // ws
+    kernel = functools.partial(
+        _swin_block_fwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww,
+        scale=head_dim**-0.5, nwh=nwh, kinds=bias.shape[0], eps=eps,
+    )
+    ins, specs, grid, bsub = _swin_block_call_args(
+        x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1, w2, b2, s1, s2,
+        window_size, num_heads,
+    )
+    out, p, att, z = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, nwh, nww, num_heads, n, n), x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+        ),
+        grid=grid,
+        in_specs=specs,
+        out_specs=(
+            _strip_spec(ws, ww, c, bsub),
+            pl.BlockSpec(
+                (bsub, 1, nww, num_heads, n, n),
+                lambda i, bb: (bb, i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            _strip_spec(ws, ww, c, bsub),
+            _strip_spec(ws, ww, c, bsub),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+        name="fused_swin_block_train_fwd",
+    )(*ins)
+    return out, p, att, z
+
+
+def _swin_block_fwd(x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1, w2,
+                    b2, s1, s2, num_heads, head_dim, window_size, eps,
+                    interpret):
+    out, p, att, z = _swin_block_fwd_impl(
+        x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1, w2, b2, s1, s2,
+        num_heads, head_dim, window_size, eps, interpret,
+    )
+    return out, (x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1, w2, b2,
+                 s1, s2, p, att, z)
+
+
+def _swin_block_bwd(num_heads, head_dim, window_size, eps, interpret, res,
+                    do):
+    (x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1, w2, b2, s1, s2, p,
+     att, z) = res
+    b, hh, ww, c = x.shape
+    hidden = w1.shape[1]
+    ws = window_size
+    n = ws * ws
+    nww = ww // ws
+    nwh = hh // ws
+    kinds = bias.shape[0]
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _swin_block_bwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww,
+        scale=head_dim**-0.5, nwh=nwh, kinds=kinds, eps=eps,
+    )
+    ins, specs, grid, bsub = _swin_block_call_args(
+        x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1, w2, b2, s1, s2,
+        window_size, num_heads,
+    )
+    # bias is not read by the backward; drop it from inputs
+    ins = ins[:7] + ins[8:]
+    specs = specs[:7] + specs[8:]
+    p_spec = pl.BlockSpec(
+        (bsub, 1, nww, num_heads, n, n),
+        lambda i, bb: (bb, i, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    (dx, dg1, dbe1, dwq, dbq, dwp, dbp, dbias, dg2, dbe2, dw1, db1, dw2,
+     db2) = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, 3 * c), f32),
+            jax.ShapeDtypeStruct((1, 3 * c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((kinds, num_heads, n, n), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((hidden, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ),
+        grid=grid,
+        in_specs=specs + [
+            p_spec,
+            _strip_spec(ws, ww, c, bsub),
+            _strip_spec(ws, ww, c, bsub),
+            _strip_spec(ws, ww, c, bsub),
+        ],
+        out_specs=(
+            _strip_spec(ws, ww, c, bsub),
+            _row_spec(c), _row_spec(c),
+            _full_spec((c, 3 * c)), _row_spec(3 * c),
+            _full_spec((c, c)), _row_spec(c),
+            _full_spec((kinds, num_heads, n, n)),
+            _row_spec(c), _row_spec(c),
+            _full_spec((c, hidden)), _row_spec(hidden),
+            _full_spec((hidden, c)), _row_spec(c),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bsub, ws, ww, 3 * c), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+        name="fused_swin_block_train_bwd",
+    )(*ins, p, att, z, do)
+    return (
+        dx,
+        dg1.reshape(c).astype(g1.dtype),
+        dbe1.reshape(c).astype(be1.dtype),
+        dwq.astype(wq.dtype),
+        dbq.reshape(3 * c).astype(bq.dtype),
+        dwp.astype(wp.dtype),
+        dbp.reshape(c).astype(bp.dtype),
+        dbias.astype(bias.dtype),
+        dg2.reshape(c).astype(g2.dtype),
+        dbe2.reshape(c).astype(be2.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(hidden).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(c).astype(b2.dtype),
+        jnp.zeros_like(s1),
+        jnp.zeros_like(s2),
+    )
+
+
+fused_swin_block_train.defvjp(_swin_block_fwd, _swin_block_bwd)

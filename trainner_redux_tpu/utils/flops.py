@@ -79,6 +79,11 @@ _PALLAS_KERNELS = {
     "fused_cos_attn_block_bwd": ("attn", True, 0, 8),
     "fused_postnorm_mlp_fwd": ("mlp", False, 0, 1),
     "fused_postnorm_mlp_bwd": ("mlp", True, 0, 1),
+    # whole-block train kernel (attn + mlp in one call): key operand is the
+    # bias table (fwd) / saved P (bwd); the (C, hidden) fc1 weight sits at
+    # operand 10 (fwd) / 9 (bwd) — handled specially in _pallas_parse
+    "fused_swin_block_train_fwd": ("swin_block", False, 0, 7),
+    "fused_swin_block_train_bwd": ("swin_block_saved", True, 0, 15),
 }
 
 
@@ -111,6 +116,12 @@ def _pallas_parse(eqn) -> tuple | None:
             # key operand is the saved P (b, nwh, nww, nh, n, n): expose a
             # bias-shaped (1, nh, n, n) tuple for the product counter
             return kind, x, (x[-1], 3 * x[-1]), (1,) + key[3:], is_bwd
+        if kind == "swin_block":
+            hid = eqn.invars[10].aval.shape[1]
+            return kind, x, (x[-1], hid), key, is_bwd
+        if kind == "swin_block_saved":
+            hid = eqn.invars[9].aval.shape[1]
+            return kind, x, (x[-1], hid), (1,) + key[3:], is_bwd
         return kind, x, (key[0], key[1]), None, is_bwd
     if name == "diffjpeg_dct":
         return "jpeg", tuple(eqn.invars[2].aval.shape), (64, 64), None, False
@@ -243,6 +254,13 @@ def _pallas_flops(eqn) -> float:
         c = x[3]
         p = _attn_products_flops(x, bias)
         return 4.0 * p + 22.0 * t * c * c
+    if kind in ("swin_block", "swin_block_saved"):
+        # attn half + mlp half in one kernel; wdims = (C, hidden)
+        c, hidden = wdims
+        p = _attn_products_flops(x, bias)
+        if kind == "swin_block":
+            return 2.0 * p + 8.0 * t * c * c + 4.0 * t * c * hidden
+        return 4.0 * p + 22.0 * t * c * c + 12.0 * t * c * hidden
     # mlp
     c, hidden = wdims
     return t * c * hidden * (12.0 if is_bwd else 4.0)
