@@ -1106,19 +1106,31 @@ def _swin_block_fwd_kernel(
             outs = []
             for h in range(nh):
                 q, k, v = _head_qkv(tile, h, nh, hd)
-                sc = _dot(q, k, (((1,), (1,)), ((), ())))
-                sc = sc * scale + _bias_tile(
+                # TRANSPOSED softmax (measured: softmax was 74% of this
+                # kernel's time, bench_block_kernel.py): S^T = k q^T puts
+                # the normalization axis on SUBLANES, where the row-sum is
+                # a ~18-op vreg tree instead of a ~112-op lane reduction;
+                # the per-row max is replaced by the tile-scalar max (same
+                # overflow guard; l is epsilon-floored against pathological
+                # all-underflow columns).
+                s_t = _dot(k, q, (((1,), (1,)), ((), ())))
+                s_t = s_t * scale + _bias_tile(
                     bias_ref, h, group, nww, kinds, is_bottom
                 )
-                m = jnp.max(sc, axis=-1, keepdims=True)
-                p = jnp.exp(sc - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                p_lo = p.astype(cdt)
+                m = jnp.max(s_t)
+                p_t = jnp.exp(s_t - m)
+                l = jnp.maximum(
+                    jnp.sum(p_t, axis=0, keepdims=True), 1e-30
+                )
+                p_t = p_t / l
+                p_lo = p_t.astype(cdt)  # P^T, saved transposed
                 for a, j in enumerate(group):
                     p_ref[bb, 0, j, h] = p_lo[
                         a * n : (a + 1) * n, a * n : (a + 1) * n
                     ]
-                outs.append(_dot(p_lo, v).astype(cdt))
+                outs.append(
+                    _dot(p_lo, v, (((0,), (0,)), ((), ()))).astype(cdt)
+                )
             _scatter_windows_b(att_ref, jnp.concatenate(outs, axis=-1),
                                bb, group, ws, c)
     att_t = att_ref[...].reshape(bs * ws * w, c)
@@ -1226,12 +1238,14 @@ def _swin_block_bwd_kernel(
                              for bcol in range(gsz)], axis=1
                         ))
                     p_lo = jnp.concatenate(rows, axis=0)
+                # p_lo holds P^T (the forward's transposed softmax); all
+                # reductions land on SUBLANES (cheap vreg trees)
                 p = p_lo.astype(jnp.float32)
-                dv = _dot(p_lo, doh.astype(cdt), (((0,), (0,)), ((), ())))
-                dp = _dot(doh.astype(cdt), v, (((1,), (1,)), ((), ())))
-                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                dv = _dot(p_lo, doh.astype(cdt))
+                dp_t = _dot(v, doh.astype(cdt), (((1,), (1,)), ((), ())))
+                ds_t = p * (dp_t - jnp.sum(dp_t * p, axis=0, keepdims=True))
                 for a, j in enumerate(group):
-                    blk = ds[a * n : (a + 1) * n, a * n : (a + 1) * n]
+                    blk = ds_t[a * n : (a + 1) * n, a * n : (a + 1) * n]
                     if kinds == 1:
                         dbias_acc[0][h] += blk
                     else:
@@ -1241,11 +1255,11 @@ def _swin_block_bwd_kernel(
                         dbias_acc[base + 2][h] += jnp.where(
                             is_bottom, blk, zero
                         )
-                ds_lo = (ds * scale).astype(cdt)
-                head_dq.append(_dot(ds_lo, k).astype(cdt))
-                head_dk.append(
-                    _dot(ds_lo, q, (((0,), (0,)), ((), ()))).astype(cdt)
+                ds_lo = (ds_t * scale).astype(cdt)
+                head_dq.append(
+                    _dot(ds_lo, k, (((0,), (0,)), ((), ()))).astype(cdt)
                 )
+                head_dk.append(_dot(ds_lo, q).astype(cdt))
                 head_dv.append(dv.astype(cdt))
             dtile = jnp.concatenate(head_dq + head_dk + head_dv, axis=-1)
             for a, j in enumerate(group):
@@ -1340,8 +1354,11 @@ def _swin_block_fwd_impl(x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1,
         _swin_block_fwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww,
         scale=head_dim**-0.5, nwh=nwh, kinds=bias.shape[0], eps=eps,
     )
+    # the kernel computes S^T (transposed softmax), so it consumes the
+    # TRANSPOSED bias table; dbias is transposed back in the VJP
+    bias_t = bias.transpose(0, 1, 3, 2)
     ins, specs, grid, bsub = _swin_block_call_args(
-        x, g1, be1, wq, bq, wp, bp, bias, g2, be2, w1, b1, w2, b2, s1, s2,
+        x, g1, be1, wq, bq, wp, bp, bias_t, g2, be2, w1, b1, w2, b2, s1, s2,
         window_size, num_heads,
     )
     out, p, att, z = pl.pallas_call(
@@ -1461,7 +1478,8 @@ def _swin_block_bwd(num_heads, head_dim, window_size, eps, interpret, res,
         dbq.reshape(3 * c).astype(bq.dtype),
         dwp.astype(wp.dtype),
         dbp.reshape(c).astype(bp.dtype),
-        dbias.astype(bias.dtype),
+        # the kernel accumulated d/d(bias^T); undo the entry transpose
+        dbias.transpose(0, 1, 3, 2).astype(bias.dtype),
         dg2.reshape(c).astype(g2.dtype),
         dbe2.reshape(c).astype(be2.dtype),
         dw1.astype(w1.dtype),
