@@ -263,8 +263,12 @@ def _cos_call_args(x, wq, bq, scale, wp, bp, g, be, bias, s, window_size,
 
     b, hh, ww, c = x.shape
     ws = window_size
+    # 3x the v1 working-set estimate: the cosine backward additionally
+    # holds fp32 qn/kn rows, their inverse norms, and the dscale/datt
+    # temporaries per head (measured: bsub=8 at swin2sr_s geometry tried to
+    # stack-allocate 113 MB against the 64 MB scoped-vmem limit)
     bsub = _attn_bsub(b, hh, ww, c, num_heads, ws, bias.shape[0],
-                      dtype_bytes=x.dtype.itemsize)
+                      dtype_bytes=x.dtype.itemsize * 3)
     ins = (
         x,
         wq.astype(x.dtype),
