@@ -258,17 +258,22 @@ def _cos_attn_bwd_kernel(
 
 
 def _cos_call_args(x, wq, bq, scale, wp, bp, g, be, bias, s, window_size,
-                   num_heads):
+                   num_heads, for_bwd=False):
     from trainner_redux_tpu.ops.pallas.fused_block import _attn_bsub
 
     b, hh, ww, c = x.shape
     ws = window_size
-    # 3x the v1 working-set estimate: the cosine backward additionally
-    # holds fp32 qn/kn rows, their inverse norms, and the dscale/datt
-    # temporaries per head (measured: bsub=8 at swin2sr_s geometry tried to
-    # stack-allocate 113 MB against the 64 MB scoped-vmem limit)
     bsub = _attn_bsub(b, hh, ww, c, num_heads, ws, bias.shape[0],
-                      dtype_bytes=x.dtype.itemsize * 3)
+                      dtype_bytes=x.dtype.itemsize)
+    if for_bwd:
+        # the cosine backward's unrolled per-head fp32 temporaries (qn/kn
+        # rows, inverse norms, dscale/datt) lane-pad small C hard: measured
+        # 113 MB of Mosaic stack at bsub=8 for swin2sr_s (c=60) against the
+        # 64 MB scoped-vmem limit — ~30x the v1 byte estimate. Clamp the
+        # backward to bsub <= 2 (fwd keeps the larger block).
+        bsub = min(bsub, 2)
+        while b % bsub:
+            bsub -= 1
     ins = (
         x,
         wq.astype(x.dtype),
@@ -351,7 +356,8 @@ def _cos_bwd(num_heads, head_dim, window_size, eps, interpret, res, do):
         nwh=hh // ws, kinds=kinds, eps=eps,
     )
     ins, specs, grid, bsub = _cos_call_args(
-        x, wq, bq, scale, wp, bp, g, be, bias, s, ws, num_heads
+        x, wq, bq, scale, wp, bp, g, be, bias, s, ws, num_heads,
+        for_bwd=True,
     )
     (dx, dwq, dbq, dscale, dwp, dbp, dg, dbe, dbias) = pl.pallas_call(
         kernel,
