@@ -59,12 +59,23 @@ def fused_block_v2_supported(
     h: int, w: int, window_size: int, channels: int, num_heads: int,
     hidden: int, dtype_bytes: int = 2,
 ) -> bool:
-    """Same budget shape as fused_block.fused_block_supported — the v2
-    kernels hold the same strips/params plus per-head norm temporaries."""
+    """Gate for the SwinV2 fused kernels. OFF by default on real TPU:
+    measured at swin2sr_s geometry (c=60, b8, 64px), the fused pair runs
+    66.3 img/s vs 103.6 on the XLA path (docs/perf/
+    fused_family_deltas.json) — the cosine backward's per-head fp32
+    temporaries force bsub<=2 and the small batch blocks lose more than
+    the fusion saves at this channel width. Opt in with TRAINNER_FUSED_V2=1
+    (e.g. for wider custom variants); interpret mode stays on so the
+    equivalence tests exercise the kernels."""
+    import os
+
     from trainner_redux_tpu.ops.pallas.fused_block import (
         fused_block_supported,
     )
 
+    mode = os.environ.get("TRAINNER_FUSED_BLOCK", "1")
+    if mode != "interpret" and os.environ.get("TRAINNER_FUSED_V2", "0") != "1":
+        return False
     return fused_block_supported(
         h, w, window_size, channels, num_heads, hidden, dtype_bytes
     )
