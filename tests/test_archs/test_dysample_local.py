@@ -74,6 +74,7 @@ def test_border_clamp_matches_gather():
     )
 
 
+@pytest.mark.slow
 def test_local_grads_are_dense_and_finite():
     """The windowed path must produce finite grads for x AND offsets
     without any scatter in the backward (the whole point of the design)."""

@@ -65,6 +65,7 @@ def test_spatial_rejects_bad_shapes():
             )
 
 
+@pytest.mark.slow
 def test_val_spatial_shard_matches_plain_test():
     """val.spatial_shard routes model.test() through the mesh-sharded
     forward; output must match the replicated single-device forward."""
