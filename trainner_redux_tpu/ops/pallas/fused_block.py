@@ -500,11 +500,26 @@ def _attn_block_fwd_kernel(x_ref, g_ref, be_ref, wq_ref, bq_ref, wp_ref,
     for bb in range(bs):
         for group in _window_groups(nww, n):
             tile = _gather_windows(qkv[bb], group, ws, 3 * c)
-            att = _attn_heads_fwd(
-                tile, bias_ref, group, nww, kinds, is_bottom, nh, hd, scale,
-                cdt,
-            )
-            _scatter_windows_b(att_ref, att, bb, group, ws, c)
+            outs = []
+            for h in range(nh):
+                q, k, v = _head_qkv(tile, h, nh, hd)
+                # transposed softmax (see _swin_block_fwd_kernel): bias_ref
+                # arrives TRANSPOSED from the impl
+                s_t = _dot(k, q, (((1,), (1,)), ((), ())))
+                s_t = s_t * scale + _bias_tile(
+                    bias_ref, h, group, nww, kinds, is_bottom
+                )
+                m = jnp.max(s_t)
+                p_t = jnp.exp(s_t - m)
+                l = jnp.maximum(
+                    jnp.sum(p_t, axis=0, keepdims=True), 1e-30
+                )
+                p_lo = (p_t / l).astype(cdt)
+                outs.append(
+                    _dot(p_lo, v, (((0,), (0,)), ((), ()))).astype(cdt)
+                )
+            _scatter_windows_b(att_ref, jnp.concatenate(outs, axis=-1),
+                               bb, group, ws, c)
     att_t = att_ref[...].reshape(bs * ws * w, c)
     proj = _dot(att_t, wp_ref[...]).astype(cdt) + bp_ref[0].astype(cdt)
     srow = _scale_rows(s_ref, bs, ws * w).astype(cdt)  # (bs*t, 1)
@@ -569,20 +584,27 @@ def _attn_block_bwd_kernel(
             for h in range(nh):
                 q, k, v = _head_qkv(tile, h, nh, hd)
                 doh = da_tile[:, h * hd : (h + 1) * hd].astype(jnp.float32)
-                sc = _dot(q, k, (((1,), (1,)), ((), ())))
-                sc = sc * scale + _bias_tile(
+                # transposed softmax recompute (bias_ref arrives TRANSPOSED
+                # from the impl; every reduction lands on sublanes)
+                s_t = _dot(k, q, (((1,), (1,)), ((), ())))
+                s_t = s_t * scale + _bias_tile(
                     bias_ref, h, group, nww, kinds, is_bottom
                 )
-                m = jnp.max(sc, axis=-1, keepdims=True)
-                p = jnp.exp(sc - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                m = jnp.max(s_t)
+                p_t = jnp.exp(s_t - m)
+                l = jnp.maximum(
+                    jnp.sum(p_t, axis=0, keepdims=True), 1e-30
+                )
+                p = p_t / l
                 p_lo = p.astype(cdt)
-                outs.append(_dot(p_lo, v).astype(cdt))
-                dv = _dot(p_lo, doh.astype(cdt), (((0,), (0,)), ((), ())))
-                dp = _dot(doh.astype(cdt), v, (((1,), (1,)), ((), ())))
-                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                outs.append(
+                    _dot(p_lo, v, (((0,), (0,)), ((), ()))).astype(cdt)
+                )
+                dv = _dot(p_lo, doh.astype(cdt))
+                dp_t = _dot(v, doh.astype(cdt), (((1,), (1,)), ((), ())))
+                ds_t = p * (dp_t - jnp.sum(dp_t * p, axis=0, keepdims=True))
                 for a, j in enumerate(group):
-                    blk = ds[a * n : (a + 1) * n, a * n : (a + 1) * n]
+                    blk = ds_t[a * n : (a + 1) * n, a * n : (a + 1) * n]
                     if kinds == 1:
                         dbias_acc[0][h] += blk
                     else:
@@ -592,9 +614,9 @@ def _attn_block_bwd_kernel(
                         dbias_acc[base + 2][h] += jnp.where(
                             is_bottom, blk, zero
                         )
-                ds_lo = (ds * scale).astype(cdt)
-                dq = _dot(ds_lo, k)
-                dk = _dot(ds_lo, q, (((0,), (0,)), ((), ())))
+                ds_lo = (ds_t * scale).astype(cdt)
+                dq = _dot(ds_lo, k, (((0,), (0,)), ((), ())))
+                dk = _dot(ds_lo, q)
                 head_dq.append(dq.astype(cdt))
                 head_dk.append(dk.astype(cdt))
                 head_dv.append(dv.astype(cdt))
@@ -679,8 +701,10 @@ def _attn_fwd_impl(x, g, be, wq, bq, wp, bp, bias, s, num_heads, head_dim,
         _attn_block_fwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww,
         scale=head_dim**-0.5, nwh=hh // ws, kinds=bias.shape[0], eps=eps,
     )
+    # the kernel computes S^T (transposed softmax) and reads bias^T
     ins, specs, grid, bsub = _attn_call_args(
-        x, g, be, wq, bq, wp, bp, bias, s, ws, num_heads
+        x, g, be, wq, bq, wp, bp, bias.transpose(0, 1, 3, 2), s, ws,
+        num_heads
     )
     return pl.pallas_call(
         kernel,
@@ -713,8 +737,10 @@ def _attn_bwd(num_heads, head_dim, window_size, eps, interpret, res, do):
         _attn_block_bwd_kernel, nh=num_heads, hd=head_dim, ws=ws, w=ww,
         scale=head_dim**-0.5, nwh=hh // ws, kinds=kinds, eps=eps,
     )
+    # transposed-softmax recompute: kernel reads bias^T, emits d(bias^T)
     ins, specs, grid, bsub = _attn_call_args(
-        x, g, be, wq, bq, wp, bp, bias, s, ws, num_heads
+        x, g, be, wq, bq, wp, bp, bias.transpose(0, 1, 3, 2), s, ws,
+        num_heads
     )
     dx, dg, dbe, dwq, dbq, dwp, dbp, dbias = pl.pallas_call(
         kernel,
@@ -753,7 +779,7 @@ def _attn_bwd(num_heads, head_dim, window_size, eps, interpret, res, do):
         dbq.reshape(3 * c).astype(bq.dtype),
         dwp.astype(wp.dtype),
         dbp.reshape(c).astype(bp.dtype),
-        dbias.astype(bias.dtype),
+        dbias.transpose(0, 1, 3, 2).astype(bias.dtype),
         jnp.zeros_like(s),
     )
 
