@@ -34,9 +34,13 @@ class Up(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        # local_radius=1: the discriminator is train-only and randomly
+        # initialized (no checkpoint-inference parity at stake); the tight
+        # window measured +55% GAN train throughput (span_s_gan 26.7 ->
+        # 41.4 img/s) and ~4x faster compile vs radius 2
         x = DySample(
             self.dim, self.dim, scale=2, groups=4, end_convolution=False,
-            dtype=self.dtype, name="dysample",
+            local_radius=1, dtype=self.dtype, name="dysample",
         )(x, train)
         return SNConv2d(self.dim // 2, 3, padding=1, dtype=self.dtype, name="conv")(x, train)
 
