@@ -200,16 +200,21 @@ def _fwd_kernel(x_ref, bias_ref, o_ref, *, nh, hd, ws, w, scale, nwh, kinds,
         outs = []
         for h in range(nh):
             q, k, v = _head_qkv(tile, h, nh, hd)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+            # transposed softmax: S^T = k q^T puts the normalization
+            # reductions on SUBLANES (~6x cheaper than lane reductions);
+            # the per-row max becomes a tile-scalar max (same overflow
+            # guard). bias_ref arrives TRANSPOSED from the impl.
+            s_t = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = s * scale + _bias_tile(bias_ref, h, group, nww, kinds, is_bottom)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            s_t = s_t * scale + _bias_tile(bias_ref, h, group, nww, kinds, is_bottom)
+            m = jnp.max(s_t)
+            p_t = jnp.exp(s_t - m)
+            l = jnp.maximum(jnp.sum(p_t, axis=0, keepdims=True), 1e-30)
+            p_t = p_t / l
             o = jax.lax.dot_general(
-                p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+                p_t.astype(x.dtype), v, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             outs.append(o.astype(o_ref.dtype))
@@ -245,31 +250,35 @@ def _bwd_kernel(
         for h in range(nh):
             q, k, v = _head_qkv(tile, h, nh, hd)
             doh = do_tile[:, h * hd : (h + 1) * hd].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+            # transposed softmax recompute (see the forward kernel):
+            # bias_ref arrives TRANSPOSED; dbias accumulates d(bias^T) and
+            # the impl transposes it back
+            s_t = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = s * scale + _bias_tile(
+            s_t = s_t * scale + _bias_tile(
                 bias_ref, h, group, nww, kinds, is_bottom
             )
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            m = jnp.max(s_t)
+            p_t = jnp.exp(s_t - m)
+            l = jnp.maximum(jnp.sum(p_t, axis=0, keepdims=True), 1e-30)
+            p = p_t / l
             # forward downcast p->input dtype before PV; mirror it exactly so
             # fused grads match the unfused reference path
             p_lo = p.astype(x.dtype)
             dv = jax.lax.dot_general(
-                p_lo, doh.astype(x.dtype), (((0,), (0,)), ((), ())),
+                p_lo, doh.astype(x.dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dp = jax.lax.dot_general(
-                doh.astype(x.dtype), v, (((1,), (1,)), ((), ())),
+            dp_t = jax.lax.dot_general(
+                v, doh.astype(x.dtype), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            # accumulate the diagonal (n, n) blocks of ds onto their kinds
+            ds_t = p * (dp_t - jnp.sum(dp_t * p, axis=0, keepdims=True))
+            # accumulate the diagonal (n, n) blocks of ds^T onto their kinds
             for a, j in enumerate(group):
-                blk = ds[a * n : (a + 1) * n, a * n : (a + 1) * n]
+                blk = ds_t[a * n : (a + 1) * n, a * n : (a + 1) * n]
                 if kinds == 1:
                     dbias_ref[0, h] += blk
                 else:
@@ -277,13 +286,13 @@ def _bwd_kernel(
                     zero = jnp.zeros_like(blk)
                     dbias_ref[base, h] += jnp.where(is_bottom, zero, blk)
                     dbias_ref[base + 2, h] += jnp.where(is_bottom, blk, zero)
-            ds_lo = (ds * scale).astype(x.dtype)
+            ds_lo = (ds_t * scale).astype(x.dtype)
             dq = jax.lax.dot_general(
-                ds_lo, k, (((1,), (0,)), ((), ())),
+                ds_lo, k, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dk = jax.lax.dot_general(
-                ds_lo, q, (((0,), (0,)), ((), ())),
+                ds_lo, q, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             head_dq.append(dq.astype(dq_ref.dtype))
@@ -337,7 +346,7 @@ def _mhsa_fwd_impl(qkv, bias, num_heads, head_dim, window_size, interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
         name="fused_window_mhsa_fwd",
-    )(qkv, bias.astype(jnp.float32))
+    )(qkv, bias.astype(jnp.float32).transpose(0, 1, 3, 2))
 
 
 def _mhsa_fwd(qkv, bias, num_heads, head_dim, window_size, interpret):
@@ -383,9 +392,10 @@ def _mhsa_bwd(num_heads, head_dim, window_size, interpret, res, g,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
         name="fused_window_mhsa_bwd",
-    )(qkv, bias.astype(jnp.float32), g)
+    )(qkv, bias.astype(jnp.float32).transpose(0, 1, 3, 2), g)
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
-    return dqkv, dbias.astype(bias.dtype)
+    # the kernel accumulated d(bias^T); undo the entry transpose
+    return dqkv, dbias.transpose(0, 1, 3, 2).astype(bias.dtype)
 
 
 fused_window_mhsa.defvjp(_mhsa_fwd, _mhsa_bwd)
