@@ -455,22 +455,6 @@ fused_ln_mlp.defvjp(_mlp_fwd, _mlp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _attn_heads_fwd(tile, bias_ref, group, nww, kinds, is_bottom, nh, hd,
-                    scale, cdt):
-    """Group-tiled MHSA forward on one (g*n, 3C) qkv tile -> (g*n, C)."""
-    outs = []
-    for h in range(nh):
-        q, k, v = _head_qkv(tile, h, nh, hd)
-        sc = _dot(q, k, (((1,), (1,)), ((), ())))
-        sc = sc * scale + _bias_tile(bias_ref, h, group, nww, kinds, is_bottom)
-        m = jnp.max(sc, axis=-1, keepdims=True)
-        p = jnp.exp(sc - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = _dot(p.astype(cdt), v)
-        outs.append(o.astype(cdt))
-    return jnp.concatenate(outs, axis=-1)
-
-
 def _scatter_windows_b(ref, tile, bb, group, ws: int, cols: int):
     """Scatter a (len(group)*n, cols) window tile into sample bb of a
     (bsub, ws, W, cols) ref."""
